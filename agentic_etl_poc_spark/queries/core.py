@@ -1,0 +1,69 @@
+"""Query-battery registry.
+
+Each named query is a (spark_fn, oracle_sql) pair:
+
+- ``fn(spark, sf_dir) -> DataFrame`` — the idiomatic-Spark implementation
+  (DataFrame API or spark.sql over temp views), lazy until the driver acts.
+- ``oracle`` — equivalent SQL DuckDB runs over the same parquet tables.
+  ``None`` marks a genuinely non-SQL-expressible operator (the driver then
+  records a weaker rows-only check).
+
+Cross-engine determinism rules used throughout the battery (the driver
+hash-compares values, so results must match bit-for-bit, not just
+approximately):
+
+1. Aggregates over DOUBLE columns are computed as
+   ``SUM(CAST(x AS DECIMAL(p,s)))`` then cast back to DOUBLE.  Plain
+   ``SUM(double)`` is order-dependent (Spark's partial aggregation adds in
+   partition order, DuckDB in its own order) and differs in final ULPs;
+   decimal addition is exact and associative, so both engines agree exactly.
+   Per-ROW double arithmetic (x*(1-y)) is IEEE-deterministic and safe before
+   the cast.
+2. AVG is SUM(decimal)::DOUBLE / COUNT — one deterministic double division.
+3. DATE/TIMESTAMP outputs are formatted to strings with an explicit pattern
+   (engines disagree on native temporal rendering/dtypes).
+4. Every ORDER BY ... LIMIT has a total tie-break key.
+5. Comparisons/rounding on computed doubles happen on values far from the
+   decision boundary by construction, or after rounding to a coarse grid.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, description: str = ""):
+    """Decorator: add a query to the battery."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every battery module (side effect: registration) and return
+    the full registry."""
+    from agentic_etl_poc_spark.queries import (  # noqa: F401
+        dedup,
+        relational,
+        similarity,
+        temporal,
+        text,
+    )
+
+    return QUERIES

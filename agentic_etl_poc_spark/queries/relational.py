@@ -1,0 +1,484 @@
+"""Relational core battery — the SURVEY §2.3 SQL surface, idiomatic Spark.
+
+Covers every construct the reference's canonical plans demonstrate
+(reference: prompt.txt:16-78, etl_agent/plan.yaml:22-29 — CTEs, casts,
+COALESCE, multi-key LEFT JOIN, cast-in-join-key, GROUP BY + SUM/AVG,
+conditional aggregates, ORDER BY) plus the constructs the reference gets
+implicitly through DuckDB pass-through SQL (SURVEY §2.3 "not demonstrated"
+list): window functions, set ops, semi/anti joins, DISTINCT aggregates,
+ROLLUP, top-k, string/math scalar functions.
+
+Determinism idioms (see queries/core.py docstring): decimal-cast sums,
+decimal-sum/count averages, bigint-cast integer outputs (DuckDB aggregates
+return BIGINT/HUGEINT), total-order tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agentic_etl_poc_spark.io_tables import table
+from agentic_etl_poc_spark.queries.core import register
+
+
+def _dec(col: str | Column, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(28,{scale})")
+
+
+def _dsum(col: str | Column, scale: int = 2) -> Column:
+    """Order-independent exact sum of a double column, returned as double."""
+    return F.sum(_dec(col, scale)).cast("double")
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    description="TPC-H Q1 shape: scan+filter+groupBy with sum/avg/count "
+    "(reference surface: prompt.txt:65-77 GROUP BY + SUM/AVG).",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(28,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (_dsum("l_quantity") / n).alias("avg_qty"),
+            (_dsum("l_extendedprice") / n).alias("avg_price"),
+            (_dsum("l_discount", 6) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q02_cast_coalesce_project",
+    oracle="""
+SELECT p_partkey,
+  CAST(p_size AS BIGINT) AS size_big,
+  CAST(CAST(p_retailprice AS DECIMAL(28,2)) AS DOUBLE) AS retail2,
+  COALESCE(TRY_CAST(p_brand AS INTEGER), -1) AS brand_as_int,
+  CAST(p_type AS VARCHAR) AS type_str
+FROM part
+WHERE p_size < 30
+ORDER BY p_partkey
+""",
+    description="Projection + CAST(INT/BIGINT/DOUBLE/VARCHAR) + COALESCE + "
+    "NULL-on-bad-cast (reference: prompt.txt:18-30, TRY semantics via "
+    "spark.sql.ansi.enabled=false — SURVEY §2.3).",
+)
+def q02_cast_coalesce_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_size") < 30)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("bigint").alias("size_big"),
+            F.col("p_retailprice").cast("decimal(28,2)").cast("double").alias("retail2"),
+            # ANSI-off cast of 'Brand#13' -> NULL, like DuckDB TRY_CAST
+            F.coalesce(F.col("p_brand").cast("int"), F.lit(-1)).alias("brand_as_int"),
+            F.col("p_type").cast("string").alias("type_str"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q05_left_join_multikey",
+    oracle="""
+SELECT c_mktsegment,
+  COUNT(o_orderkey) AS open_orders,
+  CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(28,2))) AS DOUBLE) AS open_total,
+  COUNT(DISTINCT c_custkey) AS customers
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'O'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    description="LEFT JOIN with compound ON (key + literal predicate), "
+    "NULL-aware aggregation over unmatched rows (reference: prompt.txt:60-61).",
+)
+def q05_left_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"]) & (o["o_orderstatus"] == F.lit("O")),
+        "left",
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("open_orders"),
+            F.sum(_dec(F.coalesce(F.col("o_totalprice"), F.lit(0.0))))
+            .cast("double")
+            .alias("open_total"),
+            F.countDistinct("c_custkey").alias("customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q06_join_cast_key_broadcast",
+    oracle="""
+SELECT r_name, n_name,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON CAST(c_nationkey AS BIGINT) = CAST(n_nationkey AS BIGINT)
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+""",
+    description="Join with CAST in the join key (reference: prompt.txt:62-63) "
+    "+ explicit broadcast of small dims (nation 25 rows, region 5 rows) — "
+    "the 100 TB plan: fact stays partitioned, dims ship to executors.",
+)
+def q06_join_cast_key_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(
+            F.broadcast(n),
+            c["c_nationkey"].cast("bigint") == n["n_nationkey"].cast("bigint"),
+        )
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "q07_conditional_agg",
+    oracle="""
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(28,2))
+                ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE) AS finished_total,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_orders,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(28,2))
+                ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE)
+    / CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS finished_share
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    description="Conditional aggregates SUM(CASE WHEN ...) "
+    "(reference: prompt.txt:69 holiday_sales).",
+)
+def q07_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    cond_price = F.when(is_f, _dec("o_totalprice")).otherwise(
+        F.lit(0).cast("decimal(28,2)")
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cond_price).cast("double").alias("finished_total"),
+            F.sum(F.when(is_f, 1).otherwise(0)).cast("bigint").alias("finished_orders"),
+            (F.sum(cond_price).cast("double") / _dsum("o_totalprice")).alias(
+                "finished_share"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q08_topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+""",
+    description="Global top-k (ORDER BY ... LIMIT) with total tie-break. "
+    "Spark plan: TakeOrderedAndProject — no full sort, no full shuffle.",
+)
+def q08_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q09_distinct_agg",
+    oracle="""
+SELECT l_returnflag,
+  COUNT(DISTINCT l_suppkey) AS n_supp,
+  COUNT(DISTINCT l_partkey) AS n_part,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="DISTINCT aggregates (absent from reference surface, free via "
+    "pass-through SQL — SURVEY §2.3 'not demonstrated').",
+)
+def q09_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q10_window_rank",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+    CAST(RANK() OVER w AS BIGINT) AS rnk,
+    CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+    description="Ranking window functions, top-N per group.",
+)
+def q10_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "q12_set_ops",
+    oracle="""
+SELECT nationkey, 'both' AS tag FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey FROM supplier
+) a
+UNION ALL
+SELECT nationkey, 'customer_only' AS tag FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey FROM supplier
+) b
+UNION ALL
+SELECT nationkey, 'supplier_only' AS tag FROM (
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+  EXCEPT
+  SELECT DISTINCT c_nationkey FROM customer
+) c
+ORDER BY tag, nationkey
+""",
+    description="Set operations UNION ALL / INTERSECT / EXCEPT.",
+)
+def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    c_only = c.subtract(s).withColumn("tag", F.lit("customer_only"))
+    s_only = s.subtract(c).withColumn("tag", F.lit("supplier_only"))
+    return both.unionByName(c_only).unionByName(s_only).orderBy("tag", "nationkey")
+
+
+@register(
+    "q13_semi_anti_join",
+    oracle="""
+SELECT c_nationkey AS nationkey, COUNT(*) AS n, 'has_f_order' AS tag
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_nationkey
+UNION ALL
+SELECT c_nationkey AS nationkey, COUNT(*) AS n, 'no_orders' AS tag
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY tag, nationkey
+""",
+    description="Semi/anti joins (EXISTS / NOT EXISTS ≡ leftsemi / leftanti).",
+)
+def q13_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    semi = (
+        c.join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            c["c_custkey"] == o["o_custkey"],
+            "leftsemi",
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tag", F.lit("has_f_order"))
+    )
+    anti = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "leftanti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tag", F.lit("no_orders"))
+    )
+    return semi.unionByName(anti).orderBy("tag", "nationkey")
+
+
+@register(
+    "q14_rollup",
+    oracle="""
+SELECT COALESCE(r_name, '(all)') AS region,
+       COALESCE(n_name, '(all)') AS nation,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY region, nation
+""",
+    description="Hierarchical ROLLUP aggregation (grouping-set family).",
+)
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum("c_acctbal").alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            "n_customers",
+            "total_bal",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@register(
+    "q15_string_funcs",
+    oracle="""
+SELECT p_partkey,
+  UPPER(p_brand) AS brand_upper,
+  LOWER(p_type) AS type_lower,
+  SUBSTR(p_name, 1, 8) AS name_prefix,
+  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+  CONCAT_WS('|', p_brand, p_type) AS brand_type,
+  REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel,
+  LPAD(p_brand, 12, '_') AS brand_padded,
+  CAST(LEN(STRING_SPLIT(p_name, ' ')) AS BIGINT) AS name_words
+FROM part
+ORDER BY p_partkey
+""",
+    description="String scalar functions (upper/lower/substr/length/concat/"
+    "regexp_replace/lpad/split).",
+)
+def q15_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("name_novowel"),
+        F.lpad("p_brand", 12, "_").alias("brand_padded"),
+        F.size(F.split(F.col("p_name"), " ")).cast("bigint").alias("name_words"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q16_math_funcs",
+    oracle="""
+SELECT c_custkey,
+  ABS(c_acctbal) AS abs_bal,
+  CAST(FLOOR(c_acctbal) AS BIGINT) AS floor_bal,
+  CAST(CEIL(c_acctbal) AS BIGINT) AS ceil_bal,
+  SQRT(ABS(c_acctbal)) AS sqrt_bal,
+  c_acctbal * c_acctbal AS bal_sq,
+  CAST(SIGN(c_acctbal) AS DOUBLE) AS sign_bal,
+  GREATEST(c_acctbal, 0.0) AS pos_part,
+  LEAST(c_acctbal, 0.0) AS neg_part
+FROM customer
+ORDER BY c_custkey
+""",
+    description="Math scalar functions (abs/floor/ceil/sqrt/sign/greatest/"
+    "least) — only IEEE-deterministic ops, so both engines agree bit-for-bit.",
+)
+def q16_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs(bal).alias("abs_bal"),
+        F.floor(bal).cast("bigint").alias("floor_bal"),
+        F.ceil(bal).cast("bigint").alias("ceil_bal"),
+        F.sqrt(F.abs(bal)).alias("sqrt_bal"),
+        (bal * bal).alias("bal_sq"),
+        F.signum(bal).cast("double").alias("sign_bal"),
+        F.greatest(bal, F.lit(0.0)).alias("pos_part"),
+        F.least(bal, F.lit(0.0)).alias("neg_part"),
+    ).orderBy("c_custkey")

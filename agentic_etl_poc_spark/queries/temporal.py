@@ -1,0 +1,298 @@
+"""Temporal / event battery.
+
+Covers the reference's date semantics — try-parse-with-fallback-to-NULL
+(reference: prompt.txt:24-30 ``try_strptime`` chain; SURVEY §0.4) and
+Monday-based DATE_TRUNC('week') (reference: prompt.txt:53; SURVEY §0.5) —
+plus event-time constructs the reference lacks but a Spark engine gives for
+free: running windows, as-of joins, range joins, tumbling windows, JSON
+extraction.
+
+Temporal outputs are rendered to strings with explicit patterns on both
+engines (determinism rule 3, queries/core.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from agentic_etl_poc_spark.io_tables import table
+from agentic_etl_poc_spark.queries.core import register
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "q03_try_dateparse",
+    oracle="""
+WITH s AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-date'
+         WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%m/%d/%Y')
+         ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw_date
+  FROM orders
+)
+SELECT o_orderkey, raw_date,
+  strftime(COALESCE(try_strptime(raw_date, '%m/%d/%Y'),
+                    try_strptime(raw_date, '%Y-%m-%d')), '%Y-%m-%d') AS parsed_date
+FROM s
+ORDER BY o_orderkey
+""",
+    description="try-parse date with format fallback, NULL on mismatch "
+    "(reference: prompt.txt:24-30 try_strptime('%m/%d/%Y') → '%Y-%m-%d'); "
+    "Spark to_date with ANSI off + CORRECTED parser = same NULL semantics; "
+    "format tokens translated %m/%d/%Y → MM/dd/yyyy (SURVEY §7 dialect shim).",
+)
+def q03_try_dateparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    raw = (
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("not-a-date"))
+        .when(F.col("o_orderkey") % 2 == 0, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+    parsed = F.coalesce(
+        F.to_date(F.col("raw_date"), "MM/dd/yyyy"),
+        F.to_date(F.col("raw_date"), "yyyy-MM-dd"),
+    )
+    return (
+        o.select("o_orderkey", raw.alias("raw_date"))
+        .select(
+            "o_orderkey",
+            "raw_date",
+            F.date_format(parsed, "yyyy-MM-dd").alias("parsed_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q04_weekly_rollup",
+    oracle="""
+SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS week_total
+FROM orders
+GROUP BY 1
+ORDER BY week
+""",
+    description="DATE_TRUNC('week') rollup — Monday-based in both engines "
+    "(reference: prompt.txt:53; SURVEY §0.5).",
+)
+def q04_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    week = F.date_format(F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd")
+    return (
+        o.groupBy(week.alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("week_total"),
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "q11_running_window",
+    oracle=f"""
+SELECT user_id, event_id,
+  strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events
+ORDER BY user_id, event_id
+""",
+    description="Running-sum and LAG window frames over event time.",
+)
+def q11_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(running)
+        .cast("double")
+        .alias("running_value"),
+        F.lag("value", 1).over(order).alias("prev_value"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q17_hourly_json",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS hour,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+""",
+    description="Hourly bucketing + JSON field extraction from a string "
+    "column (get_json_object ≡ json_extract_string).",
+)
+def q17_hourly_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), TS_FMT_SPARK)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.groupBy(hour.alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "q18_asof_join",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, ts, event_id, value AS view_value,
+         0 AS is_click, CAST(NULL AS BIGINT) AS click_id,
+         CAST(NULL AS DOUBLE) AS click_value
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE),
+         1, event_id, value
+  FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT *,
+    LAST_VALUE(view_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, is_click, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+  FROM u
+)
+SELECT user_id, click_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+       click_value, last_view_value
+FROM m WHERE is_click = 1
+ORDER BY user_id, click_id
+""",
+    description="Keyed as-of (backward) join: each click picks the latest "
+    "view at-or-before it per user. Implemented as union + last_value-"
+    "ignore-nulls window partitioned by key — shuffles once on the key, "
+    "scales to any number of keys (no cross/range explosion at 100 TB).",
+)
+def q18_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").alias("view_value"),
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(1).alias("is_click"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    u = views.unionByName(clicks)
+    w = Window.partitionBy("user_id").orderBy("ts", "is_click", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        u.withColumn(
+            "last_view_value", F.last("view_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_click") == 1)
+        .select(
+            "user_id",
+            "click_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+            "click_value",
+            "last_view_value",
+        )
+        .orderBy("user_id", "click_id")
+    )
+
+
+@register(
+    "q19_range_join",
+    oracle="""
+SELECT o_orderpriority,
+  COUNT(*) AS n_lines,
+  CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS total_lag_days,
+  CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) / COUNT(*) AS avg_lag_days
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+           AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    description="Equi + range (interval) join predicate; the equi key keeps "
+    "it a hash join with a residual range filter — no unbounded range "
+    "explosion at scale.",
+)
+def q19_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & F.col("l_shipdate").between(
+        F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(lag_days).cast("bigint").alias("total_lag_days"),
+            (F.sum(lag_days).cast("double") / F.count(F.lit(1))).alias("avg_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q20_tumbling_window",
+    oracle=f"""
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 * 1000000),
+                '{TS_FMT_DUCK}') AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    description="6-hour tumbling window aggregation via F.window — the same "
+    "expression works under Structured Streaming with a watermark "
+    "(streaming module); epoch-aligned like Spark's window().",
+)
+def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

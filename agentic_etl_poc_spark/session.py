@@ -1,0 +1,86 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference engine (mounikavas/agentic-etl-poc) delegates execution to
+in-process DuckDB over pandas frames (reference: etl_agent/templates.py:79-121)
+and therefore has no engine configuration at all.  Here the session *is* the
+engine, so the defaults matter:
+
+- ``spark.sql.ansi.enabled=false``: DuckDB's ``TRY_CAST``/``try_strptime``
+  return NULL on bad input; Spark 4 defaults to ANSI (errors).  ANSI-off
+  restores NULL-on-failure cast semantics for parity (SURVEY.md §2.3).
+- ``spark.sql.session.timeZone=UTC``: the reference normalizes naive
+  timestamps to UTC (reference: etl_agent/ops.py:96-97); fixing the session
+  zone makes timestamp results reproducible across machines.
+- AQE on (coalesce partitions + skew-join): at the 100 TB design ceiling,
+  runtime re-planning replaces hand-tuned partition counts.
+- Arrow on: every pandas/Python boundary (createDataFrame, toPandas,
+  pandas UDFs) is vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+#: Engine defaults.  Values chosen for local[N] testing scale; on a real
+#: cluster the same keys are what you'd tune (shuffle.partitions ~ 2-3x
+#: total cores, maxPartitionBytes 128-256m for 100 TB parquet scans).
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+#: Semantic confs the engine depends on for correctness (not tuning).  All
+#: are runtime-settable, so they can be (re)applied to ANY session — in
+#: particular one created by an external harness with Spark 4's ANSI-on
+#: default, which would otherwise turn DuckDB-style NULL-on-bad-cast into a
+#: hard CAST_INVALID_INPUT error mid-query.
+SEMANTIC_CONF: dict[str, str] = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+}
+
+
+def ensure_semantics(spark: SparkSession) -> SparkSession:
+    """Apply the correctness-critical confs to an existing session."""
+    for k, v in SEMANTIC_CONF.items():
+        spark.conf.set(k, v)
+    return spark
+
+
+def get_spark(
+    app_name: str = "agentic-etl-poc-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster is
+    configured; on a real deployment the submitter sets the master and these
+    defaults still apply.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = builder.master(master or f"local[{cpus}]")
+    conf = dict(ENGINE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
