@@ -1,0 +1,201 @@
+"""Typed plan model — the YAML surface of the engine.
+
+Field names mirror the reference's declared plan schema exactly
+(reference: etl_agent/templates.py:1-10 PLAN_SCHEMA_HINT, plan.yaml:1-50,
+prompt.txt:1-91) so existing plans run unmodified:
+
+  limits:    {max_input_bytes}
+  source:    {kind: api|csv|json|db|auto, csv:{path | paths{sales,features,stores}},
+              json:{path, json_path}, api:{url, params, json_path},
+              db:{conn_str, query}}
+  transform: {sql} | {steps: [{name, sql}]}
+  load:      {to: csv|postgres, file_path, include_header,
+              conn_str, table, mode: append|replace|upsert, key_cols}
+  checks:    {min_rows, nonnull_cols, freshness_minutes, timestamp_col}
+  verify:    {min_rows, nonnull_cols, ts_col, max_lag_minutes}
+  alerts:    {on_fail, on_dq_fail, webhook_url}
+  schedule:  {cron}
+
+Everything is optional-with-defaults exactly where the reference defaults
+(min_rows=1, max_lag_minutes=180, mode=append, include_header=True,
+max_input_bytes=1e9).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+DEFAULT_MAX_INPUT_BYTES = 1_000_000_000
+DEFAULT_MAX_LAG_MINUTES = 180
+
+
+@dataclass
+class CsvSource:
+    path: str | None = None
+    paths: dict[str, str] | None = None  # named multi-file source
+
+
+@dataclass
+class JsonSource:
+    path: str = ""
+    json_path: str = ""
+
+
+@dataclass
+class ApiSource:
+    url: str = ""
+    params: dict[str, Any] = field(default_factory=dict)
+    json_path: str = ""
+
+
+@dataclass
+class DbSource:
+    conn_str: str = ""
+    query: str = ""
+
+
+@dataclass
+class Source:
+    kind: str = "auto"
+    csv: CsvSource | None = None
+    json: JsonSource | None = None
+    api: ApiSource | None = None
+    db: DbSource | None = None
+
+
+@dataclass
+class TransformStep:
+    name: str
+    sql: str
+
+
+@dataclass
+class Transform:
+    sql: str | None = None
+    steps: list[TransformStep] = field(default_factory=list)
+
+
+@dataclass
+class Load:
+    to: str = "postgres"
+    file_path: str | None = None
+    include_header: bool = True
+    conn_str: str | None = None
+    table: str | None = None
+    mode: str = "append"
+    key_cols: list[str] = field(default_factory=list)
+
+
+@dataclass
+class Checks:
+    min_rows: int = 1
+    nonnull_cols: list[str] = field(default_factory=list)
+    freshness_minutes: int | None = None
+    timestamp_col: str = ""
+
+
+@dataclass
+class Verify:
+    min_rows: int | None = None  # falls back to checks.min_rows
+    nonnull_cols: list[str] | None = None  # falls back to checks.nonnull_cols
+    ts_col: str = ""
+    max_lag_minutes: int = DEFAULT_MAX_LAG_MINUTES
+
+
+@dataclass
+class Plan:
+    source: Source
+    transform: Transform
+    load: Load
+    checks: Checks = field(default_factory=Checks)
+    verify: Verify = field(default_factory=Verify)
+    alerts: dict[str, str] = field(default_factory=dict)
+    limits: dict[str, Any] = field(default_factory=dict)
+    schedule: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def max_input_bytes(self) -> int:
+        return int(self.limits.get("max_input_bytes", DEFAULT_MAX_INPUT_BYTES))
+
+
+def _get(d: Any, key: str, default: Any = None) -> Any:
+    return d.get(key, default) if isinstance(d, dict) else default
+
+
+def plan_from_dict(doc: dict[str, Any]) -> Plan:
+    """Build a typed Plan from a parsed YAML mapping, tolerating missing
+    sections the way the reference executor does."""
+    src_d = doc.get("source", {}) or {}
+    source = Source(
+        kind=str(_get(src_d, "kind", "auto")),
+        csv=CsvSource(
+            path=_get(_get(src_d, "csv", {}), "path"),
+            paths=_get(_get(src_d, "csv", {}), "paths"),
+        )
+        if "csv" in src_d
+        else None,
+        json=JsonSource(
+            path=_get(_get(src_d, "json", {}), "path", ""),
+            json_path=_get(_get(src_d, "json", {}), "json_path", ""),
+        )
+        if "json" in src_d
+        else None,
+        api=ApiSource(
+            url=_get(_get(src_d, "api", {}), "url", ""),
+            params=_get(_get(src_d, "api", {}), "params", {}) or {},
+            json_path=_get(_get(src_d, "api", {}), "json_path", ""),
+        )
+        if "api" in src_d
+        else None,
+        db=DbSource(
+            conn_str=_get(_get(src_d, "db", {}), "conn_str", ""),
+            query=_get(_get(src_d, "db", {}), "query", ""),
+        )
+        if "db" in src_d
+        else None,
+    )
+
+    tr_d = doc.get("transform", {}) or {}
+    steps = [
+        TransformStep(name=st["name"], sql=st["sql"]) for st in (tr_d.get("steps") or [])
+    ]
+    transform = Transform(sql=tr_d.get("sql"), steps=steps)
+
+    ld_d = doc.get("load", {}) or {}
+    load = Load(
+        to=str(ld_d.get("to", "postgres")),
+        file_path=ld_d.get("file_path"),
+        include_header=bool(ld_d.get("include_header", True)),
+        conn_str=ld_d.get("conn_str"),
+        table=ld_d.get("table"),
+        mode=str(ld_d.get("mode", "append")),
+        key_cols=list(ld_d.get("key_cols") or []),
+    )
+
+    ck_d = doc.get("checks", {}) or {}
+    checks = Checks(
+        min_rows=int(ck_d.get("min_rows", 1)),
+        nonnull_cols=list(ck_d.get("nonnull_cols") or []),
+        freshness_minutes=ck_d.get("freshness_minutes"),
+        timestamp_col=str(ck_d.get("timestamp_col", "")),
+    )
+
+    vf_d = doc.get("verify", {}) or {}
+    verify = Verify(
+        min_rows=vf_d.get("min_rows"),
+        nonnull_cols=vf_d.get("nonnull_cols"),
+        ts_col=str(vf_d.get("ts_col", "")),
+        max_lag_minutes=int(vf_d.get("max_lag_minutes", DEFAULT_MAX_LAG_MINUTES)),
+    )
+
+    return Plan(
+        source=source,
+        transform=transform,
+        load=load,
+        checks=checks,
+        verify=verify,
+        alerts=doc.get("alerts", {}) or {},
+        limits=doc.get("limits", {}) or {},
+        schedule=doc.get("schedule", {}) or {},
+    )

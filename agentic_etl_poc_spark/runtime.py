@@ -1,0 +1,194 @@
+"""Plan runtime: the end-to-end pipeline lifecycle (SURVEY §3 EP1).
+
+extract → transform → DQ gate → load → verify gate → result JSON, with the
+reference's exact control flow and result shapes:
+
+- DQ fail → alert → ``{"status": "failed", "dq": {...}}`` (no load).
+- verify fail → alert → ``{"status": "failed", "verify": {...}}``.
+- success → ``{"status": "ok", "dq", "message", "verify"}``.
+  (reference: etl_agent/templates.py:123-170)
+
+Spark-native twists:
+- the transform chain stays lazy; the FIRST action is the DQ aggregate.
+- the output frame is persisted (memory-and-disk) across the DQ action and
+  the sink write, so the pipeline computes the transform once, not twice.
+- alert/status hooks are injectable callables; defaults print like the
+  reference (``ALERT to {channel}: {message}`` / ``STATUS[{step}]:``,
+  reference: tools.py:267-277).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from agentic_etl_poc_spark.operators.quality import dq_check
+from agentic_etl_poc_spark.operators.transform import run_single_sql, run_steps
+from agentic_etl_poc_spark.operators.verify import verify_csv, verify_table
+from agentic_etl_poc_spark.plans.model import Plan
+from agentic_etl_poc_spark.plans.parser import infer_kind, parse_plan
+from agentic_etl_poc_spark.sinks.csv_sink import write_csv
+from agentic_etl_poc_spark.sinks.jdbc_sink import load_to_postgres
+from agentic_etl_poc_spark.sources.csv_source import read_csv, read_csv_triplet
+from agentic_etl_poc_spark.sources.json_source import read_json
+
+
+def default_send_alert(channel: str, message: str) -> str:
+    # stderr: stdout is reserved for the result JSON (CLI contract)
+    print(f"ALERT to {channel}: {message}", file=__import__("sys").stderr)
+    return "sent"
+
+
+def default_report_status(step: str, detail: str) -> str:
+    print(f"STATUS[{step}]: {detail}", file=__import__("sys").stderr)
+    return "ok"
+
+
+def extract(spark: SparkSession, plan: Plan) -> DataFrame | None:
+    """Extract stage: load source(s) and register temp views.  Named
+    multi-CSV sources register one view per name; single sources register
+    ``input_df`` (the name the reference's transform SQL expects)."""
+    src = plan.source
+    kind = infer_kind(src)
+    max_bytes = plan.max_input_bytes
+
+    if kind == "csv":
+        csvspec = src.csv
+        if csvspec is None:
+            raise ValueError("CSV source requires a source.csv section")
+        if csvspec.paths:
+            frames = read_csv_triplet(spark, csvspec.paths, max_bytes=max_bytes)
+            for name, df in frames.items():
+                df.createOrReplaceTempView(name)
+            return None  # multi-table: transform SQL names the views
+        if csvspec.path:
+            df = read_csv(spark, csvspec.path, max_bytes=max_bytes)
+        else:
+            raise ValueError(
+                "CSV source requires either csv.path or csv.paths{...}"
+            )
+    elif kind == "json":
+        df = read_json(spark, src.json.path, src.json.json_path, max_bytes=max_bytes)
+    elif kind == "db":
+        from agentic_etl_poc_spark.sources.jdbc_source import fetch_db
+
+        df = fetch_db(spark, src.db.conn_str, src.db.query)
+    elif kind == "api":
+        from agentic_etl_poc_spark.sources.api_source import fetch_api
+
+        df = fetch_api(spark, src.api.url, src.api.params, src.api.json_path)
+    else:
+        raise ValueError(f"unknown source kind: {kind!r}")
+
+    df.createOrReplaceTempView("input_df")
+    return df
+
+
+def run_from_plan(
+    spark: SparkSession,
+    plan_or_text: Plan | str,
+    send_alert: Callable[[str, str], str] = default_send_alert,
+    report_status: Callable[[str, str], str] = default_report_status,
+) -> dict:
+    from agentic_etl_poc_spark.session import ensure_semantics
+
+    ensure_semantics(spark)
+    plan = (
+        plan_or_text if isinstance(plan_or_text, Plan) else parse_plan(plan_or_text)
+    )
+    alerts = plan.alerts
+
+    # 1) extract
+    extract(spark, plan)
+
+    # 2) transform (lazy)
+    if plan.transform.steps:
+        out = run_steps(spark, plan.transform.steps)
+    elif plan.transform.sql:
+        out = run_single_sql(spark, plan.transform.sql)
+    else:
+        raise ValueError(
+            "Provide transform.steps[...].sql (preferred) or transform.sql."
+        )
+
+    # Persist across the DQ action and the sink write — one compute, two uses.
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # 3) DQ gate (first action)
+        cks = plan.checks
+        dq = dq_check(
+            out,
+            min_rows=cks.min_rows,
+            nonnull_cols=cks.nonnull_cols,
+            freshness_minutes=cks.freshness_minutes,
+            timestamp_col=cks.timestamp_col,
+        )
+        if not dq["status"]:
+            if alerts:
+                send_alert(
+                    alerts.get("on_fail", ""), f"DQ failed: {json.dumps(dq)}"
+                )
+            return {"status": "failed", "dq": dq}
+
+        # 4) load
+        ld = plan.load
+        if ld.to == "csv":
+            if not ld.file_path:
+                raise ValueError("csv load requires load.file_path")
+            msg = write_csv(
+                out, ld.file_path, include_header=ld.include_header,
+                row_count=dq["rows"],
+            )
+        else:
+            msg = load_to_postgres(
+                out, ld.conn_str, ld.table, mode=ld.mode,
+                key_cols=ld.key_cols, row_count=dq["rows"],
+            )
+    finally:
+        out.unpersist()
+
+    # 5) verify gate (re-reads the artifact)
+    vf = plan.verify
+    if ld.to == "csv":
+        ver = verify_csv(
+            spark,
+            ld.file_path,
+            min_rows=vf.min_rows if vf.min_rows is not None else plan.checks.min_rows,
+            nonnull_cols=(
+                vf.nonnull_cols
+                if vf.nonnull_cols is not None
+                else plan.checks.nonnull_cols
+            ),
+            timestamp_col=vf.ts_col,
+            max_lag_minutes=vf.max_lag_minutes,
+        )
+    else:
+        ver = verify_table(
+            spark, ld.conn_str, ld.table,
+            ts_col=vf.ts_col, max_lag_minutes=vf.max_lag_minutes,
+        )
+    if not ver.get("status", False):
+        if alerts:
+            send_alert(
+                alerts.get("on_fail", ""), f"Verify failed: {json.dumps(ver)}"
+            )
+        return {"status": "failed", "verify": ver}
+
+    report_status("load", msg)
+    return {"status": "ok", "dq": dq, "message": msg, "verify": ver}
+
+
+def run_prompt(spark: SparkSession, text: str) -> dict:
+    """Prompt entry: YAML-looking text runs offline; NL prompts would need
+    the (optional, out-of-scope) LLM planner adapter."""
+    from agentic_etl_poc_spark.plans.parser import looks_like_plan
+
+    if not looks_like_plan(text):
+        raise ValueError(
+            "prompt is not a YAML plan; NL planning requires an LLM adapter "
+            "(set ETL_AGENT_OFFLINE=1 and pass a YAML plan)"
+        )
+    return run_from_plan(spark, text)

@@ -1,0 +1,92 @@
+"""JDBC sink: append / replace / upsert.
+
+append and replace map directly onto Spark's JDBC writer.  upsert is the
+one genuinely custom writer in the whole engine (SURVEY §7): the reference
+stages to ``{table}_stg`` then merges with
+``INSERT ... ON CONFLICT (keys) DO UPDATE`` in one transaction
+(reference: etl_agent/tools.py:83-96).  We reproduce that shape:
+
+1. distributed stage write: ``df.write.jdbc(stage, overwrite)`` — the data
+   plane stays parallel (N executor connections),
+2. driver-side transactional merge: one ``INSERT ... SELECT ... ON
+   CONFLICT DO UPDATE`` running entirely inside the sink DB — no data
+   moves through the driver.
+
+That split is exactly how you'd do it against Postgres at scale; with a
+lakehouse sink (Delta/Iceberg) the merge would be ``MERGE INTO`` instead.
+
+DB driver libraries aren't bundled here; calls raise a clear error when
+the JDBC driver / DB client is missing (import-gated, per environment
+constraints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from agentic_etl_poc_spark.sources.jdbc_source import to_jdbc_url
+
+
+def _jdbc_writer(df: DataFrame, conn_str: str, table: str, mode: str):
+    url, props = to_jdbc_url(conn_str)
+    writer = (
+        df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    )
+    for k, v in props.items():
+        writer = writer.option(k, v)
+    return writer
+
+
+def load_to_postgres(
+    df: DataFrame,
+    conn_str: str,
+    table: str,
+    mode: str = "append",
+    key_cols: list[str] | None = None,
+    row_count: int | None = None,
+) -> str:
+    if row_count is None:
+        row_count = df.count()
+    if mode == "append":
+        _jdbc_writer(df, conn_str, table, "append").save()
+    elif mode == "replace":
+        _jdbc_writer(df, conn_str, table, "overwrite").save()
+    elif mode == "upsert":
+        if not key_cols:
+            raise ValueError("upsert mode requires key_cols")
+        stage = f"{table}_stg"
+        _jdbc_writer(df, conn_str, stage, "overwrite").save()
+        _merge_on_conflict(conn_str, table, stage, key_cols, df.columns)
+    else:
+        raise ValueError(f"unknown load mode: {mode!r}")
+    return f"loaded {row_count:,} rows into {table} ({mode})"
+
+
+def _merge_on_conflict(
+    conn_str: str, table: str, stage: str, key_cols: list[str], columns: list[str]
+) -> None:
+    """Driver-side transactional merge from stage into target."""
+    non_keys = [c for c in columns if c not in key_cols]
+    col_list = ", ".join(columns)
+    key_list = ", ".join(key_cols)
+    set_list = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys) or (
+        f"{key_cols[0]} = EXCLUDED.{key_cols[0]}"
+    )
+    ddl = (
+        f"CREATE TABLE IF NOT EXISTS {table} AS "
+        f"SELECT * FROM {stage} WHERE 1=0"
+    )
+    merge = (
+        f"INSERT INTO {table} ({col_list}) SELECT {col_list} FROM {stage} "
+        f"ON CONFLICT ({key_list}) DO UPDATE SET {set_list}"
+    )
+    try:
+        import sqlalchemy
+    except ImportError as e:
+        raise RuntimeError(
+            "upsert merge requires the 'sqlalchemy' package and a DB driver"
+        ) from e
+    engine = sqlalchemy.create_engine(conn_str)
+    with engine.begin() as conn:  # one transaction: DDL + merge
+        conn.exec_driver_sql(ddl)
+        conn.exec_driver_sql(merge)

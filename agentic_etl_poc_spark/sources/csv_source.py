@@ -1,0 +1,65 @@
+"""CSV source.
+
+Parity notes (SURVEY §1.3, §2.1):
+- header row + schema inference, like ``pd.read_csv`` (reference:
+  etl_agent/ops.py:25).
+- ``nullValue="NA"``: pandas treats the literal string ``NA`` as null by
+  default; Spark does NOT — must be set explicitly for parity with the
+  reference's fixtures (Features_dataset.csv MarkDown1..5).
+- driver-side size guard before read (reference: etl_agent/ops.py:23-24,
+  templates.py:66-70): a *declared* limit of the plan language.  At the
+  100 TB design ceiling the guard is a soft admission-control config —
+  checked per-file on the driver, never by scanning data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def check_size(path: str, max_bytes: int | None) -> None:
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    if max_bytes is not None and os.path.getsize(path) > max_bytes:
+        raise ValueError(f"input too large: {os.path.getsize(path)} > {max_bytes}")
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    max_bytes: int | None = 1_000_000_000,
+    delimiter: str = ",",
+    header: bool = True,
+    infer_schema: bool = True,
+) -> DataFrame:
+    check_size(path, max_bytes)
+    return (
+        spark.read.option("header", header)
+        .option("inferSchema", infer_schema)
+        .option("nullValue", "NA")
+        .option("sep", delimiter)
+        .csv(path)
+    )
+
+
+def read_csv_triplet(
+    spark: SparkSession,
+    paths: dict[str, str],
+    max_bytes: int | None = 1_000_000_000,
+    required: tuple[str, ...] = ("sales", "features", "stores"),
+) -> dict[str, DataFrame]:
+    """Multi-file named CSV source with a COMBINED size cap; each frame is
+    registered as a temp view under its name by the caller (reference:
+    etl_agent/templates.py:59-82)."""
+    if not set(required).issubset(paths.keys()):
+        raise ValueError(
+            f"csv.paths must include keys: {', '.join(required)}"
+        )
+    for name in paths:
+        check_size(paths[name], None)
+    total = sum(os.path.getsize(p) for p in paths.values())
+    if max_bytes is not None and total > max_bytes:
+        raise ValueError(f"input too large: {total} bytes > {max_bytes}")
+    return {name: read_csv(spark, p, max_bytes=None) for name, p in paths.items()}

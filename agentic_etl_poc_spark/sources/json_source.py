@@ -1,0 +1,95 @@
+"""JSON source with a SAFE row selector and struct flattening.
+
+The reference evaluates the row selector with ``eval()`` (reference:
+etl_agent/tools.py:39,47 — e.g. ``"data['products']"``), a code-injection
+hole.  We accept the same selector strings but parse them into a path and
+navigate declaratively — no eval (SURVEY §7 step 3 calls this out).
+
+Selector grammar accepted (superset of what shipped plans use):
+- ``data['products']`` / ``data["products"]["items"]``  (the tools.py style)
+- ``$.records`` / ``$.data.products``                    (plan.yaml jsonpath style)
+- ``records`` / ``data.products``                        (bare dotted)
+
+Semantics: navigate into the document; if the target is an array, explode
+to rows; flatten nested structs to dotted column names like
+``pd.json_normalize`` does (reference: tools.py:40,48).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StructType
+
+_BRACKET_RE = re.compile(r"\[\s*['\"]([^'\"]+)['\"]\s*\]")
+
+
+def parse_selector(selector: str) -> list[str]:
+    """Selector string → path segments.  Empty selector → []."""
+    s = (selector or "").strip()
+    if not s:
+        return []
+    if "[" in s:  # data['products'] style: leading identifier is the root doc
+        segs = _BRACKET_RE.findall(s)
+        if not segs:
+            raise ValueError(f"cannot parse selector: {selector!r}")
+        return segs
+    if s.startswith("$."):
+        s = s[2:]
+    elif s.startswith("$"):
+        s = s[1:]
+    return [seg for seg in s.split(".") if seg]
+
+
+def _flatten(df: DataFrame) -> DataFrame:
+    """Flatten struct columns to dotted names, recursively (json_normalize
+    parity: nested objects become ``a.b`` columns)."""
+    while True:
+        struct_cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, StructType)
+        ]
+        if not struct_cols:
+            return df
+        cols = []
+        for f in df.schema.fields:
+            if isinstance(f.dataType, StructType):
+                for sub in f.dataType.fields:
+                    cols.append(
+                        F.col(f"`{f.name}`.`{sub.name}`").alias(f"{f.name}.{sub.name}")
+                    )
+            else:
+                cols.append(F.col(f"`{f.name}`"))
+        df = df.select(cols)
+
+
+def select_rows(df: DataFrame, selector: str) -> DataFrame:
+    """Navigate a document DataFrame down ``selector`` and explode arrays."""
+    for seg in parse_selector(selector):
+        field = dict((f.name, f.dataType) for f in df.schema.fields).get(seg)
+        if field is None:
+            raise ValueError(f"selector segment {seg!r} not found in {df.columns}")
+        if isinstance(field, ArrayType):
+            df = df.select(F.explode(F.col(f"`{seg}`")).alias(seg))
+        else:
+            df = df.select(F.col(f"`{seg}`").alias(seg))
+        if isinstance(df.schema.fields[0].dataType, StructType):
+            df = df.select(F.col(f"`{seg}`.*"))
+    return _flatten(df)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    json_path: str = "",
+    max_bytes: int | None = 1_000_000_000,
+) -> DataFrame:
+    """Read a JSON document (.json → multiLine) or NDJSON (.ndjson → lines)
+    and apply the row selector + flattening."""
+    from agentic_etl_poc_spark.sources.csv_source import check_size
+
+    check_size(path, max_bytes)
+    multiline = not path.lower().endswith(".ndjson")
+    df = spark.read.option("multiLine", multiline).json(path)
+    return select_rows(df, json_path)

@@ -1,0 +1,275 @@
+"""End-to-end plan pipeline tests on a synthesized retail triplet.
+
+The fixture mirrors the reference's canonical input shape (FIXTURES.md §1):
+sales/features/stores CSVs with NA-nulls, mixed date formats (including
+unparseable), booleans as TRUE/FALSE strings.  The transform exercises the
+full demonstrated SQL surface (SURVEY §2.3) and the result is compared
+differentially against DuckDB running the SAME plan SQL on the same files.
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime as dt
+import json
+import os
+import random
+
+import duckdb
+import pytest
+
+from agentic_etl_poc_spark.runtime import run_from_plan
+
+N_STORES = 5
+N_DEPTS = 3
+N_WEEKS = 30
+
+
+@pytest.fixture(scope="module")
+def triplet_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("retail")
+    rng = random.Random(42)
+    base = dt.date(2011, 1, 7)
+
+    with open(root / "sales.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Store", "Dept", "Date", "Weekly_Sales", "IsHoliday"])
+        for s in range(1, N_STORES + 1):
+            for d in range(1, N_DEPTS + 1):
+                for k in range(N_WEEKS):
+                    date = base + dt.timedelta(weeks=k)
+                    # mixed formats + some unparseable + some NA sales
+                    if k % 7 == 3:
+                        ds = date.isoformat()
+                    elif k % 11 == 5:
+                        ds = "bogus-date"
+                    else:
+                        ds = date.strftime("%m/%d/%Y")
+                    sales = "NA" if k % 13 == 7 else f"{rng.uniform(100, 9999):.2f}"
+                    w.writerow([s, d, ds, sales, "TRUE" if k % 5 == 0 else "FALSE"])
+
+    with open(root / "features.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Store", "Date", "Temperature", "Fuel_Price", "CPI",
+                    "Unemployment", "IsHoliday"])
+        for s in range(1, N_STORES + 1):
+            for k in range(N_WEEKS):
+                date = base + dt.timedelta(weeks=k)
+                temp = "NA" if k % 9 == 4 else f"{rng.uniform(-5, 40):.2f}"
+                w.writerow([s, date.strftime("%m/%d/%Y"), temp,
+                            f"{rng.uniform(2, 5):.3f}", f"{rng.uniform(120, 230):.4f}",
+                            f"{rng.uniform(3, 12):.3f}",
+                            "TRUE" if k % 5 == 0 else "FALSE"])
+
+    with open(root / "stores.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Store", "Type", "Size"])
+        for s in range(1, N_STORES + 1):
+            w.writerow([s, "ABC"[s % 3], 50000 + 25000 * s])
+
+    return str(root)
+
+
+# Written fresh for this engine: exercises the same construct set as the
+# reference's canonical query (casts, COALESCE, try_strptime fallback,
+# DATE_TRUNC week, two LEFT JOINs incl. cast-in-key, GROUP BY, conditional
+# SUM, ORDER BY) without copying its text.
+TRANSFORM_SQL = """
+WITH sales_clean AS (
+  SELECT CAST(Store AS INT) AS store_id,
+         CAST(Dept AS INT) AS dept_id,
+         COALESCE(CAST(Weekly_Sales AS DOUBLE), 0.0) AS wk_sales,
+         CAST(IsHoliday AS BOOLEAN) AS is_holiday,
+         CAST(COALESCE(try_strptime(CAST(Date AS VARCHAR), '%m/%d/%Y'),
+                       try_strptime(CAST(Date AS VARCHAR), '%Y-%m-%d')) AS DATE) AS sale_date
+  FROM sales
+), feat_clean AS (
+  SELECT CAST(Store AS INT) AS store_id,
+         CAST(COALESCE(try_strptime(CAST(Date AS VARCHAR), '%m/%d/%Y'),
+                       try_strptime(CAST(Date AS VARCHAR), '%Y-%m-%d')) AS DATE) AS feat_date,
+         CAST(Temperature AS DOUBLE) AS temperature,
+         CAST(Fuel_Price AS DOUBLE) AS fuel_price
+  FROM features
+)
+SELECT s.store_id, s.dept_id,
+       DATE_TRUNC('week', s.sale_date) AS week,
+       SUM(s.wk_sales) AS weekly_sales,
+       SUM(CASE WHEN s.is_holiday THEN s.wk_sales ELSE 0 END) AS holiday_sales,
+       AVG(f.temperature) AS avg_temp,
+       AVG(f.fuel_price) AS avg_fuel,
+       st.Type AS store_type,
+       CAST(st.Size AS BIGINT) AS store_size
+FROM sales_clean s
+LEFT JOIN feat_clean f
+  ON s.store_id = f.store_id AND s.sale_date = f.feat_date
+LEFT JOIN stores st
+  ON s.store_id = CAST(st.Store AS INT)
+GROUP BY s.store_id, s.dept_id, week, st.Type, store_size
+ORDER BY s.store_id, s.dept_id, week
+"""
+
+
+def _plan(triplet_dir: str, out_path: str, min_rows: int = 10) -> str:
+    return f"""
+limits:
+  max_input_bytes: 1073741824
+source:
+  kind: csv
+  csv:
+    paths:
+      sales: {triplet_dir}/sales.csv
+      features: {triplet_dir}/features.csv
+      stores: {triplet_dir}/stores.csv
+transform:
+  sql: |
+{_indent(TRANSFORM_SQL, 4)}
+load:
+  to: csv
+  file_path: {out_path}
+  include_header: true
+checks:
+  min_rows: {min_rows}
+  nonnull_cols: [store_id, dept_id, weekly_sales]
+verify:
+  min_rows: {min_rows}
+  nonnull_cols: [store_id, dept_id, weekly_sales]
+alerts:
+  on_fail: "slack://#data-alerts"
+"""
+
+
+def _indent(s: str, n: int) -> str:
+    pad = " " * n
+    return "\n".join(pad + line for line in s.strip().splitlines())
+
+
+def test_e2e_canonical_pipeline(spark, triplet_dir, tmp_path):
+    out_path = str(tmp_path / "out.csv")
+    result = run_from_plan(spark, _plan(triplet_dir, out_path))
+    assert result["status"] == "ok", json.dumps(result)
+    assert os.path.isfile(out_path)
+    assert result["dq"]["rows"] >= 10
+    assert result["verify"]["status"] is True
+
+    # Differential oracle: DuckDB runs the same plan SQL over the same CSVs.
+    con = duckdb.connect()
+    for name in ("sales", "features", "stores"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_csv_auto('{triplet_dir}/{name}.csv', nullstr='NA')"
+        )
+    oracle = con.execute(TRANSFORM_SQL).fetchall()
+
+    import pandas as pd
+
+    got = pd.read_csv(out_path)
+    assert len(got) == len(oracle)
+    # spot-check the grand totals agree to float tolerance
+    oracle_total = sum(r[3] for r in oracle)
+    assert abs(got["weekly_sales"].sum() - oracle_total) < 1e-6
+    # week column survives as ISO date strings (DATE_TRUNC AS DATE shim)
+    assert got["week"].str.match(r"\d{4}-\d{2}-\d{2}$").all()
+
+
+def test_e2e_dq_gate_fails_before_load(spark, triplet_dir, tmp_path):
+    out_path = str(tmp_path / "never_written.csv")
+    alerts = []
+    result = run_from_plan(
+        spark,
+        _plan(triplet_dir, out_path, min_rows=10_000_000),
+        send_alert=lambda ch, msg: alerts.append((ch, msg)) or "sent",
+    )
+    assert result["status"] == "failed"
+    assert "min_rows check failed" in result["dq"]["error"]
+    assert not os.path.exists(out_path)  # aborted BEFORE load
+    assert alerts and alerts[0][0] == "slack://#data-alerts"
+
+
+def test_e2e_multi_step_transform(spark, triplet_dir, tmp_path):
+    out_path = str(tmp_path / "steps_out.csv")
+    plan = f"""
+source:
+  kind: csv
+  csv:
+    paths:
+      sales: {triplet_dir}/sales.csv
+      features: {triplet_dir}/features.csv
+      stores: {triplet_dir}/stores.csv
+transform:
+  steps:
+    - name: cleaned
+      sql: |
+        SELECT CAST(Store AS INT) AS store_id,
+               COALESCE(CAST(Weekly_Sales AS DOUBLE), 0.0) AS wk_sales
+        FROM sales
+    - name: totals
+      sql: |
+        SELECT store_id, SUM(wk_sales) AS total_sales, COUNT(*) AS n
+        FROM cleaned GROUP BY store_id ORDER BY store_id
+load:
+  to: csv
+  file_path: {out_path}
+checks:
+  min_rows: 1
+  nonnull_cols: [store_id, total_sales]
+"""
+    result = run_from_plan(spark, plan)
+    assert result["status"] == "ok", json.dumps(result)
+    import pandas as pd
+
+    got = pd.read_csv(out_path)
+    assert list(got.columns) == ["store_id", "total_sales", "n"]
+    assert len(got) == N_STORES
+
+
+def test_python_udf_expression(spark):
+    from agentic_etl_poc_spark.operators.transform import python_udf
+
+    df = spark.createDataFrame([(1, 2.0), (3, 4.0)], "a int, b double")
+    out = python_udf(df, "a * b + 1", "c")
+    assert [r["c"] for r in out.orderBy("a").collect()] == [3.0, 13.0]
+
+
+def test_json_source_roundtrip(spark, tmp_path):
+    # selector grammar: in `data['products']`, `data` IS the document root
+    # (reference binds the loaded doc to a variable named `data`)
+    doc = {
+        "products": [
+            {"sku": 1234567, "name": "w1", "salePrice": 499.99,
+             "manufacturer": {"name": "acme"}},
+            {"sku": 7654321, "name": "w2", "salePrice": 9.5,
+             "manufacturer": {"name": "zenith"}},
+        ]
+    }
+    p = tmp_path / "products.json"
+    p.write_text(json.dumps(doc))
+    from agentic_etl_poc_spark.sources.json_source import read_json
+
+    df = read_json(spark, str(p), "data['products']")
+    rows = {r["sku"]: r for r in df.collect()}
+    assert set(rows) == {1234567, 7654321}
+    # nested object flattened to dotted column, json_normalize-style
+    assert "manufacturer.name" in df.columns
+    assert rows[1234567]["manufacturer.name"] == "acme"
+
+
+def test_verify_csv_missing_file(spark):
+    from agentic_etl_poc_spark.operators.verify import verify_csv
+
+    res = verify_csv(spark, "/tmp/definitely_missing_xyz.csv")
+    assert res["status"] is False
+    assert "file_not_found" in res["error"]
+
+
+def test_run_ledger(tmp_path):
+    from agentic_etl_poc_spark.memory import RunLedger
+
+    led = RunLedger(str(tmp_path / "runs.db"))
+    rid = led.start_run("prompt text", "plan: yaml")
+    led.finish_run(rid, {"status": "ok", "dq": {"rows": 42}})
+    runs = led.runs()
+    assert runs[0]["run_id"] == rid
+    assert runs[0]["status"] == "ok"
+    assert runs[0]["rows_written"] == 42
+    led.set_state("watermark", {"ts": "2026-01-01"})
+    assert led.get_state("watermark") == {"ts": "2026-01-01"}
