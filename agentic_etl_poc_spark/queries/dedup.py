@@ -1,1 +1,473 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication battery — LLM-training-data operators at 100 TB design.
+
+Five dedup families over ``documents`` (plus embedding near-dup over
+``embeddings``), each expressed as idiomatic distributed DataFrame plans
+with a matching DuckDB oracle:
+
+- exact (hash-groupBy), normalized fingerprint (md5 of canonical text),
+- n-gram Jaccard with document-frequency pruning (the classic
+  candidate-generation trick: frequent shingles are dropped BEFORE the
+  self-join, which is what keeps the join from exploding at corpus scale),
+- MinHash + LSH banding (signature → band buckets → candidate pairs →
+  exact-Jaccard verification — only candidates are verified),
+- SimHash with banded candidate generation (4x12-bit bands guarantee every
+  pair within Hamming distance 3 shares a band — pigeonhole),
+- embedding cosine near-dup with label blocking.
+
+The synthetic corpus has no natural duplicates, so each query injects
+deterministic near-dups (a truncated copy of every 10th doc, id+1000000) —
+the SAME construction in Spark and in the oracle, so results must agree.
+
+Cross-engine hash/fold primitives: functions/hashing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agentic_etl_poc_spark.functions.hashing import (
+    MERSENNE_P,
+    MINHASH_PERMS,
+    MINHASH_ROWS_PER_BAND,
+    cosine,
+    duck_cosine,
+    duck_md5_48,
+    md5_48,
+)
+from agentic_etl_poc_spark.io_tables import table
+from agentic_etl_poc_spark.queries.core import register
+
+EMB_DIM = 64
+
+# -- shared corpus-with-injected-near-dups construction -----------------
+
+DUCK_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         substr(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+# Word-bigram shingles: the unit for MinHash/SimHash/Jaccard.  Unigrams are
+# useless on a small shared vocabulary (every doc contains most words →
+# all-pairs similarity ~1); bigrams give a |V|^2-sized shingle space.
+DUCK_GRAMS = """
+grams AS (
+  SELECT DISTINCT doc_id, gram
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' '))),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i + 1])) AS gram
+    FROM corpus
+  )
+)"""
+
+
+def spark_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) * 0.8) as int))"
+        ).alias("text"),
+    )
+    return d.unionByName(mutated)
+
+
+def spark_grams(corpus: DataFrame) -> DataFrame:
+    """Distinct word-bigram shingles per doc, built array-side (no window,
+    no shuffle) — mirrors DUCK_GRAMS exactly."""
+    words = F.split(F.col("text"), " ")
+    grams_arr = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return corpus.select("doc_id", F.explode(grams_arr).alias("gram")).distinct()
+
+
+# ----------------------------------------------------------------------
+
+
+@register(
+    "d01_dedup_exact",
+    oracle=f"""
+WITH {DUCK_CORPUS}
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM corpus
+GROUP BY md5(text)
+ORDER BY text_hash
+""",
+    description="Exact dedup via hash-groupBy: one keeper (min id) per "
+    "distinct text.  Shuffles once on the text hash; at 100 TB the md5 key "
+    "(16 bytes) shuffles instead of the document bodies.",
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark_corpus(spark, sf_dir)
+    return (
+        c.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+@register(
+    "d02_dedup_fingerprint",
+    oracle=f"""
+WITH {DUCK_CORPUS},
+norm AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g')) AS fp
+  FROM corpus
+)
+SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM norm
+GROUP BY fp
+HAVING COUNT(*) >= 1
+ORDER BY fp
+""",
+    description="Canonicalized-fingerprint dedup: lower/trim/strip-punct "
+    "then md5 — catches case/punctuation variants exact dedup misses.",
+)
+def d02_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark_corpus(spark, sf_dir)
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""))
+    return (
+        c.groupBy(fp.alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("fp")
+    )
+
+
+@register(
+    "d03_ngram_jaccard",
+    oracle=f"""
+WITH {DUCK_CORPUS},
+{DUCK_GRAMS},
+df AS (SELECT gram, COUNT(*) AS doc_freq FROM grams GROUP BY gram),
+rare AS (
+  SELECT g.doc_id, g.gram FROM grams g JOIN df ON g.gram = df.gram
+  WHERE df.doc_freq <= 20
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY doc_id),
+pair_counts AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.id1, p.id2, p.shared,
+       CAST(p.shared AS DOUBLE) / (s1.sz + s2.sz - p.shared) AS jaccard
+FROM pair_counts p
+JOIN sizes s1 ON p.id1 = s1.doc_id
+JOIN sizes s2 ON p.id2 = s2.doc_id
+WHERE CAST(p.shared AS DOUBLE) / (s1.sz + s2.sz - p.shared) >= 0.3
+ORDER BY id1, id2
+""",
+    description="Word-bigram Jaccard near-dup with document-frequency "
+    "pruning (shingles in >20 docs dropped before the self-join — bounds "
+    "the candidate explosion that kills naive all-pairs at scale).",
+)
+def d03_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark_corpus(spark, sf_dir)
+    grams = spark_grams(c)
+    df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    rare = grams.join(
+        df_counts.filter(F.col("doc_freq") <= 20).select("gram"), "gram"
+    )
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("shared").cast("double") / (
+        F.col("s1.sz") + F.col("s2.sz") - F.col("shared")
+    )
+    return (
+        pairs.join(s1, F.col("id1") == F.col("s1.doc_id"))
+        .join(s2, F.col("id2") == F.col("s2.doc_id"))
+        .select("id1", "id2", "shared", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+        .orderBy("id1", "id2")
+    )
+
+
+def _duck_perms_values() -> str:
+    return ", ".join(f"({i}, {a}, {b})" for i, a, b in MINHASH_PERMS)
+
+
+@register(
+    "d04_minhash_lsh",
+    oracle=f"""
+WITH {DUCK_CORPUS},
+{DUCK_GRAMS},
+hashes AS (
+  SELECT doc_id, {duck_md5_48('gram')} % {MERSENNE_P} AS h0 FROM grams
+),
+perms(i, a, b) AS (VALUES {_duck_perms_values()}),
+minhash AS (
+  SELECT doc_id, i, MIN((a * h0 + b) % {MERSENNE_P}) AS m
+  FROM hashes CROSS JOIN perms
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // {MINHASH_ROWS_PER_BAND} AS band,
+         string_agg(CAST(m AS VARCHAR), '-' ORDER BY i) AS sig
+  FROM minhash GROUP BY doc_id, i // {MINHASH_ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS shared
+  FROM cand c
+  JOIN grams t1 ON t1.doc_id = c.id1
+  JOIN grams t2 ON t2.doc_id = c.id2 AND t1.gram = t2.gram
+  GROUP BY c.id1, c.id2
+)
+SELECT i.id1, i.id2,
+       CAST(i.shared AS DOUBLE) / (s1.sz + s2.sz - i.shared) AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.id1 = s1.doc_id
+JOIN sizes s2 ON i.id2 = s2.doc_id
+WHERE CAST(i.shared AS DOUBLE) / (s1.sz + s2.sz - i.shared) >= 0.5
+ORDER BY id1, id2
+""",
+    description="MinHash(12 perms) + LSH(4 bands x 3): band-bucket join "
+    "generates candidates, exact token-Jaccard verifies ONLY candidates. "
+    "The shuffle key is the 3-value band signature — tiny vs documents. "
+    "Portable hashing: md5-48bit + (a*h+b) mod 2^31-1 (no overflow).",
+)
+def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark_corpus(spark, sf_dir)
+    toks = spark_grams(c)
+    hashes = toks.select(
+        "doc_id", (md5_48(F.col("gram")) % MERSENNE_P).alias("h0")
+    )
+    perms = F.broadcast(
+        toks.sparkSession.createDataFrame(MINHASH_PERMS, "i int, a long, b long")
+    )
+    minhash = (
+        hashes.crossJoin(perms)
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min((F.col("a") * F.col("h0") + F.col("b")) % MERSENNE_P).alias("m")
+        )
+    )
+    bands = (
+        minhash.withColumn("band", (F.col("i") / MINHASH_ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s["m"].cast("string"),
+                ),
+                "-",
+            ).alias("sig")
+        )
+    )
+    b1 = bands.alias("b1")
+    b2 = bands.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.sig") == F.col("b2.sig"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("id1"), F.col("b2.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    t1 = toks.alias("t1")
+    t2 = toks.alias("t2")
+    inter = (
+        cand.join(t1, F.col("id1") == F.col("t1.doc_id"))
+        .join(
+            t2,
+            (F.col("id2") == F.col("t2.doc_id"))
+            & (F.col("t1.gram") == F.col("t2.gram")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("shared").cast("double") / (
+        F.col("s1.sz") + F.col("s2.sz") - F.col("shared")
+    )
+    return (
+        inter.join(s1, F.col("id1") == F.col("s1.doc_id"))
+        .join(s2, F.col("id2") == F.col("s2.doc_id"))
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id1", "id2")
+    )
+
+
+@register(
+    "d05_simhash",
+    oracle=f"""
+WITH {DUCK_CORPUS},
+{DUCK_GRAMS},
+hashes AS (
+  SELECT doc_id, {duck_md5_48('gram')} AS h0 FROM grams
+),
+bitsum AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h0 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM hashes CROSS JOIN (SELECT unnest(range(0, 48)) AS bit)
+  GROUP BY doc_id, bit
+),
+sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sh
+  FROM bitsum GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b, (sh >> (12 * b)) & 4095 AS band_val, sh
+  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2, x.sh AS sh1, y.sh AS sh2
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+)
+SELECT id1, id2, bit_count(xor(sh1, sh2)) AS hamming
+FROM cand
+WHERE bit_count(xor(sh1, sh2)) <= 8
+ORDER BY id1, id2
+""",
+    description="48-bit SimHash near-dup: per-bit weighted sums of word "
+    "hashes, banded 4x12 bits for candidate generation (pigeonhole: every "
+    "pair within Hamming<=3 must share a band — no all-pairs scan), "
+    "Hamming filter via xor+bit_count.",
+)
+def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark_corpus(spark, sf_dir)
+    toks = spark_grams(c)
+    sess = toks.sparkSession
+    hashes = toks.select("doc_id", md5_48(F.col("gram")).alias("h0"))
+    # shift-by-column isn't expressible with shiftleft/shiftright literals;
+    # integer div/mod against a precomputed power-of-two table is, and is
+    # identical arithmetic for non-negative values.
+    bits = F.broadcast(
+        sess.createDataFrame(
+            [(b, 1 << b) for b in range(48)], "bit int, pow long"
+        )
+    )
+    bitsum = (
+        hashes.crossJoin(bits)
+        .groupBy("doc_id", "bit", "pow")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h0 div pow) % 2") == 1, 1).otherwise(-1)
+            ).alias("w")
+        )
+    )
+    sim = bitsum.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("w") > 0, F.col("pow")).otherwise(0))
+        .cast("bigint")
+        .alias("sh")
+    )
+    bands_idx = F.broadcast(
+        sess.createDataFrame(
+            [(b, 1 << (12 * b)) for b in range(4)], "b int, bpow long"
+        )
+    )
+    bands = sim.crossJoin(bands_idx).select(
+        "doc_id",
+        "b",
+        "sh",
+        F.expr("(sh div bpow) % 4096").alias("band_val"),
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id1"),
+            F.col("y.doc_id").alias("id2"),
+            F.col("x.sh").alias("sh1"),
+            F.col("y.sh").alias("sh2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return (
+        cand.select("id1", "id2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 8)
+        .orderBy("id1", "id2")
+    )
+
+
+@register(
+    "d06_embedding_neardup",
+    oracle=f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       {duck_cosine('a.embedding', 'b.embedding', EMB_DIM)} AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, id1 ASC, id2 ASC
+LIMIT 20
+""",
+    description="Embedding cosine near-dup, label-blocked: candidate pairs "
+    "only within the same label block (10x fewer pairs than all-pairs; at "
+    "scale the blocker would be an LSH bucket or IVF cell).  Sequential "
+    "double fold = bit-identical cosine across engines.",
+)
+def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("id1"), F.asc("id2"))
+        .limit(20)
+    )

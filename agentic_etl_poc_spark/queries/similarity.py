@@ -1,1 +1,175 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search battery over the ``embeddings`` table (64-dim float).
+
+- s01: exact brute-force cosine top-k — the correctness baseline.  One
+  broadcast of the query vector, one distributed scan, TakeOrdered top-k;
+  at 100 TB this is the per-query cost floor and the reference answer for
+  recall measurement.
+- s02: LSH-bucketed ANN — random-hyperplane signatures (4 planes → 16
+  buckets) built from md5-derived deterministic weights, so Spark and the
+  DuckDB oracle construct byte-identical planes with no RNG.  Queries only
+  score candidates in their own bucket: the scan shrinks ~16x, the plan
+  becomes a bucket-equi-join — the shape that scales (more planes →
+  smaller buckets; multi-probe for recall).
+
+Cosines use the sequential-fold primitives (functions/hashing.py) so both
+engines produce bit-identical doubles; top-k ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from agentic_etl_poc_spark.functions.hashing import (
+    cosine,
+    duck_cosine,
+    duck_md5_48,
+    md5_48,
+)
+from agentic_etl_poc_spark.io_tables import table
+from agentic_etl_poc_spark.queries.core import register
+
+DIM = 64
+N_PLANES = 4
+N_QUERIES = 5
+TOP_K = 10
+
+
+@register(
+    "s01_knn_bruteforce",
+    oracle=f"""
+SELECT b.vec_id AS neighbor_id, b.label,
+       {duck_cosine('b.embedding', 'q.embedding', DIM)} AS cos_sim
+FROM embeddings b
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE b.vec_id <> 0
+ORDER BY cos_sim DESC, neighbor_id ASC
+LIMIT {TOP_K}
+""",
+    description="Exact cosine top-k: broadcast query vector, distributed "
+    "scan, TakeOrderedAndProject — no shuffle of the corpus, no full sort.",
+)
+def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            cosine(F.col("embedding"), F.col("qvec")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        .limit(TOP_K)
+    )
+
+
+def _plane_weight_spark(j: Column, i: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-0.5, 0.5]:
+    derived from md5 of 'plane{j}_{i}', identical in the oracle."""
+    tag = F.concat(
+        F.lit("plane"), j.cast("string"), F.lit("_"), i.cast("string")
+    )
+    return (md5_48(tag) % 2001 - 1000) / F.lit(1000.0)
+
+
+def _duck_plane_weight(j: str, i: str) -> str:
+    h = duck_md5_48(f"'plane' || CAST({j} AS VARCHAR) || '_' || CAST({i} AS VARCHAR)")
+    return f"(({h}) % 2001 - 1000) / 1000.0"
+
+
+def _plane_dot_spark(vec: Column, j: Column) -> Column:
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(vec, i).cast("double") * _plane_weight_spark(j, i),
+    )
+
+
+def _duck_plane_dot(vec: str, j: str) -> str:
+    w = _duck_plane_weight(j, "i")
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({w}))), (acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "s02_ann_lsh",
+    oracle=f"""
+WITH planes AS (SELECT unnest(range(0, {N_PLANES})) AS j),
+sigs AS (
+  SELECT vec_id, label, embedding,
+         CAST(SUM(CASE WHEN {_duck_plane_dot('embedding', 'j')} > 0
+                  THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings CROSS JOIN planes
+  GROUP BY vec_id, label, embedding
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {duck_cosine('q.embedding', 'c.embedding', DIM)} AS cos_sim
+  FROM sigs q JOIN sigs c
+    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM cand
+) WHERE rn <= 3
+ORDER BY query_id, neighbor_id
+""",
+    description="LSH ANN: sign-of-projection signatures on 4 deterministic "
+    "hyperplanes bucket the corpus; each query scores only its bucket "
+    "(~1/16 of the data) then takes top-3.  Scale path: more planes, "
+    "multi-probe neighbors of the bucket for recall.",
+)
+def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    planes = F.broadcast(
+        e.sparkSession.createDataFrame(
+            [(j, 1 << j) for j in range(N_PLANES)], "j int, jpow long"
+        )
+    )
+    sigs = (
+        e.crossJoin(planes)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "jpow",
+            _plane_dot_spark(F.col("embedding"), F.col("j")).alias("d"),
+        )
+        .groupBy("vec_id", "label", "embedding")
+        .agg(
+            F.sum(F.when(F.col("d") > 0, F.col("jpow")).otherwise(0))
+            .cast("bigint")
+            .alias("bucket")
+        )
+    )
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = sigs.alias("c")
+    cand = q.join(
+        c,
+        (F.col("q.bucket") == F.col("c.bucket"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "neighbor_id")
+    )

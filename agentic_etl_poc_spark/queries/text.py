@@ -1,1 +1,276 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis battery over ``documents`` — LLM-pipeline preprocessing ops.
+
+All scores are built from exact integer counts (regex/token arithmetic)
+combined in a FIXED order of double operations, so both engines agree
+bit-for-bit.  Token work happens array-side (split once, fold in place) —
+no explode/shuffle for per-document statistics.
+
+Note on the synthetic corpus: all five ``lang`` values share one
+vocabulary, so the language-ID heuristic legitimately scores everything
+as English — what the oracle checks is that the operator computes the
+same profile scores and argmax on both engines, which is the operator
+contract (the stopword tables are swappable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agentic_etl_poc_spark.functions.hashing import duck_md5_48, md5_48
+from agentic_etl_poc_spark.io_tables import table
+from agentic_etl_poc_spark.queries.core import register
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "fr": ("le", "les", "des", "et", "une", "pour"),
+    "de": ("der", "die", "und", "das", "ein", "zu"),
+}
+
+
+def _duck_count_in(words: str, vals: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{v}'" for v in vals)
+    return (
+        f"list_sum(list_transform({words}, "
+        f"w -> CASE WHEN w IN ({lst}) THEN 1 ELSE 0 END))"
+    )
+
+
+def _spark_count_in(words, vals: tuple[str, ...]):
+    arr = F.array(*[F.lit(v) for v in vals])
+    return F.aggregate(
+        F.transform(words, lambda w: F.array_contains(arr, w).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "t01_token_stats",
+    oracle="""
+WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS words, text
+           FROM documents)
+SELECT doc_id, lang, source,
+  CAST(len(words) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+    / len(words) AS avg_token_len,
+  CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS type_token_ratio,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_regex_tokens
+FROM w
+ORDER BY doc_id
+""",
+    description="Per-document token statistics: whitespace tokens, distinct "
+    "tokens, type-token ratio, regex (BPE-ish pre-tokenizer) token count — "
+    "all computed array-side, no shuffle.",
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    total_len = F.aggregate(
+        F.transform(words, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (total_len.cast("double") / F.size(words)).alias("avg_token_len"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias(
+            "type_token_ratio"
+        ),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+        .cast("bigint")
+        .alias("n_regex_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t02_quality_score",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words, text FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(length(text) - length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT)
+      AS n_nonalpha,
+    CAST({_duck_count_in('words', STOPWORDS['en'])} AS BIGINT) AS n_stop
+  FROM w
+)
+SELECT doc_id, n_tokens, n_chars, n_nonalpha, n_stop,
+  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+  CAST(n_nonalpha AS DOUBLE) / n_chars AS nonalpha_ratio,
+  0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+    + 0.3 * (1.0 - CAST(n_nonalpha AS DOUBLE) / n_chars)
+    + 0.2 * (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+    AS quality_score,
+  CASE WHEN n_tokens < 5 THEN 'too_short'
+       WHEN CAST(n_nonalpha AS DOUBLE) / n_chars > 0.3 THEN 'noisy'
+       ELSE 'ok' END AS quality_flag
+FROM c
+ORDER BY doc_id
+""",
+    description="Heuristic quality scoring (stopword ratio, non-alpha "
+    "ratio, length band) — the classic pretraining-corpus filter, as exact "
+    "integer counts combined in a fixed double formula.",
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    n_nonalpha = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), "[a-z ]", ""))
+    ).cast("bigint")
+    n_stop = _spark_count_in(words, STOPWORDS["en"]).cast("bigint")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    nonalpha_ratio = n_nonalpha.cast("double") / n_chars
+    score = (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - nonalpha_ratio)
+        + F.lit(0.2)
+        * F.when((n_tokens >= 20) & (n_tokens <= 1000), 1.0).otherwise(0.0)
+    )
+    flag = (
+        F.when(n_tokens < 5, "too_short")
+        .when(nonalpha_ratio > 0.3, "noisy")
+        .otherwise("ok")
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_nonalpha.alias("n_nonalpha"),
+        n_stop.alias("n_stop"),
+        stop_ratio.alias("stop_ratio"),
+        nonalpha_ratio.alias("nonalpha_ratio"),
+        score.alias("quality_score"),
+        flag.alias("quality_flag"),
+    ).orderBy("doc_id")
+
+
+def _duck_lang_scores() -> str:
+    cols = []
+    for lang, stops in STOPWORDS.items():
+        cols.append(
+            f"CAST({_duck_count_in('words', stops)} AS DOUBLE) / len(words) AS s_{lang}"
+        )
+    return ",\n    ".join(cols)
+
+
+@register(
+    "t03_langid",
+    oracle=f"""
+WITH w AS (SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS words
+           FROM documents),
+s AS (
+  SELECT doc_id, labeled_lang,
+    {_duck_lang_scores()}
+  FROM w
+)
+SELECT doc_id, labeled_lang, s_en, s_es, s_fr, s_de,
+  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+       WHEN s_fr >= s_de THEN 'fr'
+       ELSE 'de' END AS predicted_lang
+FROM s
+ORDER BY doc_id
+""",
+    description="Stopword-profile language ID: per-language hit ratios, "
+    "deterministic argmax with fixed tie order (en>es>fr>de).",
+)
+def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    scores = {
+        lang: (
+            _spark_count_in(words, stops).cast("double") / F.size(words)
+        ).alias(f"s_{lang}")
+        for lang, stops in STOPWORDS.items()
+    }
+    base = d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), *scores.values()
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in STOPWORDS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]), "en"
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
+        .when(s["fr"] >= s["de"], "fr")
+        .otherwise("de")
+    )
+    return base.withColumn("predicted_lang", predicted).orderBy("doc_id")
+
+
+@register(
+    "t04_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+  CASE WHEN length(text) >= 4 THEN
+    list_min(list_transform(range(1, length(text) - 2),
+             i -> {duck_md5_48('substr(text, i, 4)')}))
+  ELSE NULL END AS fingerprint,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+ORDER BY doc_id
+""",
+    description="Rolling char-4-gram min-hash document fingerprint "
+    "(winnowing-style): robust to small edits, computed array-side.",
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    fp = F.when(
+        F.length(text) >= 4,
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text) - 3),
+                lambda i: md5_48(text.substr(i, F.lit(4))),
+            )
+        ),
+    ).otherwise(F.lit(None).cast("bigint"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.length(text).cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "m01_multimodal_metadata",
+    oracle="""
+SELECT doc_id,
+  octet_length(encode(text)) AS payload_bytes,
+  md5(text) AS payload_md5,
+  to_base64(encode(substr(text, 1, 8))) AS head_b64,
+  'text/plain' AS mime,
+  CASE WHEN octet_length(encode(text)) > 1024 THEN 'large' ELSE 'small' END
+    AS size_class
+FROM documents
+ORDER BY doc_id
+""",
+    description="Multimodal-column plumbing: treat payloads as opaque "
+    "binary + typed metadata (bytes, digest, head preview, mime, size "
+    "class).  The same schema/partitioning carries image/audio blobs; "
+    "decode/feature-extract runs as Arrow-batched pandas UDFs "
+    "(operators/multimodal.py — decode stubbed, plumbing real).",
+)
+def m01_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("payload_bytes"),
+        F.md5(F.col("text")).alias("payload_md5"),
+        F.base64(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("head_b64"),
+        F.lit("text/plain").alias("mime"),
+        F.when(F.octet_length(payload) > 1024, "large")
+        .otherwise("small")
+        .alias("size_class"),
+    ).orderBy("doc_id")
