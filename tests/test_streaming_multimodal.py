@@ -1,0 +1,107 @@
+"""Structured Streaming + multimodal plumbing tests.
+
+The streaming test materializes the events table as NDJSON, streams it
+back with Trigger.AvailableNow, and checks the windowed aggregation
+matches the batch run of the same expression — the batch/stream parity
+contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from agentic_etl_poc_spark.io_tables import table
+from agentic_etl_poc_spark.operators.multimodal import (
+    attach_binary_payload,
+    frame_sample,
+    image_features,
+)
+from agentic_etl_poc_spark.streaming.events import (
+    run_to_memory,
+    sessionize,
+    stream_events,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_json_dir(spark, sf_smoke, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_json"))
+    (
+        table(spark, sf_smoke, "events")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .json(out)
+    )
+    return out
+
+
+def test_stream_windowed_counts_match_batch(spark, sf_smoke, events_json_dir):
+    stream = stream_events(spark, events_json_dir, watermark="1 minute")
+    # complete mode: append-mode watermarking would (correctly) hold back the
+    # final still-open window, which batch has no notion of — parity needs all
+    # windows emitted.
+    run_to_memory(windowed_counts(stream), "stream_win", output_mode="complete")
+    got = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM stream_win").collect()
+    }
+
+    batch = windowed_counts(table(spark, sf_smoke, "events"))
+    want = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stream_sessionize(spark, events_json_dir):
+    stream = stream_events(spark, events_json_dir, watermark="1 minute")
+    run_to_memory(
+        sessionize(stream, gap_seconds=3600), "stream_sessions"
+    )
+    rows = spark.sql("SELECT * FROM stream_sessions").collect()
+    # closed sessions only; each is internally consistent
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+    assert len(rows) > 0
+
+
+def test_multimodal_image_features_fake(spark, sf_smoke):
+    docs = table(spark, sf_smoke, "documents")
+    payloads = attach_binary_payload(docs)
+    feats = image_features(payloads, fake=True)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert r["payload_bytes"] > 0
+        assert 64 <= r["width"] < 576
+        assert r["n_channels"] == 3
+        assert 0.0 <= r["mean_luma"] <= 1.0
+    # deterministic: same payload -> same features on rerun
+    again = {r["item_id"]: r["mean_luma"] for r in image_features(payloads, fake=True).collect()}
+    assert all(again[r["item_id"]] == r["mean_luma"] for r in rows)
+
+
+def test_multimodal_real_decode_raises(spark, sf_smoke):
+    docs = table(spark, sf_smoke, "documents").limit(1)
+    payloads = attach_binary_payload(docs)
+    with pytest.raises(Exception) as exc_info:
+        image_features(payloads, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "decode" in str(
+        exc_info.value
+    )
+
+
+def test_multimodal_frame_sample(spark, sf_smoke):
+    docs = table(spark, sf_smoke, "documents").limit(10)
+    payloads = attach_binary_payload(docs)
+    frames = frame_sample(payloads, n_frames=4, fake=True)
+    rows = frames.collect()
+    assert len(rows) == 40  # 10 items x 4 frames
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2, 3}
