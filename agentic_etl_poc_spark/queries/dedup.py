@@ -79,8 +79,10 @@ def spark_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def spark_grams(corpus: DataFrame) -> DataFrame:
-    """Distinct word-bigram shingles per doc, built array-side (no window,
-    no shuffle) — mirrors DUCK_GRAMS exactly."""
+    """Distinct word-bigram shingles per doc, built array-side — mirrors
+    DUCK_GRAMS exactly.  Distinctness is per (doc_id, gram), so it is
+    computed with array_distinct BEFORE the explode: zero shuffle, vs a
+    full shuffle of every shingle row for ``.distinct()`` after."""
     words = F.split(F.col("text"), " ")
     grams_arr = F.when(
         F.size(words) >= 2,
@@ -91,7 +93,9 @@ def spark_grams(corpus: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return corpus.select("doc_id", F.explode(grams_arr).alias("gram")).distinct()
+    return corpus.select(
+        "doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram")
+    )
 
 
 # ----------------------------------------------------------------------
@@ -185,7 +189,11 @@ ORDER BY id1, id2
 )
 def d03_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark_corpus(spark, sf_dir)
-    grams = spark_grams(c)
+    # One explicit shuffle on gram; every downstream consumer (doc-freq
+    # agg, the rare filter join, and both sides of the pair self-join)
+    # requires exactly this partitioning, so Catalyst reuses the single
+    # exchange instead of re-exploding the corpus four times.
+    grams = spark_grams(c).repartition("gram")
     df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
     rare = grams.join(
         df_counts.filter(F.col("doc_freq") <= 20).select("gram"), "gram"
@@ -269,32 +277,36 @@ ORDER BY id1, id2
 )
 def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark_corpus(spark, sf_dir)
-    toks = spark_grams(c)
+    # Single explicit shuffle on doc_id, reused by the signature agg, the
+    # doc-size agg, and both verification joins (all keyed on doc_id).
+    toks = spark_grams(c).repartition("doc_id")
     hashes = toks.select(
         "doc_id", (md5_48(F.col("gram")) % MERSENNE_P).alias("h0")
     )
-    perms = F.broadcast(
-        toks.sparkSession.createDataFrame(MINHASH_PERMS, "i int, a long, b long")
+    # All 12 permutation minima in ONE groupBy(doc_id) with 12 agg columns:
+    # partial (map-side) aggregation shrinks the shuffle to one row per
+    # (doc, partition) — vs the naive grams x perms crossJoin, which
+    # shuffles 12x the shingle count and then shuffles again for banding.
+    minhash = hashes.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
+            for i, a, b in MINHASH_PERMS
+        ]
     )
-    minhash = (
-        hashes.crossJoin(perms)
-        .groupBy("doc_id", "i")
-        .agg(
-            F.min((F.col("a") * F.col("h0") + F.col("b")) % MERSENNE_P).alias("m")
-        )
-    )
-    bands = (
-        minhash.withColumn("band", (F.col("i") / MINHASH_ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "m"))),
-                    lambda s: s["m"].cast("string"),
-                ),
-                "-",
-            ).alias("sig")
-        )
+    n_bands = len(MINHASH_PERMS) // MINHASH_ROWS_PER_BAND
+    band_sigs = [
+        F.concat_ws(
+            "-",
+            *[
+                F.col(f"m{k * MINHASH_ROWS_PER_BAND + j}").cast("string")
+                for j in range(MINHASH_ROWS_PER_BAND)
+            ],
+        ).alias(f"sig{k}")
+        for k in range(n_bands)
+    ]
+    stack = ", ".join(f"{k}, sig{k}" for k in range(n_bands))
+    bands = minhash.select("doc_id", *band_sigs).select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack}) as (band, sig)")
     )
     b1 = bands.alias("b1")
     b2 = bands.alias("b2")
@@ -377,41 +389,35 @@ ORDER BY id1, id2
 )
 def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark_corpus(spark, sf_dir)
-    toks = spark_grams(c)
-    sess = toks.sparkSession
+    toks = spark_grams(c).repartition("doc_id")
     hashes = toks.select("doc_id", md5_48(F.col("gram")).alias("h0"))
-    # shift-by-column isn't expressible with shiftleft/shiftright literals;
-    # integer div/mod against a precomputed power-of-two table is, and is
-    # identical arithmetic for non-negative values.
-    bits = F.broadcast(
-        sess.createDataFrame(
-            [(b, 1 << b) for b in range(48)], "bit int, pow long"
-        )
-    )
-    bitsum = (
-        hashes.crossJoin(bits)
-        .groupBy("doc_id", "bit", "pow")
-        .agg(
+    # All 48 per-bit weighted sums in ONE groupBy(doc_id) with 48 agg
+    # columns (bit positions are literals, so shiftright works): map-side
+    # partial agg makes the shuffle one row per (doc, partition) — vs the
+    # naive grams x bits crossJoin, which shuffles 48x the shingle count.
+    bitsum = hashes.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("(h0 div pow) % 2") == 1, 1).otherwise(-1)
-            ).alias("w")
-        )
+                F.when(
+                    F.shiftright(F.col("h0"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"w{b}")
+            for b in range(48)
+        ]
     )
-    sim = bitsum.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("w") > 0, F.col("pow")).otherwise(0))
-        .cast("bigint")
-        .alias("sh")
-    )
-    bands_idx = F.broadcast(
-        sess.createDataFrame(
-            [(b, 1 << (12 * b)) for b in range(4)], "b int, bpow long"
-        )
-    )
-    bands = sim.crossJoin(bands_idx).select(
+    sh = F.lit(0).cast("bigint")
+    for b in range(48):
+        sh = sh + F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    sim = bitsum.select("doc_id", sh.cast("bigint").alias("sh"))
+    band_vals = [
+        F.shiftright(F.col("sh"), 12 * k).bitwiseAND(F.lit(4095)).alias(f"bv{k}")
+        for k in range(4)
+    ]
+    stack = ", ".join(f"{k}, bv{k}" for k in range(4))
+    bands = sim.select("doc_id", "sh", *band_vals).select(
         "doc_id",
-        "b",
         "sh",
-        F.expr("(sh div bpow) % 4096").alias("band_val"),
+        F.expr(f"stack(4, {stack}) as (b, band_val)"),
     )
     x = bands.alias("x")
     y = bands.alias("y")
@@ -454,9 +460,23 @@ LIMIT 20
     "double fold = bit-identical cosine across engines.",
 )
 def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    from agentic_etl_poc_spark.functions.hashing import dot_fold
+
+    # Squared norms are per-VECTOR, so fold them once before the pair join
+    # (n rows) instead of twice per PAIR (n^2/blocks rows).  cos_sim is the
+    # same expression tree the oracle uses — dot/(sqrt(nsq1*nsq2)) — on
+    # identical per-vector values, so doubles stay bit-identical.
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
+    )
     a = e.alias("a")
     b = e.alias("b")
+    cos = dot_fold(F.col("a.embedding"), F.col("b.embedding")) / F.sqrt(
+        F.col("a.nsq") * F.col("b.nsq")
+    )
     return (
         a.join(
             b,
@@ -466,7 +486,7 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id1"),
             F.col("b.vec_id").alias("id2"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+            cos.alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("id1"), F.asc("id2"))
         .limit(20)

@@ -25,7 +25,6 @@ from agentic_etl_poc_spark.functions.hashing import (
     cosine,
     duck_cosine,
     duck_md5_48,
-    md5_48,
 )
 from agentic_etl_poc_spark.io_tables import table
 from agentic_etl_poc_spark.queries.core import register
@@ -68,13 +67,16 @@ def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_weight_spark(j: Column, i: Column) -> Column:
-    """Deterministic pseudo-random hyperplane weight in [-0.5, 0.5]:
-    derived from md5 of 'plane{j}_{i}', identical in the oracle."""
-    tag = F.concat(
-        F.lit("plane"), j.cast("string"), F.lit("_"), i.cast("string")
-    )
-    return (md5_48(tag) % 2001 - 1000) / F.lit(1000.0)
+def _plane_weight(j: int, i: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1]: derived
+    from md5 of 'plane{j}_{i}'.  Computed driver-side with hashlib — the
+    identical arithmetic the oracle's SQL performs (48-bit md5 prefix,
+    % 2001 - 1000, / 1000.0), so the plane matrices are byte-equal while
+    the Spark plan sees plain literals instead of 256 md5 calls per row."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane{j}_{i}".encode()).hexdigest()[:12], 16)
+    return (h % 2001 - 1000) / 1000.0
 
 
 def _duck_plane_weight(j: str, i: str) -> str:
@@ -82,12 +84,14 @@ def _duck_plane_weight(j: str, i: str) -> str:
     return f"(({h}) % 2001 - 1000) / 1000.0"
 
 
-def _plane_dot_spark(vec: Column, j: Column) -> Column:
+def _plane_dot_spark(vec: Column, j: int) -> Column:
+    """Sequential fold of vec · plane_j with the plane as a literal array —
+    same accumulation order as the oracle's list_reduce."""
+    plane = F.array(*[F.lit(_plane_weight(j, i)) for i in range(1, DIM + 1)])
     return F.aggregate(
-        F.sequence(F.lit(1), F.lit(DIM)),
+        F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
         F.lit(0.0),
-        lambda acc, i: acc
-        + F.element_at(vec, i).cast("double") * _plane_weight_spark(j, i),
+        lambda acc, x: acc + x,
     )
 
 
@@ -131,30 +135,29 @@ ORDER BY query_id, neighbor_id
     "multi-probe neighbors of the bucket for recall.",
 )
 def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.functions.hashing import dot_fold
+
     e = table(spark, sf_dir, "embeddings")
-    planes = F.broadcast(
-        e.sparkSession.createDataFrame(
-            [(j, 1 << j) for j in range(N_PLANES)], "j int, jpow long"
-        )
+    # Signature = sign bits of 4 plane dots, all computed in one narrow
+    # projection (planes are literal arrays): no crossJoin explosion, no
+    # groupBy-on-embedding shuffle — the bucket column is map-side free.
+    bucket = F.lit(0).cast("bigint")
+    for j in range(N_PLANES):
+        bucket = bucket + F.when(
+            _plane_dot_spark(F.col("embedding"), j) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    sigs = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        bucket.cast("bigint").alias("bucket"),
+        dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
     )
-    sigs = (
-        e.crossJoin(planes)
-        .select(
-            "vec_id",
-            "label",
-            "embedding",
-            "jpow",
-            _plane_dot_spark(F.col("embedding"), F.col("j")).alias("d"),
-        )
-        .groupBy("vec_id", "label", "embedding")
-        .agg(
-            F.sum(F.when(F.col("d") > 0, F.col("jpow")).otherwise(0))
-            .cast("bigint")
-            .alias("bucket")
-        )
-    )
-    q = sigs.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    q = F.broadcast(sigs.filter(F.col("vec_id") < N_QUERIES)).alias("q")
     c = sigs.alias("c")
+    cos = dot_fold(F.col("q.embedding"), F.col("c.embedding")) / F.sqrt(
+        F.col("q.nsq") * F.col("c.nsq")
+    )
     cand = q.join(
         c,
         (F.col("q.bucket") == F.col("c.bucket"))
@@ -162,7 +165,7 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("q.vec_id").alias("query_id"),
         F.col("c.vec_id").alias("neighbor_id"),
-        cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos_sim"),
+        cos.alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
