@@ -482,3 +482,106 @@ def q16_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(bal, F.lit(0.0)).alias("pos_part"),
         F.least(bal, F.lit(0.0)).alias("neg_part"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "q21_cube_grouping",
+    oracle="""
+SELECT COALESCE(c_mktsegment, '(all)') AS segment,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE(c_mktsegment, o_orderpriority)
+ORDER BY gid, segment, priority
+""",
+    description="CUBE over (segment, priority) with the GROUPING bitmask — "
+    "the full grouping-set family beyond q14's ROLLUP.  Spark expands the "
+    "cube into grouping sets in one aggregation pass (Expand + partial "
+    "hash agg), no per-set rescans.",
+)
+def q21_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return (
+        j.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("(all)")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("gid", "segment", "priority")
+    )
+
+
+@register(
+    "q22_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="Exact percentiles (continuous interpolation).  Safe to "
+    "hash-compare because l_quantity is integer-valued and quartile "
+    "fractions are dyadic, so the interpolated values are exactly "
+    "representable doubles on both engines regardless of formula shape.  "
+    "At 100 TB the exact sort-based percentile gives way to "
+    "approx_percentile (q23's sketch family).",
+)
+def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(q, F.lit(0.25)).alias("q25"),
+            F.percentile(q, F.lit(0.5)).alias("median_qty"),
+            F.percentile(q, F.lit(0.75)).alias("q75"),
+            F.min(q).alias("min_qty"),
+            F.max(q).alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q23_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check.
+    description="Approximate aggregates: approx_count_distinct (HLL++) next "
+    "to the exact distinct count and the relative error.  No oracle — "
+    "DuckDB's approx_count_distinct uses a different sketch, so values "
+    "can't hash-match; the driver records the weaker rows-only check.  At "
+    "100 TB the sketch is mergeable map-side state (no shuffle of keys), "
+    "which is the entire point vs COUNT(DISTINCT).",
+)
+def q23_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_nd"),
+            F.countDistinct("l_orderkey").alias("exact_nd"),
+        )
+        .withColumn(
+            "rel_err",
+            F.abs(F.col("approx_nd") - F.col("exact_nd"))
+            / F.col("exact_nd").cast("double"),
+        )
+        .orderBy("l_returnflag")
+    )

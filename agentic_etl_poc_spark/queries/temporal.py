@@ -296,3 +296,65 @@ def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "q24_sessionize_batch",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM flagged
+)
+SELECT user_id, sess_no,
+       strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(MAX(ts), '{TS_FMT_DUCK}') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, sess_no
+ORDER BY user_id, sess_no
+""",
+    description="Batch sessionization via gaps-and-islands (lag + running "
+    "sum of session-break flags + groupBy): the batch twin of "
+    "streaming/events.py::sessionize — same 30-min inactivity gap, same "
+    "per-session aggregates, so batch backfill and the streaming operator "
+    "agree.  One shuffle on user_id serves both window functions and the "
+    "final aggregation.",
+)
+def q24_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = (
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > 1800)
+    ).cast("int")
+    numbered = e.select(
+        "user_id", "event_id", "ts", "value", new_sess.alias("new_sess")
+    ).withColumn(
+        "sess_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "sess_no")
+        .agg(
+            F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.max("ts"), TS_FMT_SPARK).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id", "sess_no")
+    )

@@ -14,10 +14,10 @@ contract (the stopword tables are swappable).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from agentic_etl_poc_spark.functions.hashing import duck_md5_48, md5_48
 from agentic_etl_poc_spark.io_tables import table
 from agentic_etl_poc_spark.queries.core import register
 
@@ -208,37 +208,64 @@ def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.withColumn("predicted_lang", predicted).orderBy("doc_id")
 
 
+_RK_B = 257
+_RK_M = 2147483647  # 2^31 - 1
+
+
 @register(
     "t04_fingerprint",
     oracle=f"""
+WITH codes AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(string_split_regex(text, ''),
+                        c -> CAST(ascii(c) AS BIGINT)) AS cs
+  FROM documents
+)
 SELECT doc_id,
-  CASE WHEN length(text) >= 4 THEN
-    list_min(list_transform(range(1, length(text) - 2),
-             i -> {duck_md5_48('substr(text, i, 4)')}))
+  CASE WHEN n >= 4 THEN
+    list_min(list_transform(range(1, n - 2),
+      i -> (cs[i] * {_RK_B ** 3} + cs[i + 1] * {_RK_B ** 2}
+          + cs[i + 2] * {_RK_B} + cs[i + 3]) % {_RK_M}))
   ELSE NULL END AS fingerprint,
-  CAST(length(text) AS BIGINT) AS n_chars
-FROM documents
+  CAST(n AS BIGINT) AS n_chars
+FROM codes
 ORDER BY doc_id
 """,
-    description="Rolling char-4-gram min-hash document fingerprint "
-    "(winnowing-style): robust to small edits, computed array-side.",
+    description="Rolling-hash (Rabin-Karp polynomial, base 257 mod 2^31-1) "
+    "char-4-gram min fingerprint: robust to small edits, exact integer "
+    "arithmetic.  Char codes are materialized ONCE per document (substr "
+    "at position i is O(i) on UTF-8, so hashing via per-position substr "
+    "would be quadratic), then each window is four O(1) array lookups — "
+    "linear per byte, which matters when 100 TB passes through it.",
 )
 def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     text = F.col("text")
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("bigint"))
+    d = d.select("doc_id", F.length(text).alias("n"), codes.alias("cs"))
+
+    def at(i, off):
+        return F.element_at(F.col("cs"), i + off)
+
     fp = F.when(
-        F.length(text) >= 4,
+        F.col("n") >= 4,
         F.array_min(
             F.transform(
-                F.sequence(F.lit(1), F.length(text) - 3),
-                lambda i: md5_48(text.substr(i, F.lit(4))),
+                F.sequence(F.lit(1), F.col("n") - 3),
+                lambda i: (
+                    at(i, 0) * (_RK_B**3)
+                    + at(i, 1) * (_RK_B**2)
+                    + at(i, 2) * _RK_B
+                    + at(i, 3)
+                )
+                % _RK_M,
             )
         ),
     ).otherwise(F.lit(None).cast("bigint"))
     return d.select(
         "doc_id",
         fp.alias("fingerprint"),
-        F.length(text).cast("bigint").alias("n_chars"),
+        F.col("n").cast("bigint").alias("n_chars"),
     ).orderBy("doc_id")
 
 
@@ -274,3 +301,48 @@ def m01_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("size_class"),
     ).orderBy("doc_id")
+
+
+@register(
+    "t05_pandas_tokens",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+  CAST(len(words) AS BIGINT) AS n_tokens,
+  CAST(list_max(list_transform(words, x -> length(x))) AS BIGINT)
+    AS max_token_len,
+  CAST(list_sum(list_transform(words,
+       x -> CASE WHEN length(x) >= 8 THEN 1 ELSE 0 END)) AS BIGINT)
+    AS n_long_tokens
+FROM w
+ORDER BY doc_id
+""",
+    description="Vectorized Pandas-UDF tokenizer (Arrow batches, pandas str "
+    "ops) — the documented Python escape hatch (SURVEY §2.6), proven "
+    "against the same statistics computed in pure SQL by the oracle.  "
+    "Integer outputs only, so the Python path hash-matches exactly.",
+)
+def t05_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_tokens bigint, max_token_len bigint, n_long_tokens bigint")
+    def token_stats(text: pd.Series) -> pd.DataFrame:
+        toks = text.str.split(" ")
+        return pd.DataFrame(
+            {
+                "n_tokens": toks.str.len().astype("int64"),
+                "max_token_len": toks.map(
+                    lambda ws: max(len(w) for w in ws)
+                ).astype("int64"),
+                "n_long_tokens": toks.map(
+                    lambda ws: sum(1 for w in ws if len(w) >= 8)
+                ).astype("int64"),
+            }
+        )
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", token_stats(F.col("text")).alias("s"))
+        .select("doc_id", "s.n_tokens", "s.max_token_len", "s.n_long_tokens")
+        .orderBy("doc_id")
+    )
