@@ -585,3 +585,55 @@ def q23_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q25_pivot_unpivot",
+    oracle="""
+WITH pivoted AS (
+  SELECT c_mktsegment,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+         THEN CAST(o_totalprice AS DECIMAL(28,2)) END) AS DOUBLE) AS urgent,
+    CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+         THEN CAST(o_totalprice AS DECIMAL(28,2)) END) AS DOUBLE) AS high,
+    CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+         THEN CAST(o_totalprice AS DECIMAL(28,2)) END) AS DOUBLE) AS medium
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, prio, amount FROM (
+  SELECT c_mktsegment, 'urgent' AS prio, urgent AS amount FROM pivoted
+  UNION ALL SELECT c_mktsegment, 'high', high FROM pivoted
+  UNION ALL SELECT c_mktsegment, 'medium', medium FROM pivoted
+)
+WHERE amount IS NOT NULL
+ORDER BY c_mktsegment, prio
+""",
+    description="PIVOT (wide per-priority totals via groupBy().pivot() with "
+    "explicit value list — one aggregation pass, no per-value scans) then "
+    "UNPIVOT back to long form (unpivot/stack, zero-shuffle Expand).  The "
+    "explicit pivot value list matters at scale: without it Spark runs an "
+    "extra distinct-values job over the fact table.",
+)
+def q25_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    wide = (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(_dsum("o_totalprice"))
+        .withColumnRenamed("1-URGENT", "urgent")
+        .withColumnRenamed("2-HIGH", "high")
+        .withColumnRenamed("3-MEDIUM", "medium")
+    )
+    return (
+        wide.unpivot(
+            ids=["c_mktsegment"],
+            values=["urgent", "high", "medium"],
+            variableColumnName="prio",
+            valueColumnName="amount",
+        )
+        .filter(F.col("amount").isNotNull())
+        .orderBy("c_mktsegment", "prio")
+    )
