@@ -1,0 +1,109 @@
+"""Plan-shape tests for the scale-out join strategies (operators/scale.py).
+
+These assert on the PHYSICAL plan, not just results: bucketing must remove
+the shuffle, salting must preserve exact results while changing the
+distribution key.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from agentic_etl_poc_spark.io_tables import table
+from agentic_etl_poc_spark.operators.scale import (
+    salted_join,
+    write_bucketed,
+)
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, sf_smoke):
+    # warehouse.dir is a static conf — managed tables land in the session's
+    # default warehouse; DROP TABLE below removes the files.
+    orders = table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(orders, "orders_b", "o_orderkey", num_buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        "o_orderkey",
+        num_buckets=8,
+    )
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
+    o_name, l_name = bucketed_pair
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(o_name).join(spark.table(l_name), "o_orderkey")
+        plan = _physical_plan(j)
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_bucketed_groupby_has_no_shuffle(spark, bucketed_pair):
+    o_name, _ = bucketed_pair
+    agg = (
+        spark.table(o_name)
+        .groupBy("o_orderkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    plan = _physical_plan(agg)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert agg.count() > 0
+
+
+def test_salted_join_matches_plain_join(spark, sf_smoke):
+    li = table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    # synthetic skew: everything hashes onto 3 hot keys
+    fact = li.withColumn("hot_key", (F.col("l_orderkey") % 3).cast("int"))
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "hot_key int, tag string"
+    )
+    plain = fact.join(dim, "hot_key").select(
+        "l_orderkey", "l_linenumber", "tag"
+    )
+    salted = salted_join(
+        fact, dim, "hot_key", salt_from=["l_orderkey", "l_linenumber"], parts=8
+    ).select("l_orderkey", "l_linenumber", "tag")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    assert salted.count() == fact.count()
+
+
+def test_salt_spreads_hot_key(spark, sf_smoke):
+    from agentic_etl_poc_spark.operators.scale import salt_column
+
+    li = table(spark, sf_smoke, "lineitem").limit(2000)
+    salts = (
+        li.select(
+            salt_column(
+                F.col("l_orderkey"), F.col("l_linenumber"), parts=8
+            ).alias("s")
+        )
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert len(salts) == 8  # every salt bucket hit
+    counts = [r["count"] for r in salts]
+    assert max(counts) < 3 * min(counts)  # roughly uniform
