@@ -358,3 +358,48 @@ def q24_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "sess_no")
     )
+
+
+@register(
+    "q26_sliding_window",
+    oracle=f"""
+WITH exploded AS (
+  SELECT event_type, value,
+         make_timestamp((CAST(floor(epoch(ts) / 10800) AS BIGINT) - j)
+                        * 10800 * 1000000) AS window_start
+  FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS j)
+)
+SELECT strftime(window_start, '{TS_FMT_DUCK}') AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM exploded
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    description="6-hour windows sliding every 3 hours (each event lands in "
+    "2 overlapping windows) — completes the event-time trio with q20 "
+    "(tumbling) and q24 (session).  Spark's window() expands events into "
+    "their windows map-side (Expand), then one aggregation; the same "
+    "expression runs under Structured Streaming with a watermark.",
+)
+def q26_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

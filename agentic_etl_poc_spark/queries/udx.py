@@ -1,0 +1,114 @@
+"""User-defined function surface: UDTF and grouped pandas UDAF.
+
+The reference's only UDF mechanism is a pandas ``DataFrame.eval``
+expression (reference: etl_agent/tools.py:67-72 — covered by
+operators/transform.py::python_udf).  It has no UDAF or UDTF at all
+(SURVEY §2.6), so these two queries document the full Spark UDx surface a
+user migrating from the reference gains:
+
+- ``u01``: grouped custom aggregation via ``applyInPandas`` — arbitrary
+  per-group Python over Arrow batches, shuffled once on the group key.
+  The scale contract: state is bounded per GROUP (not per table), so 100 TB
+  with many groups parallelizes; one giant group needs a two-phase
+  (partial/merge) rewrite instead.
+- ``u02``: a Python UDTF (one row in, N rows out, lateral-joined) — the
+  row-expanding escape hatch when ``explode`` over a built-in split can't
+  express the generator logic.  Both are proven against pure-SQL oracles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agentic_etl_poc_spark.io_tables import table
+from agentic_etl_poc_spark.queries.core import register
+
+
+@register(
+    "u01_grouped_pandas_agg",
+    oracle="""
+WITH w AS (SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       quantile_cont(n_tokens, 0.5) AS median_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM w
+GROUP BY lang
+ORDER BY lang
+""",
+    description="Custom grouped aggregation (pandas UDAF via applyInPandas): "
+    "exact per-language median token count — pandas' interpolated median "
+    "equals quantile_cont(0.5) and is hash-safe on integer inputs (dyadic "
+    "midpoints are exactly representable).",
+)
+def u01_grouped_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "median_tokens": [float(pdf["n_tokens"].median())],
+                "max_tokens": [int(pdf["n_tokens"].max())],
+            }
+        )
+
+    return (
+        d.groupBy("lang")
+        .applyInPandas(
+            agg,
+            schema="lang string, n_docs bigint, median_tokens double, "
+            "max_tokens bigint",
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "u02_python_udtf",
+    oracle="""
+WITH s AS (SELECT doc_id, string_split(text, '. ') AS sents FROM documents
+           WHERE doc_id % 20 = 0)
+SELECT doc_id,
+       CAST(pair['i'] AS INT) AS sent_idx,
+       pair['s'] AS sentence
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(sents) + 1),
+                i -> {'i': i - 1, 's': sents[i]})) AS pair
+  FROM s
+)
+ORDER BY doc_id, sent_idx
+""",
+    description="Python UDTF (table function): one document in, one row per "
+    "sentence out, lateral-joined — the generator escape hatch beyond "
+    "explode.  Row-at-a-time Python is the slow path (hence the 1-in-20 "
+    "sample); for bulk splitting prefer posexplode(split(...)), which stays "
+    "in codegen — the point here is the API surface, proven equal to the "
+    "pure-SQL expansion.",
+)
+def u02_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id: int, text: str):
+            for i, s in enumerate(text.split(". ")):
+                yield doc_id, i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.sent_idx, s.sentence
+        FROM udtf_docs d, LATERAL split_sentences(d.doc_id, d.text) s
+        ORDER BY s.doc_id, s.sent_idx
+        """
+    )
