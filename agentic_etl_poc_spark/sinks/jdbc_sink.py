@@ -62,24 +62,55 @@ def load_to_postgres(
     return f"loaded {row_count:,} rows into {table} ({mode})"
 
 
-def _merge_on_conflict(
-    conn_str: str, table: str, stage: str, key_cols: list[str], columns: list[str]
-) -> None:
-    """Driver-side transactional merge from stage into target."""
+def merge_statements(
+    table: str, stage: str, key_cols: list[str], columns: list[str]
+) -> list[str]:
+    """The upsert merge as portable SQL (Postgres and SQLite dialects both
+    accept all three statements).  Unlike the reference, we also create the
+    unique index ON CONFLICT depends on — ``CREATE TABLE AS SELECT ...
+    WHERE 1=0`` alone yields a constraint-less table, on which every
+    ON CONFLICT upsert errors (latent in the reference's
+    etl_agent/tools.py:92-95, unreachable there because the Postgres path
+    never runs — SURVEY §0.2)."""
     non_keys = [c for c in columns if c not in key_cols]
     col_list = ", ".join(columns)
     key_list = ", ".join(key_cols)
     set_list = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys) or (
         f"{key_cols[0]} = EXCLUDED.{key_cols[0]}"
     )
-    ddl = (
-        f"CREATE TABLE IF NOT EXISTS {table} AS "
-        f"SELECT * FROM {stage} WHERE 1=0"
-    )
-    merge = (
+    return [
+        f"CREATE TABLE IF NOT EXISTS {table} AS SELECT * FROM {stage} WHERE 1=0",
+        f"CREATE UNIQUE INDEX IF NOT EXISTS {table}_upsert_key "
+        f"ON {table} ({key_list})",
+        # WHERE true disambiguates ON CONFLICT after INSERT..SELECT for
+        # SQLite's parser; Postgres accepts it unchanged.
         f"INSERT INTO {table} ({col_list}) SELECT {col_list} FROM {stage} "
-        f"ON CONFLICT ({key_list}) DO UPDATE SET {set_list}"
-    )
+        f"WHERE true ON CONFLICT ({key_list}) DO UPDATE SET {set_list}",
+    ]
+
+
+def _merge_on_conflict(
+    conn_str: str, table: str, stage: str, key_cols: list[str], columns: list[str]
+) -> None:
+    """Driver-side transactional merge from stage into target.
+
+    ``sqlite://`` conn strings use the stdlib driver (always available —
+    also how the merge logic is unit-tested); everything else goes through
+    SQLAlchemy, matching the reference's engine choice
+    (reference: etl_agent/tools.py:76)."""
+    stmts = merge_statements(table, stage, key_cols, columns)
+    if conn_str.startswith("sqlite://"):
+        import sqlite3
+
+        path = conn_str[len("sqlite://") :].lstrip("/")
+        con = sqlite3.connect("/" + path if conn_str.startswith("sqlite:////") else path)
+        try:
+            with con:  # one transaction: DDL + index + merge
+                for s in stmts:
+                    con.execute(s)
+        finally:
+            con.close()
+        return
     try:
         import sqlalchemy
     except ImportError as e:
@@ -87,6 +118,6 @@ def _merge_on_conflict(
             "upsert merge requires the 'sqlalchemy' package and a DB driver"
         ) from e
     engine = sqlalchemy.create_engine(conn_str)
-    with engine.begin() as conn:  # one transaction: DDL + merge
-        conn.exec_driver_sql(ddl)
-        conn.exec_driver_sql(merge)
+    with engine.begin() as conn:  # one transaction: DDL + index + merge
+        for s in stmts:
+            conn.exec_driver_sql(s)

@@ -273,3 +273,33 @@ def test_run_ledger(tmp_path):
     assert runs[0]["rows_written"] == 42
     led.set_state("watermark", {"ts": "2026-01-01"})
     assert led.get_state("watermark") == {"ts": "2026-01-01"}
+
+
+def test_upsert_merge_on_conflict(tmp_path):
+    """The one genuinely custom writer: stage -> ON CONFLICT merge, run
+    against SQLite (same statement shapes Postgres accepts)."""
+    import sqlite3
+
+    from agentic_etl_poc_spark.sinks.jdbc_sink import _merge_on_conflict
+
+    db = tmp_path / "sink.db"
+    conn_str = f"sqlite:///{db}"
+    con = sqlite3.connect(db)
+    with con:
+        con.execute("CREATE TABLE tgt_stg (id INTEGER, name TEXT, qty INTEGER)")
+        con.executemany(
+            "INSERT INTO tgt_stg VALUES (?, ?, ?)",
+            [(1, "a", 10), (2, "b", 20)],
+        )
+    _merge_on_conflict(conn_str, "tgt", "tgt_stg", ["id"], ["id", "name", "qty"])
+    # second pass: one conflicting update, one fresh insert
+    with con:
+        con.execute("DELETE FROM tgt_stg")
+        con.executemany(
+            "INSERT INTO tgt_stg VALUES (?, ?, ?)",
+            [(2, "b2", 22), (3, "c", 30)],
+        )
+    _merge_on_conflict(conn_str, "tgt", "tgt_stg", ["id"], ["id", "name", "qty"])
+    rows = sorted(con.execute("SELECT id, name, qty FROM tgt").fetchall())
+    con.close()
+    assert rows == [(1, "a", 10), (2, "b2", 22), (3, "c", 30)]
