@@ -186,3 +186,29 @@ def run_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static enrichment join: the static dim side is re-read per
+    micro-batch (picking up slowly-changing updates) and broadcast, so the
+    stream side never shuffles — the standard shape for joining a 100 TB/day
+    event stream to reference data."""
+    return events.join(F.broadcast(dim), on=key, how="left")
+
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    batch_fn,
+) -> None:
+    """foreachBatch drain: each micro-batch DataFrame is handed to
+    ``batch_fn(df, batch_id)`` — the escape hatch for sinks Structured
+    Streaming lacks natively (JDBC upsert, multi-table writes), with
+    exactly-once via the checkpoint + idempotent batch ids."""
+    q = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
