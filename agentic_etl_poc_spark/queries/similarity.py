@@ -176,3 +176,101 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim")
         .orderBy("query_id", "neighbor_id")
     )
+
+
+N_CELLS = 8
+
+
+@register(
+    "s03_ann_ivf",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+  WHERE vec_id < {N_CELLS}
+),
+assigned AS (
+  SELECT vec_id, label, embedding, cell_id FROM (
+    SELECT e.vec_id, e.label, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {duck_cosine('e.embedding', 'c.cvec', DIM)} DESC,
+                      c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {duck_cosine('q.embedding', 'c.embedding', DIM)} AS cos_sim
+  FROM assigned q JOIN assigned c
+    ON q.cell_id = c.cell_id AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM cand
+) WHERE rn <= 3
+ORDER BY query_id, neighbor_id
+""",
+    description="IVF-Flat ANN: a deterministic coarse quantizer (the first "
+    f"{N_CELLS} vectors as cell centroids — a stand-in for k-means, which "
+    "has no cross-engine-deterministic training) assigns every vector to "
+    "its nearest cell via argmax cosine; queries probe ONLY their own cell "
+    "then take exact top-3.  The centroid table broadcasts (tiny), "
+    "assignment is map-side, and the probe join keys on cell_id — at "
+    "scale, cells partition the corpus so each query touches 1/N of the "
+    "data; recall is tuned by probing the P nearest cells instead of 1.",
+)
+def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.functions.hashing import dot_fold
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+        )
+    )
+    # assignment: argmax cosine over the broadcast centroid table
+    scored = e.crossJoin(cents).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cell_id",
+        cosine(F.col("embedding"), F.col("cvec")).alias("sim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("cell_id")
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "cell_id",
+            dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
+        )
+    )
+    q = F.broadcast(assigned.filter(F.col("vec_id") < N_QUERIES)).alias("q")
+    c = assigned.alias("c")
+    cos = dot_fold(F.col("q.embedding"), F.col("c.embedding")) / F.sqrt(
+        F.col("q.nsq") * F.col("c.nsq")
+    )
+    cand = q.join(
+        c,
+        (F.col("q.cell_id") == F.col("c.cell_id"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cos.alias("cos_sim"),
+    )
+    w_topk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "neighbor_id")
+    )
