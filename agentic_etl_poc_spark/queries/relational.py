@@ -572,12 +572,19 @@ def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q23_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    # Two separate aggregations joined on the 3-row group key.  Mixing a
+    # DISTINCT aggregate with approx_count_distinct in ONE agg makes
+    # Catalyst Expand every row for both paths and allocate an HLL sketch
+    # per (flag, orderkey) PARTIAL group in the distinct path — at rsd=0.01
+    # that is ~100k sketches of 2^16 registers each, pure GC thrash.
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_nd")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_nd")
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_nd"),
-            F.countDistinct("l_orderkey").alias("exact_nd"),
-        )
+        approx.join(exact, "l_returnflag")
         .withColumn(
             "rel_err",
             F.abs(F.col("approx_nd") - F.col("exact_nd"))
