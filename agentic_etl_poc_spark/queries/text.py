@@ -328,15 +328,16 @@ def t05_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("n_tokens bigint, max_token_len bigint, n_long_tokens bigint")
     def token_stats(text: pd.Series) -> pd.DataFrame:
         toks = text.str.split(" ")
+        # explode + groupby(level=0) keeps everything in vectorized pandas
+        # ops (no per-row Python lambdas inside the Arrow batch)
+        flat = toks.explode()
+        lens = flat.str.len()
+        g = lens.groupby(level=0)
         return pd.DataFrame(
             {
-                "n_tokens": toks.str.len().astype("int64"),
-                "max_token_len": toks.map(
-                    lambda ws: max(len(w) for w in ws)
-                ).astype("int64"),
-                "n_long_tokens": toks.map(
-                    lambda ws: sum(1 for w in ws if len(w) >= 8)
-                ).astype("int64"),
+                "n_tokens": g.size().astype("int64"),
+                "max_token_len": g.max().astype("int64"),
+                "n_long_tokens": (lens >= 8).groupby(level=0).sum().astype("int64"),
             }
         )
 
