@@ -63,3 +63,27 @@ def read_csv_triplet(
     if max_bytes is not None and total > max_bytes:
         raise ValueError(f"input too large: {total} bytes > {max_bytes}")
     return {name: read_csv(spark, p, max_bytes=None) for name, p in paths.items()}
+
+
+def read_csv_b64(
+    spark: SparkSession,
+    content_b64: str,
+    max_bytes: int | None = 1_000_000_000,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Inline-content variant of the CSV source (reference:
+    etl_agent/tools.py:23-27 accepts ``content_b64``): decode on the
+    driver, parse with pandas (same inference the reference used), ship to
+    the cluster via Arrow.  Inline payloads are small by construction —
+    for anything sizable the caller should land a file and use
+    ``read_csv``."""
+    import base64
+    import io
+
+    import pandas as pd
+
+    raw = base64.b64decode(content_b64)
+    if max_bytes is not None and len(raw) > max_bytes:
+        raise ValueError(f"input too large: {len(raw)} > {max_bytes}")
+    pdf = pd.read_csv(io.BytesIO(raw), sep=delimiter)
+    return spark.createDataFrame(pdf)

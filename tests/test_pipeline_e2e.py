@@ -303,3 +303,59 @@ def test_upsert_merge_on_conflict(tmp_path):
     rows = sorted(con.execute("SELECT id, name, qty FROM tgt").fetchall())
     con.close()
     assert rows == [(1, "a", 10), (2, "b2", 22), (3, "c", 30)]
+
+
+def test_read_csv_b64(spark):
+    import base64
+
+    from agentic_etl_poc_spark.sources.csv_source import read_csv_b64
+
+    csv = "a,b\n1,x\n2,NA\n"
+    df = read_csv_b64(spark, base64.b64encode(csv.encode()).decode())
+    rows = sorted(df.collect(), key=lambda r: r["a"])
+    assert len(rows) == 2 and rows[0]["b"] == "x"
+
+
+def test_fetch_api_monkeypatched(spark, monkeypatch):
+    """API source contract without network: stub requests.get, check query
+    params, selector traversal, and json_normalize flattening."""
+    import sys
+    import types
+
+    calls = {}
+
+    class FakeResp:
+        def raise_for_status(self):
+            pass
+
+        def json(self):
+            # the selector "data['products']" binds `data` to the whole
+            # response (reference eval semantics), so products is top-level
+            return {
+                "products": [
+                    {"sku": 1, "price": {"amount": 9.5}},
+                    {"sku": 2, "price": {"amount": 3.0}},
+                ]
+            }
+
+    def fake_get(url, params=None, timeout=None):
+        calls.update(url=url, params=params, timeout=timeout)
+        return FakeResp()
+
+    fake_requests = types.ModuleType("requests")
+    fake_requests.get = fake_get
+    monkeypatch.setitem(sys.modules, "requests", fake_requests)
+
+    from agentic_etl_poc_spark.sources.api_source import fetch_api
+
+    df = fetch_api(
+        spark,
+        "https://example.test/api",
+        params='{"limit": 2}',
+        json_path="data['products']",
+    )
+    assert calls["params"] == {"limit": 2}
+    assert calls["timeout"] == 120
+    rows = sorted(df.collect(), key=lambda r: r["sku"])
+    assert rows[0]["sku"] == 1
+    assert rows[0]["price.amount"] == 9.5  # dotted flattening, json_normalize-style
