@@ -169,3 +169,18 @@ def test_foreach_batch_upsert_sink(spark, events_json_dir, tmp_path):
     rows = dict(con.execute("SELECT event_type, count FROM counts").fetchall())
     con.close()
     assert sum(rows.values()) > 0
+
+
+def test_stream_dedup(spark, sf_smoke, tmp_path):
+    """Duplicate every event in the source; the watermarked streaming dedup
+    must restore the original count."""
+    from agentic_etl_poc_spark.streaming.events import dedup_stream
+
+    src = str(tmp_path / "dup_json")
+    ev = table(spark, sf_smoke, "events")
+    ev.unionByName(ev).coalesce(2).write.mode("overwrite").json(src)
+
+    stream = stream_events(spark, src, watermark="1 minute")
+    run_to_memory(dedup_stream(stream), "stream_dedup")
+    got = spark.sql("SELECT COUNT(*) AS n FROM stream_dedup").collect()[0]["n"]
+    assert got == ev.count()
