@@ -130,3 +130,45 @@ def frame_sample(df: DataFrame, n_frames: int = 4, fake: bool = False) -> DataFr
     return df.select("item_id", "payload").mapInPandas(
         run, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+def _decode_audio_real(payload: bytes) -> tuple[float, int, float]:
+    raise NotImplementedError(
+        "audio decode requires torchaudio/soundfile, not available in this "
+        "environment; pass fake=True for the deterministic stub"
+    )
+
+
+def _decode_audio_fake(payload: bytes) -> tuple[float, int, float]:
+    """Deterministic pseudo-decode: duration/rate/rms derived from a crc of
+    the payload — stable across engines/runs, no audio libs."""
+    crc = zlib.crc32(payload)
+    duration = 0.5 + (crc % 6000) / 100.0
+    sample_rate = (8000, 16000, 22050, 44100)[crc % 4]
+    rms = ((crc >> 2) % 10_000) / 10_000.0
+    return duration, sample_rate, rms
+
+
+def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Extract audio features per item via Arrow-batched mapInPandas.
+    ``df`` must have columns (item_id, payload)."""
+    decode = _decode_audio_fake if fake else _decode_audio_real
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                data = bytes(payload)
+                duration, rate, rms = decode(data)
+                out.append((int(item_id), len(data), duration, rate, rms))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "payload_bytes", "duration_sec",
+                    "sample_rate", "rms",
+                ],
+            )
+
+    return df.select("item_id", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )

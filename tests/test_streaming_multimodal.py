@@ -184,3 +184,16 @@ def test_stream_dedup(spark, sf_smoke, tmp_path):
     run_to_memory(dedup_stream(stream), "stream_dedup")
     got = spark.sql("SELECT COUNT(*) AS n FROM stream_dedup").collect()[0]["n"]
     assert got == ev.count()
+
+
+def test_multimodal_audio_features_fake(spark, sf_smoke):
+    from agentic_etl_poc_spark.operators.multimodal import audio_features
+
+    docs = table(spark, sf_smoke, "documents").limit(50)
+    payloads = attach_binary_payload(docs)
+    rows = audio_features(payloads, fake=True).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["duration_sec"] >= 0.5
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+        assert 0.0 <= r["rms"] <= 1.0
