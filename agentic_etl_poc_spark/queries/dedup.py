@@ -80,21 +80,26 @@ def spark_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def spark_grams(corpus: DataFrame) -> DataFrame:
     """Distinct word-bigram shingles per doc, built array-side — mirrors
-    DUCK_GRAMS exactly.  Distinctness is per (doc_id, gram), so it is
-    computed with array_distinct BEFORE the explode: zero shuffle, vs a
-    full shuffle of every shingle row for ``.distinct()`` after."""
-    words = F.split(F.col("text"), " ")
-    grams_arr = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return corpus.select(
-        "doc_id", F.explode(F.array_distinct(grams_arr)).alias("gram")
+    DUCK_GRAMS exactly.  Two deliberate physical choices:
+
+    - distinctness is per (doc_id, gram), so array_distinct runs BEFORE
+      the explode: zero shuffle, vs a full shuffle of every shingle row
+      for ``.distinct()`` after;
+    - bigrams come from zip_with over two slices of a PRE-PROJECTED words
+      column (one concat per element; a 1-word doc slices to [] for free).
+      The transform(sequence, element_at) alternative is ~4x slower: the
+      higher-order lambda is interpreted (no whole-stage codegen) and
+      re-evaluates split() per reference unless it sits behind its own
+      projection."""
+    w = corpus.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    n = F.size(F.col("ws"))
+    bigrams = F.zip_with(
+        F.slice(F.col("ws"), 1, n - 1),
+        F.slice(F.col("ws"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return w.select(
+        "doc_id", F.explode(F.array_distinct(bigrams)).alias("gram")
     )
 
 
