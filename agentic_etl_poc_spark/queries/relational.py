@@ -644,3 +644,119 @@ def q25_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("amount").isNotNull())
         .orderBy("c_mktsegment", "prio")
     )
+
+
+@register(
+    "q27_correlated_subquery",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+  AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+ORDER BY c_custkey
+""",
+    description="Correlated subqueries: EXISTS predicate, correlated scalar "
+    "COUNT, and an uncorrelated scalar AVG threshold.  Catalyst de-"
+    "correlates these into joins (left-semi for EXISTS, aggregate+join for "
+    "the scalar) — no per-row re-execution, unlike a naive evaluator.  "
+    "AVG over doubles is hash-safe here because it only gates a filter on "
+    "values far from the threshold, never lands in the output.",
+)
+def q27_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("customer", "orders"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q27_{name}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal,
+          (SELECT COUNT(*) FROM q27_orders WHERE o_custkey = c_custkey)
+            AS n_orders
+        FROM q27_customer
+        WHERE EXISTS (SELECT 1 FROM q27_orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+          AND c_acctbal > (SELECT AVG(c_acctbal) FROM q27_customer)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "q28_array_map_agg",
+    oracle="""
+SELECT n_name,
+  list(c_custkey ORDER BY c_custkey)[1:5] AS first_custkeys,
+  CAST(len(list(c_custkey)) AS BIGINT) AS n_customers,
+  CAST(list_sum(list_transform(list(c_acctbal ORDER BY c_custkey)[1:5],
+       x -> CAST(x AS DECIMAL(28,2)))) AS DOUBLE) AS top5_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    description="Array aggregation functions: per-group ordered collect "
+    "(sorted for determinism — bare collect_list order is partition-"
+    "dependent), array slice, and an exact decimal fold over the slice.  "
+    "The scale warning is explicit: collecting a group into an array is "
+    "bounded-group-size work (top-5 here); unbounded groups need windows.",
+)
+def q28_array_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    pairs = F.array_sort(
+        F.collect_list(F.struct("c_custkey", "c_acctbal"))
+    )
+    top5 = F.slice(pairs, 1, 5)
+    top5_bal = (
+        F.aggregate(
+            F.transform(top5, lambda s: s["c_acctbal"].cast("decimal(28,2)")),
+            F.lit(0).cast("decimal(28,2)"),
+            # decimal + widens precision per step; re-cast keeps the
+            # accumulator type fixed (exact: 5 values of acctbal magnitude)
+            lambda acc, x: (acc + x).cast("decimal(28,2)"),
+        )
+        .cast("double")
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.transform(top5, lambda s: s["c_custkey"]).alias("first_custkeys"),
+            F.size(pairs).cast("bigint").alias("n_customers"),
+            top5_bal.alias("top5_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q29_range_frame_interval",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+       RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS orders_trailing_30d
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+    description="RANGE window frame over event time (trailing 30-day count "
+    "per customer) + date interval arithmetic — the value-based frame "
+    "family q11's ROWS frame doesn't cover.",
+)
+def q29_range_frame_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    o.createOrReplaceTempView("q29_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+          date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+          date_format(o_orderdate + INTERVAL 90 DAY, 'yyyy-MM-dd') AS due_date,
+          CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS orders_trailing_30d
+        FROM q29_orders
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+        """
+    )

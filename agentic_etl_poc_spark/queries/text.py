@@ -244,23 +244,18 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("bigint"))
     d = d.select("doc_id", F.length(text).alias("n"), codes.alias("cs"))
 
-    def at(i, off):
-        return F.element_at(F.col("cs"), i + off)
+    # The 4 staggered windows as zip_with over slices of the pre-projected
+    # code array — same interpreted-HOF-avoidance as spark_grams: one
+    # multiply-add per element instead of 4 element_at lambda evals per
+    # position.
+    def sl(off):
+        return F.slice(F.col("cs"), off, F.col("n") - 3)
 
+    hi = F.zip_with(sl(1), sl(2), lambda x, y: x * (_RK_B**3) + y * (_RK_B**2))
+    lo = F.zip_with(sl(3), sl(4), lambda x, y: x * _RK_B + y)
     fp = F.when(
         F.col("n") >= 4,
-        F.array_min(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n") - 3),
-                lambda i: (
-                    at(i, 0) * (_RK_B**3)
-                    + at(i, 1) * (_RK_B**2)
-                    + at(i, 2) * _RK_B
-                    + at(i, 3)
-                )
-                % _RK_M,
-            )
-        ),
+        F.array_min(F.zip_with(hi, lo, lambda u, v: (u + v) % _RK_M)),
     ).otherwise(F.lit(None).cast("bigint"))
     return d.select(
         "doc_id",
