@@ -56,12 +56,23 @@ class DbSource:
 
 
 @dataclass
+class ParquetSource:
+    """Engine extension (not in the reference's schema): the native scale
+    source.  ``path`` registers ``input_df``; ``tables`` registers one view
+    per name, like the CSV triplet."""
+
+    path: str | None = None
+    tables: dict[str, str] | None = None
+
+
+@dataclass
 class Source:
     kind: str = "auto"
     csv: CsvSource | None = None
     json: JsonSource | None = None
     api: ApiSource | None = None
     db: DbSource | None = None
+    parquet: ParquetSource | None = None
 
 
 @dataclass
@@ -85,6 +96,7 @@ class Load:
     table: str | None = None
     mode: str = "append"
     key_cols: list[str] = field(default_factory=list)
+    partition_by: list[str] = field(default_factory=list)  # parquet sink
 
 
 @dataclass
@@ -154,6 +166,12 @@ def plan_from_dict(doc: dict[str, Any]) -> Plan:
         )
         if "db" in src_d
         else None,
+        parquet=ParquetSource(
+            path=_get(_get(src_d, "parquet", {}), "path"),
+            tables=_get(_get(src_d, "parquet", {}), "tables"),
+        )
+        if "parquet" in src_d
+        else None,
     )
 
     tr_d = doc.get("transform", {}) or {}
@@ -171,6 +189,7 @@ def plan_from_dict(doc: dict[str, Any]) -> Plan:
         table=ld_d.get("table"),
         mode=str(ld_d.get("mode", "append")),
         key_cols=list(ld_d.get("key_cols") or []),
+        partition_by=list(ld_d.get("partition_by") or []),
     )
 
     ck_d = doc.get("checks", {}) or {}

@@ -80,4 +80,6 @@ def infer_kind(src: Source) -> str:
         return "csv"
     if src.json and src.json.path.lower().endswith((".json", ".ndjson")):
         return "json"
+    if src.parquet and (src.parquet.path or src.parquet.tables):
+        return "parquet"
     return "api"  # conservative default, matching the reference

@@ -80,6 +80,15 @@ def extract(spark: SparkSession, plan: Plan) -> DataFrame | None:
         from agentic_etl_poc_spark.sources.api_source import fetch_api
 
         df = fetch_api(spark, src.api.url, src.api.params, src.api.json_path)
+    elif kind == "parquet":
+        # engine-native scale source: no size cap (admission control for
+        # parquet happens via partition pruning, not a byte wall)
+        pq = src.parquet
+        if pq.tables:
+            for name, p in pq.tables.items():
+                spark.read.parquet(p).createOrReplaceTempView(name)
+            return None
+        df = spark.read.parquet(pq.path)
     else:
         raise ValueError(f"unknown source kind: {kind!r}")
 
@@ -142,6 +151,14 @@ def run_from_plan(
                 out, ld.file_path, include_header=ld.include_header,
                 row_count=dq["rows"],
             )
+        elif ld.to == "parquet":
+            from agentic_etl_poc_spark.sinks.parquet_sink import write_parquet
+
+            if not ld.file_path:
+                raise ValueError("parquet load requires load.file_path")
+            msg = write_parquet(
+                out, ld.file_path, mode=ld.mode, partition_by=ld.partition_by
+            )
         else:
             msg = load_to_postgres(
                 out, ld.conn_str, ld.table, mode=ld.mode,
@@ -152,7 +169,20 @@ def run_from_plan(
 
     # 5) verify gate (re-reads the artifact)
     vf = plan.verify
-    if ld.to == "csv":
+    if ld.to == "parquet":
+        from agentic_etl_poc_spark.sinks.parquet_sink import verify_parquet
+
+        ver = verify_parquet(
+            spark,
+            ld.file_path,
+            min_rows=vf.min_rows if vf.min_rows is not None else plan.checks.min_rows,
+            nonnull_cols=(
+                vf.nonnull_cols
+                if vf.nonnull_cols is not None
+                else plan.checks.nonnull_cols
+            ),
+        )
+    elif ld.to == "csv":
         ver = verify_csv(
             spark,
             ld.file_path,
