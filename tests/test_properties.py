@@ -108,3 +108,23 @@ load: {to: csv, file_path: $PBT_OUT}
     )
     assert plan.transform.sql.strip() == "SELECT 2 AS x"
     assert plan.load.file_path == "/tmp/out.csv"
+
+
+def test_to_jdbc_url_translation():
+    from agentic_etl_poc_spark.sources.jdbc_source import to_jdbc_url
+
+    url, props = to_jdbc_url("postgresql+psycopg2://u:pw@dbhost:5433/mydb")
+    assert url == "jdbc:postgresql://dbhost:5433/mydb"
+    assert props == {"user": "u", "password": "pw"}
+    # default port + postgres alias
+    url, props = to_jdbc_url("postgres://u@dbhost/mydb")
+    assert url == "jdbc:postgresql://dbhost:5432/mydb"
+    assert props == {"user": "u"}
+    # jdbc passthrough
+    url, props = to_jdbc_url("jdbc:mysql://h:3306/d")
+    assert url == "jdbc:mysql://h:3306/d" and props == {}
+    # garbage rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        to_jdbc_url("not a conn string")
