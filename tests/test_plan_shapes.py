@@ -1,0 +1,64 @@
+"""Physical-plan shape assertions for the battery's scale claims.
+
+Correctness is the oracle suite's job; these tests pin the OPTIMIZER
+behavior the 100 TB story depends on — filter pushdown into the parquet
+scan, column pruning, dimension broadcast, top-k without a global sort.
+If a refactor silently turns a broadcast join into a shuffle join or
+widens a scan to all columns, this is the suite that goes red.
+"""
+
+from __future__ import annotations
+
+from agentic_etl_poc_spark.queries import load_all
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q01_pushdown_and_pruning(spark, sf_smoke):
+    plan = _formatted_plan(load_all()["q01_pricing_summary"].fn(spark, sf_smoke))
+    # the shipdate filter reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # the scan reads only needed columns (lineitem has 16; q01 needs 7)
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q06_dims_broadcast(spark, sf_smoke):
+    plan = _formatted_plan(
+        load_all()["q06_join_cast_key_broadcast"].fn(spark, sf_smoke)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_s01_topk_no_global_sort(spark, sf_smoke):
+    plan = _formatted_plan(load_all()["s01_knn_bruteforce"].fn(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q08_topk_no_global_sort(spark, sf_smoke):
+    plan = _formatted_plan(load_all()["q08_topk_orders"].fn(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_d03_gram_exchange_reused(spark, sf_smoke):
+    """The explicit repartition(gram) exchange must be REUSED across its
+    consumers — visible only in the AQE final plan, so execute first."""
+    df = load_all()["d03_ngram_jaccard"].fn(spark, sf_smoke)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, final[:2000]
+
+
+def test_q20_no_python_in_plan(spark, sf_smoke):
+    """Pure-relational queries must not fall back to Python evaluation."""
+    for name in ("q01_pricing_summary", "q05_left_join_multikey",
+                 "q20_tumbling_window"):
+        plan = _formatted_plan(load_all()[name].fn(spark, sf_smoke))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
