@@ -235,10 +235,10 @@ def _duck_perms_values() -> str:
     return ", ".join(f"({i}, {a}, {b})" for i, a, b in MINHASH_PERMS)
 
 
-@register(
-    "d04_minhash_lsh",
-    oracle=f"""
-WITH {DUCK_CORPUS},
+#: Shared CTE chain ending in ``pairs(id1, id2, jaccard)`` — the verified
+#: MinHash near-dup pairs.  Used by d04 (reports pairs) and d07 (clusters
+#: them into connected components).
+DUCK_MINHASH_PAIRS = f"""{DUCK_CORPUS},
 {DUCK_GRAMS},
 hashes AS (
   SELECT doc_id, {duck_md5_48('gram')} % {MERSENNE_P} AS h0 FROM grams
@@ -266,13 +266,22 @@ inter AS (
   JOIN grams t1 ON t1.doc_id = c.id1
   JOIN grams t2 ON t2.doc_id = c.id2 AND t1.gram = t2.gram
   GROUP BY c.id1, c.id2
-)
-SELECT i.id1, i.id2,
-       CAST(i.shared AS DOUBLE) / (s1.sz + s2.sz - i.shared) AS jaccard
-FROM inter i
-JOIN sizes s1 ON i.id1 = s1.doc_id
-JOIN sizes s2 ON i.id2 = s2.doc_id
-WHERE CAST(i.shared AS DOUBLE) / (s1.sz + s2.sz - i.shared) >= 0.5
+),
+pairs AS (
+  SELECT i.id1, i.id2,
+         CAST(i.shared AS DOUBLE) / (s1.sz + s2.sz - i.shared) AS jaccard
+  FROM inter i
+  JOIN sizes s1 ON i.id1 = s1.doc_id
+  JOIN sizes s2 ON i.id2 = s2.doc_id
+  WHERE CAST(i.shared AS DOUBLE) / (s1.sz + s2.sz - i.shared) >= 0.5
+)"""
+
+
+@register(
+    "d04_minhash_lsh",
+    oracle=f"""
+WITH {DUCK_MINHASH_PAIRS}
+SELECT id1, id2, jaccard FROM pairs
 ORDER BY id1, id2
 """,
     description="MinHash(12 perms) + LSH(4 bands x 3): band-bucket join "
@@ -281,6 +290,12 @@ ORDER BY id1, id2
     "Portable hashing: md5-48bit + (a*h+b) mod 2^31-1 (no overflow).",
 )
 def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_verified_pairs(spark, sf_dir).orderBy("id1", "id2")
+
+
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash near-dup pairs (id1 < id2, jaccard >= 0.5) —
+    shared by d04 (reporting) and d07 (clustering)."""
     c = spark_corpus(spark, sf_dir)
     # Single explicit shuffle on doc_id, reused by the signature agg, the
     # doc-size agg, and both verification joins (all keyed on doc_id).
@@ -350,8 +365,97 @@ def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s2, F.col("id2") == F.col("s2.doc_id"))
         .select("id1", "id2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
-        .orderBy("id1", "id2")
     )
+
+
+@register(
+    "d07_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {DUCK_MINHASH_PAIRS},
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL
+  SELECT id2, id1 FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+step(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, s.label FROM step s JOIN edges e ON s.node = e.src
+),
+assign AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+           FROM step GROUP BY node)
+SELECT a.doc_id, a.cluster_id, c.cluster_size
+FROM assign a
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM assign GROUP BY cluster_id) c USING (cluster_id)
+ORDER BY a.doc_id
+""",
+    description="Near-dup CLUSTERING: connected components over the "
+    "verified MinHash pair graph via iterative min-label propagation "
+    "(the keep-one-per-cluster step that turns pairwise near-dups into an "
+    "actual dedup decision).  Spark: driver loop of join+min rounds over "
+    "a persisted edge list, converging in O(component diameter) "
+    "iterations — the label-propagation shape that scales to billion-edge "
+    "graphs (with checkpointing every few rounds to cut lineage).  "
+    "Oracle: recursive CTE computing the same min-reachable-id fixpoint.",
+)
+def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_verified_pairs(spark, sf_dir)
+    fwd = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    rev = pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    edges = fwd.unionByName(rev).persist()
+    try:
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .persist()
+        )
+        # Min-label propagation: sum(labels) strictly decreases each round
+        # until fixpoint, so one cheap agg detects convergence.
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        for _ in range(20):
+            nbr_min = (
+                edges.join(labels, edges["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        sizes = labels.groupBy("label").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        out = (
+            labels.join(sizes, "label")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+                "cluster_size",
+            )
+            .orderBy("doc_id")
+        )
+        # materialize before unpersisting the lineage inputs
+        result = out.localCheckpoint(eager=True)
+        labels.unpersist()
+        return result
+    finally:
+        edges.unpersist()
 
 
 @register(

@@ -342,3 +342,136 @@ def t05_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "s.n_tokens", "s.max_token_len", "s.n_long_tokens")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t06_boilerplate_ratio",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i + 1]))) AS gram
+  FROM documents
+),
+df AS (SELECT gram, COUNT(*) AS doc_freq FROM g GROUP BY gram),
+scored AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN df.doc_freq > 50 THEN 1 ELSE 0 END) AS n_common
+  FROM g JOIN df ON g.gram = df.gram
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_common,
+       CAST(n_common AS DOUBLE) / n_grams AS common_ratio,
+       CASE WHEN CAST(n_common AS DOUBLE) / n_grams > 0.9
+            THEN 'templated' ELSE 'ok' END AS flag
+FROM scored
+ORDER BY doc_id
+""",
+    description="Boilerplate/templated-ness detection: share of a doc's "
+    "distinct word-bigrams that are corpus-common (doc-frequency > 50) — "
+    "the shingle-frequency analogue of repeated-line boilerplate removal "
+    "in pretraining pipelines.  One shuffle builds the doc-frequency "
+    "table; scoring joins it back (at 100 TB: broadcast the common-gram "
+    "minority, not the full df table).",
+)
+def t06_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.queries.dedup import spark_grams
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = spark_grams(d).repartition("gram")
+    df_counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = (
+        g.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("doc_freq") > 50, 1).otherwise(0)).alias(
+                "n_common"
+            ),
+        )
+    )
+    ratio = F.col("n_common").cast("double") / F.col("n_grams")
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_common",
+        ratio.alias("common_ratio"),
+        F.when(ratio > 0.9, "templated").otherwise("ok").alias("flag"),
+    ).orderBy("doc_id")
+
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "t07_pii_scan_redact",
+    oracle=f"""
+WITH decorated AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call +1-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                     '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+FROM decorated
+ORDER BY doc_id
+""",
+    description="PII scan + redaction: regex counts of email/phone "
+    "patterns and the md5 of the redacted text (the scrubber's output "
+    "contract, hash-verified).  PII is injected deterministically "
+    "in-query — same construction both engines — because the synthetic "
+    "corpus contains none.  Pure JVM regex map-side; no shuffle.",
+)
+def t07_pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +1-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    t = d.select("doc_id", decorated.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    # F.regexp_extract_all with lit patterns: no SQL-string escaping layer
+    # to eat the backslash in \+ (F.expr would need double-escaping).
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
