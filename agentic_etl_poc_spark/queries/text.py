@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from agentic_etl_poc_spark.functions.hashing import duck_md5_48
 from agentic_etl_poc_spark.io_tables import table
 from agentic_etl_poc_spark.queries.core import register
 
@@ -475,3 +476,83 @@ def t07_pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "t08_train_test_split",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, lang,
+    CASE WHEN {duck_md5_48("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         WHEN {duck_md5_48("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM assigned
+GROUP BY lang, split
+ORDER BY lang, split
+""",
+    description="Deterministic train/val/test split (80/10/10) by hashing "
+    "the document id — the reproducible-split primitive every training "
+    "pipeline needs.  Hash-based assignment (not TABLESAMPLE/rand(), which "
+    "are engine- and run-dependent) keeps the split stable across engines, "
+    "runs, and re-partitioning; map-side, no shuffle until the audit "
+    "aggregation.",
+)
+def t08_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.functions.hashing import md5_48
+
+    d = table(spark, sf_dir, "documents")
+    bucket = md5_48(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "t09_corpus_stats",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+freq AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word)
+SELECT word, n,
+       CAST(SUM(n) OVER () AS BIGINT) AS total_tokens,
+       CAST((SELECT COUNT(*) FROM freq) AS BIGINT) AS vocab_size
+FROM freq
+ORDER BY n DESC, word ASC
+LIMIT 20
+""",
+    description="Corpus-level token statistics: top-20 vocabulary by "
+    "frequency with total-token and vocab-size context — the "
+    "tokenizer-training / corpus-audit aggregate.  Explode + groupBy(word) "
+    "is one shuffle of (word, partial-count) pairs thanks to map-side "
+    "combine; the top-20 is TakeOrdered, not a global sort.",
+)
+def t09_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    totals = freq.agg(
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(totals))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )

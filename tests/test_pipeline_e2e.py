@@ -406,3 +406,60 @@ verify:
     back = spark.read.parquet(out_dir)
     one = back.filter(back["c_mktsegment"] == parts[0].split("=")[1])
     assert one.count() > 0
+
+
+def test_e2e_without_dq_section(spark, triplet_dir, tmp_path):
+    """Reference ablation prompt_w_o_dq: no checks section — executor
+    defaults min_rows=1 and proceeds (reference: templates.py:124-128
+    ignores checks.disabled and defaults)."""
+    out_path = str(tmp_path / "no_dq.csv")
+    plan = f"""
+source:
+  kind: csv
+  csv:
+    paths:
+      sales: {triplet_dir}/sales.csv
+      features: {triplet_dir}/features.csv
+      stores: {triplet_dir}/stores.csv
+transform:
+  sql: |
+    SELECT CAST(Store AS INT) AS store_id, COUNT(*) AS n
+    FROM sales GROUP BY store_id ORDER BY store_id
+load:
+  to: csv
+  file_path: {out_path}
+"""
+    result = run_from_plan(spark, plan)
+    assert result["status"] == "ok", json.dumps(result)
+    assert result["dq"]["rows"] == N_STORES
+
+
+def test_e2e_verify_without_nonnull(spark, triplet_dir, tmp_path):
+    """Reference ablation prompt_w_o_verify: verify present but without
+    nonnull cols — fast path (row count + mtime freshness only)."""
+    out_path = str(tmp_path / "fast_verify.csv")
+    plan = f"""
+source:
+  kind: csv
+  csv:
+    paths:
+      sales: {triplet_dir}/sales.csv
+      features: {triplet_dir}/features.csv
+      stores: {triplet_dir}/stores.csv
+transform:
+  sql: |
+    SELECT CAST(Store AS INT) AS store_id, COUNT(*) AS n
+    FROM sales GROUP BY store_id ORDER BY store_id
+load:
+  to: csv
+  file_path: {out_path}
+checks:
+  min_rows: 2
+verify:
+  min_rows: 2
+  max_lag_minutes: 180
+"""
+    result = run_from_plan(spark, plan)
+    assert result["status"] == "ok", json.dumps(result)
+    ver = result["verify"]
+    assert ver["rows"] == N_STORES and ver["status"] is True
