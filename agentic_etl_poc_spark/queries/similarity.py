@@ -135,6 +135,12 @@ ORDER BY query_id, neighbor_id
     "multi-probe neighbors of the bucket for recall.",
 )
 def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_topk(spark, sf_dir).orderBy("query_id", "neighbor_id")
+
+
+def lsh_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """LSH-bucketed approximate top-k per query — shared by s02 (reports
+    neighbors) and s04 (recall evaluation vs the exact baseline)."""
     from agentic_etl_poc_spark.functions.hashing import dot_fold
 
     e = table(spark, sf_dir, "embeddings")
@@ -172,9 +178,8 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
-        .orderBy("query_id", "neighbor_id")
     )
 
 
@@ -273,4 +278,103 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "cos_sim")
         .orderBy("query_id", "neighbor_id")
+    )
+
+
+@register(
+    "s04_ann_recall",
+    oracle=f"""
+WITH planes AS (SELECT unnest(range(0, {N_PLANES})) AS j),
+sigs AS (
+  SELECT vec_id, embedding,
+         CAST(SUM(CASE WHEN {_duck_plane_dot('embedding', 'j')} > 0
+                  THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings CROSS JOIN planes
+  GROUP BY vec_id, embedding
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {duck_cosine('q.embedding', 'c.embedding', DIM)} DESC,
+                      c.vec_id ASC) AS rn
+    FROM sigs q JOIN sigs c
+      ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= 3
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {duck_cosine('q.embedding', 'c.embedding', DIM)} DESC,
+                      c.vec_id ASC) AS rn
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= 3
+)
+SELECT e.query_id,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall_at_3
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+    description="ANN evaluation: recall@3 of the LSH index (s02) against "
+    "the exact brute-force baseline — the measurement loop that justifies "
+    "an approximate index before pointing it at 100 TB.  Exact side scans "
+    "all pairs for the 5 probe queries (broadcast query block); approx "
+    "side reuses the bucketed pipeline; recall joins the two top-k sets.",
+)
+def s04_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.functions.hashing import dot_fold
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
+    )
+    q = F.broadcast(e.filter(F.col("vec_id") < N_QUERIES)).alias("q")
+    c = e.alias("c")
+    cos = dot_fold(F.col("q.embedding"), F.col("c.embedding")) / F.sqrt(
+        F.col("q.nsq") * F.col("c.nsq")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    exact = (
+        q.join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    approx = lsh_topk(spark, sf_dir, k=3).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor_id")
+    )
+    hit = F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0)
+    return (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["neighbor_id"] == approx["a_neighbor_id"]),
+            "left",
+        )
+        .drop(approx["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(hit).cast("bigint").alias("n_hit"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("recall_at_3"),
+        )
+        .orderBy("query_id")
     )
