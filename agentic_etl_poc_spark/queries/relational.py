@@ -760,3 +760,45 @@ def q29_range_frame_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, o_orderdate, o_orderkey
         """
     )
+
+
+@register(
+    "q30_null_semantics",
+    oracle="""
+WITH x AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS p1,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS p2
+  FROM orders WHERE o_orderkey < 2000
+)
+SELECT o_orderkey, p1, p2,
+  (p1 IS NOT DISTINCT FROM p2) AS null_safe_eq,
+  (p1 IS DISTINCT FROM p2) AS null_safe_ne,
+  CAST((p1 = p2) AS VARCHAR) AS plain_eq_3vl,
+  COALESCE(p1, p2, '(none)') AS first_known
+FROM x
+ORDER BY o_orderkey
+""",
+    description="NULL semantics: null-safe equality (IS [NOT] DISTINCT "
+    "FROM / <=>), three-valued logic of plain = rendered explicitly "
+    "(true/false/NULL), and COALESCE chains — the comparison family "
+    "everything from dedup keys to SCD joins depends on.",
+)
+def q30_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    p1 = F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(
+        F.col("o_orderpriority")
+    )
+    p2 = F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(
+        F.col("o_orderpriority")
+    )
+    x = o.select("o_orderkey", p1.alias("p1"), p2.alias("p2"))
+    return x.select(
+        "o_orderkey",
+        "p1",
+        "p2",
+        F.col("p1").eqNullSafe(F.col("p2")).alias("null_safe_eq"),
+        (~F.col("p1").eqNullSafe(F.col("p2"))).alias("null_safe_ne"),
+        (F.col("p1") == F.col("p2")).cast("string").alias("plain_eq_3vl"),
+        F.coalesce("p1", "p2", F.lit("(none)")).alias("first_known"),
+    ).orderBy("o_orderkey")

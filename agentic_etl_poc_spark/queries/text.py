@@ -556,3 +556,56 @@ def t09_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(20)
     )
+
+
+@register(
+    "t10_source_mixture",
+    oracle=f"""
+WITH weighted AS (
+  SELECT doc_id, source,
+    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 100
+         WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
+         ELSE 25 END AS keep_pct,
+    {duck_md5_48("'mix-' || CAST(doc_id AS VARCHAR)")} % 100 AS h
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN h < keep_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN h < keep_pct THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS kept_frac
+FROM weighted
+GROUP BY source
+ORDER BY source
+""",
+    description="Deterministic data-mixture sampling: per-source keep "
+    "rates (100%/50%/25% tiers) applied via hash-threshold on doc_id — "
+    "the corpus-mixing step of a pretraining pipeline, reproducible "
+    "across engines and runs (unlike rand()-based sampling).  Map-side "
+    "decision; the audit aggregation is the only shuffle.",
+)
+def t10_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.functions.hashing import md5_48
+
+    d = table(spark, sf_dir, "documents")
+    tier1 = [f"src{i}" for i in range(5)]
+    tier2 = [f"src{i}" for i in range(5, 10)]
+    keep_pct = (
+        F.when(F.col("source").isin(tier1), 100)
+        .when(F.col("source").isin(tier2), 50)
+        .otherwise(25)
+    )
+    h = md5_48(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))) % 100
+    kept = F.when(h < keep_pct, 1).otherwise(0)
+    return (
+        d.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            (F.sum("kept").cast("double") / F.count(F.lit(1))).alias(
+                "kept_frac"
+            ),
+        )
+        .orderBy("source")
+    )
