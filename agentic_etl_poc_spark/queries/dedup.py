@@ -600,3 +600,49 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("id1"), F.asc("id2"))
         .limit(20)
     )
+
+
+@register(
+    "d08_fuzzy_levenshtein",
+    oracle="""
+WITH names AS (
+  SELECT p_partkey, p_name FROM part WHERE p_partkey < 200
+)
+SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+       1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+           / CAST(greatest(length(a.p_name), length(b.p_name)) AS DOUBLE)
+         AS similarity
+FROM names a JOIN names b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 12
+ORDER BY id1, id2
+""",
+    description="Fuzzy matching via Levenshtein edit distance (both "
+    "engines implement the same DP) with a normalized similarity score — "
+    "the record-linkage primitive between exact dedup (d01/d02) and "
+    "shingle methods (d03-d05).  All-pairs on a bounded block (200 keys); "
+    "at scale the block comes from a cheap blocker (same LSH bucket, same "
+    "sort-key prefix) — never the raw cross join.",
+)
+def d08_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    a = p.select(
+        F.col("p_partkey").alias("id1"), F.col("p_name").alias("name1")
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id2"), F.col("p_name").alias("name2")
+    )
+    dist = F.levenshtein(F.col("name1"), F.col("name2"))
+    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
+        F.length("name1"), F.length("name2")
+    ).cast("double")
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .filter(dist <= 12)
+        .select(
+            "id1", "id2",
+            dist.cast("bigint").alias("edit_dist"),
+            sim.alias("similarity"),
+        )
+        .orderBy("id1", "id2")
+    )

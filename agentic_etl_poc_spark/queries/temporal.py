@@ -403,3 +403,77 @@ def q26_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "q31_date_spine_gapfill",
+    oracle=f"""
+WITH bounds AS (
+  SELECT date_trunc('week', MIN(o_orderdate)) AS lo,
+         date_trunc('week', MAX(o_orderdate)) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 7 DAY)) AS DATE) AS week
+  FROM bounds
+),
+weekly AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0
+  GROUP BY 1
+)
+SELECT strftime(s.week, '%Y-%m-%d') AS week,
+       COALESCE(w.n_orders, 0) AS n_orders,
+       COALESCE(w.total, 0.0) AS total,
+       (w.week IS NULL) AS gap_filled
+FROM spine s LEFT JOIN weekly w ON s.week = w.week
+ORDER BY week
+""",
+    description="Time-series gap filling: a generated continuous week "
+    "spine (sequence + explode — no data needed to enumerate time) LEFT "
+    "JOINed to sparse weekly aggregates, missing weeks zero-filled and "
+    "flagged.  The spine is tiny (one row per period) and broadcasts; the "
+    "aggregate side shuffles once — regular-cadence reporting over "
+    "irregular events at any scale.",
+)
+def q31_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("week", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("week", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 7 DAY"))
+        ).alias("week")
+    )
+    weekly = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 7 == 0)
+        )
+        .groupBy(
+            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    w = weekly.alias("w")
+    s = spine.alias("s")
+    return (
+        s.join(w, F.col("s.week") == F.col("w.week"), "left")
+        .select(
+            F.date_format(F.col("s.week"), "yyyy-MM-dd").alias("week"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
+            F.col("w.week").isNull().alias("gap_filled"),
+        )
+        .orderBy("week")
+    )
