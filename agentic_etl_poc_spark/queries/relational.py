@@ -802,3 +802,45 @@ def q30_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p1") == F.col("p2")).cast("string").alias("plain_eq_3vl"),
         F.coalesce("p1", "p2", F.lit("(none)")).alias("first_known"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q32_histogram",
+    oracle="""
+WITH binned AS (
+  SELECT LEAST(CAST(floor((o_totalprice - 0.0) / 60000.0) AS BIGINT), 9)
+           AS bucket
+  FROM orders
+)
+SELECT bucket,
+       CAST(bucket * 60000.0 AS DOUBLE) AS bucket_lo,
+       CAST((bucket + 1) * 60000.0 AS DOUBLE) AS bucket_hi,
+       COUNT(*) AS n
+FROM binned
+GROUP BY bucket
+ORDER BY bucket
+""",
+    description="Fixed-width histogram (10 bins over order totals) via "
+    "floor arithmetic — the distribution-profiling aggregate.  Binning is "
+    "a map-side projection; one shuffle carries 10 partial counts per "
+    "partition regardless of data volume, so the histogram of 100 TB "
+    "costs one scan.",
+)
+def q32_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    width = 60000.0
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - 0.0) / width).cast("bigint"), F.lit(9)
+    )
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(0.0) + F.col("bucket") * width).alias("bucket_lo"),
+            (F.lit(0.0) + (F.col("bucket") + 1) * width).alias("bucket_hi"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
