@@ -404,7 +404,12 @@ def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_verified_pairs(spark, sf_dir)
     fwd = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     rev = pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
-    edges = fwd.unionByName(rev).persist()
+    # Bound the persisted partition count explicitly: AQE does not re-coalesce
+    # CACHED plans (canChangeCachedPlanOutputPartitioning=false), so without
+    # this every loop iteration would run session-default shuffle-partition
+    # counts of near-empty tasks.
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    edges = fwd.unionByName(rev).repartition(n_part, "src").persist()
     try:
         labels = (
             edges.select(F.col("src").alias("node"))
