@@ -116,6 +116,19 @@ class Verify:
 
 
 @dataclass
+class Incremental:
+    """Engine extension: watermark-incremental batch runs.  Each run
+    processes only source rows with ``ts_col`` strictly greater than the
+    high-watermark stored in the run ledger under ``key``; a successful
+    (verified) run advances the watermark.  Single-source plans only
+    (``input_df``) — multi-table sources have no single increment column."""
+
+    ts_col: str = ""
+    ledger: str = "etl_runs.db"
+    key: str = "default"
+
+
+@dataclass
 class Plan:
     source: Source
     transform: Transform
@@ -125,6 +138,7 @@ class Plan:
     alerts: dict[str, str] = field(default_factory=dict)
     limits: dict[str, Any] = field(default_factory=dict)
     schedule: dict[str, Any] = field(default_factory=dict)
+    incremental: Incremental | None = None
 
     @property
     def max_input_bytes(self) -> int:
@@ -208,6 +222,17 @@ def plan_from_dict(doc: dict[str, Any]) -> Plan:
         max_lag_minutes=int(vf_d.get("max_lag_minutes", DEFAULT_MAX_LAG_MINUTES)),
     )
 
+    inc_d = doc.get("incremental")
+    incremental = (
+        Incremental(
+            ts_col=str(inc_d.get("ts_col", "")),
+            ledger=str(inc_d.get("ledger", "etl_runs.db")),
+            key=str(inc_d.get("key", "default")),
+        )
+        if isinstance(inc_d, dict)
+        else None
+    )
+
     return Plan(
         source=source,
         transform=transform,
@@ -217,4 +242,5 @@ def plan_from_dict(doc: dict[str, Any]) -> Plan:
         alerts=doc.get("alerts", {}) or {},
         limits=doc.get("limits", {}) or {},
         schedule=doc.get("schedule", {}) or {},
+        incremental=incremental,
     )

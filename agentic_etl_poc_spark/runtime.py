@@ -111,7 +111,32 @@ def run_from_plan(
     alerts = plan.alerts
 
     # 1) extract
-    extract(spark, plan)
+    src_df = extract(spark, plan)
+
+    # 1b) incremental watermark filter (engine extension, plans/model.py)
+    inc = plan.incremental
+    new_watermark = None
+    if inc and inc.ts_col:
+        if src_df is None:
+            raise ValueError(
+                "incremental mode requires a single-source plan (input_df)"
+            )
+        from pyspark.sql import functions as _F
+
+        from agentic_etl_poc_spark.memory import RunLedger
+
+        ledger = RunLedger(inc.ledger)
+        wm = ledger.get_state(f"watermark:{inc.key}")
+        if wm is not None:
+            src_df = src_df.filter(
+                _F.col(inc.ts_col) > _F.lit(wm).cast("timestamp")
+            )
+            src_df.createOrReplaceTempView("input_df")
+        # High-watermark of THIS increment: one pushed-down max over the
+        # filtered scan (cheap — one column, predicate at the reader).
+        max_row = src_df.agg(_F.max(inc.ts_col).alias("m")).collect()[0]
+        if max_row["m"] is not None:
+            new_watermark = max_row["m"].isoformat()
 
     # 2) transform (lazy)
     if plan.transform.steps:
@@ -208,6 +233,14 @@ def run_from_plan(
         return {"status": "failed", "verify": ver}
 
     report_status("load", msg)
+
+    # Advance the incremental watermark ONLY after a verified load —
+    # a failed run leaves it untouched, so the next tick reprocesses.
+    if inc and inc.ts_col and new_watermark is not None:
+        from agentic_etl_poc_spark.memory import RunLedger
+
+        RunLedger(inc.ledger).set_state(f"watermark:{inc.key}", new_watermark)
+
     return {"status": "ok", "dq": dq, "message": msg, "verify": ver}
 
 

@@ -463,3 +463,68 @@ verify:
     assert result["status"] == "ok", json.dumps(result)
     ver = result["verify"]
     assert ver["rows"] == N_STORES and ver["status"] is True
+
+
+def test_e2e_incremental_watermark(spark, tmp_path):
+    """Incremental runs: tick 1 processes the initial data, tick 2 only
+    the newly-arrived file, tick 3 (nothing new) processes zero rows —
+    the watermark only advances on verified success."""
+    from agentic_etl_poc_spark.memory import RunLedger
+
+    src_dir = tmp_path / "incr_src"
+    src_dir.mkdir()
+    ledger = str(tmp_path / "ledger.db")
+    out_dir = str(tmp_path / "incr_out")
+
+    from agentic_etl_poc_spark.io_tables import table as _table
+
+    ev = _table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    cutoff = ev.agg({"ts": "max"}).collect()[0][0]
+    import datetime as dt
+
+    split_at = cutoff - dt.timedelta(days=7)
+    first = ev.filter(ev["ts"] <= split_at)
+    second = ev.filter(ev["ts"] > split_at)
+    n1, n2 = first.count(), second.count()
+    assert n1 > 0 and n2 > 0
+    first.write.mode("overwrite").parquet(str(src_dir / "batch1"))
+
+    def plan(min_rows):
+        return f"""
+source:
+  kind: parquet
+  parquet:
+    path: {src_dir}/*
+transform:
+  sql: SELECT event_id, ts, event_type, value FROM input_df
+load:
+  to: parquet
+  file_path: {out_dir}
+  mode: append
+checks:
+  min_rows: {min_rows}
+incremental:
+  ts_col: ts
+  ledger: {ledger}
+  key: events_pipeline
+"""
+
+    r1 = run_from_plan(spark, plan(1))
+    assert r1["status"] == "ok", json.dumps(r1)
+    assert r1["dq"]["rows"] == n1
+
+    second.write.mode("overwrite").parquet(str(src_dir / "batch2"))
+    r2 = run_from_plan(spark, plan(1))
+    assert r2["status"] == "ok", json.dumps(r2)
+    assert r2["dq"]["rows"] == n2  # ONLY the new rows
+
+    r3 = run_from_plan(spark, plan(0))
+    assert r3["status"] == "ok", json.dumps(r3)
+    assert r3["dq"]["rows"] == 0  # nothing new
+
+    # sink accumulated exactly once per row
+    assert spark.read.parquet(out_dir).count() == n1 + n2
+    wm = RunLedger(ledger).get_state("watermark:events_pipeline")
+    assert wm is not None and wm.startswith(str(cutoff.year))
