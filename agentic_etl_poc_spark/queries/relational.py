@@ -844,3 +844,66 @@ def q32_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q34_full_outer_reconcile",
+    oracle="""
+WITH o_daily AS (
+  SELECT o_orderdate AS d, COUNT(*) AS n_orders
+  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 11 = 0
+  GROUP BY 1
+),
+l_daily AS (
+  SELECT l_shipdate AS d, COUNT(*) AS n_ships
+  FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey % 13 = 0
+  GROUP BY 1
+)
+SELECT strftime(COALESCE(o.d, l.d), '%Y-%m-%d') AS day,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(l.n_ships, 0) AS n_ships,
+       CASE WHEN o.d IS NULL THEN 'ships_only'
+            WHEN l.d IS NULL THEN 'orders_only'
+            ELSE 'both' END AS presence
+FROM o_daily o FULL OUTER JOIN l_daily l ON o.d = l.d
+ORDER BY day
+""",
+    description="FULL OUTER JOIN reconciliation of two sparse daily "
+    "aggregates — rows surviving from either side with COALESCEd keys and "
+    "a presence flag: the audit/recon query shape (orders vs shipments).  "
+    "Completes the join-type family: inner, left (q05), semi/anti (q13), "
+    "cross (s01), as-of (q18), range (q19), full outer.",
+)
+def q34_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 11 == 0)
+        )
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_orderkey") % 13 == 0))
+        .groupBy(F.col("l_shipdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_ships"))
+    )
+    oa, la = o.alias("o"), li.alias("l")
+    presence = (
+        F.when(F.col("o.d").isNull(), "ships_only")
+        .when(F.col("l.d").isNull(), "orders_only")
+        .otherwise("both")
+    )
+    return (
+        oa.join(la, F.col("o.d") == F.col("l.d"), "full_outer")
+        .select(
+            F.date_format(F.coalesce(F.col("o.d"), F.col("l.d")), "yyyy-MM-dd")
+            .alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+            presence.alias("presence"),
+        )
+        .orderBy("day")
+    )

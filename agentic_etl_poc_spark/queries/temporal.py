@@ -477,3 +477,42 @@ def q31_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "q33_scd2_versions",
+    oracle=f"""
+WITH changes AS (
+  SELECT user_id, ts, event_type, value FROM events WHERE user_id < 50
+)
+SELECT user_id,
+  event_type AS attr_value,
+  strftime(ts, '{TS_FMT_DUCK}') AS valid_from,
+  strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type),
+           '{TS_FMT_DUCK}') AS valid_to,
+  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) IS NULL)
+    AS is_current
+FROM changes
+ORDER BY user_id, valid_from, attr_value
+""",
+    description="SCD Type-2 dimension versioning from a change feed: each "
+    "change opens a version (valid_from = its timestamp) and closes the "
+    "previous one (valid_to = LEAD over the entity's timeline); the open "
+    "version is flagged current.  One window over (entity, time) — one "
+    "shuffle on the entity key, the standard warehouse history-table "
+    "build at any scale.",
+)
+def q33_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    valid_to = F.lead("ts").over(w)
+    return (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("attr_value"),
+            F.date_format("ts", TS_FMT_SPARK).alias("valid_from"),
+            F.date_format(valid_to, TS_FMT_SPARK).alias("valid_to"),
+            valid_to.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "attr_value")
+    )
