@@ -907,3 +907,44 @@ def q34_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q35_not_in_null_trap",
+    oracle="""
+WITH keys AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+  FROM orders WHERE o_orderkey < 5000
+)
+SELECT 'not_in' AS variant, COUNT(*) AS n
+FROM customer WHERE c_custkey NOT IN (SELECT k FROM keys)
+UNION ALL
+SELECT 'not_exists', COUNT(*)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c.c_custkey)
+ORDER BY variant
+""",
+    description="The NOT IN null trap, side by side: one NULL in the "
+    "subquery makes NOT IN return zero rows (three-valued logic), while "
+    "NOT EXISTS gives the intended anti-join.  Physically this is Spark's "
+    "null-aware anti join vs a plain left-anti — both engines implement "
+    "the same ANSI semantics, verified by the paired counts.",
+)
+def q35_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q35_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("q35_customer")
+    return spark.sql(
+        """
+        WITH keys AS (
+          SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+          FROM q35_orders WHERE o_orderkey < 5000
+        )
+        SELECT 'not_in' AS variant, COUNT(*) AS n
+        FROM q35_customer WHERE c_custkey NOT IN (SELECT k FROM keys)
+        UNION ALL
+        SELECT 'not_exists', COUNT(*)
+        FROM q35_customer c
+        WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c.c_custkey)
+        ORDER BY variant
+        """
+    )

@@ -609,3 +609,35 @@ def t10_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "m02_frame_fingerprints",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text,
+         greatest(length(text) // 4, 1) AS step
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id AS item_id,
+       CAST(i AS INT) AS frame_idx,
+       md5(substr(text, i * step + 1, step)) AS frame_md5
+FROM f CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+ORDER BY item_id, frame_idx
+""",
+    description="Multimodal frame sampling, hash-verified end to end: the "
+    "Arrow-batched mapInPandas kernel (operators/multimodal.py::"
+    "frame_sample — 1 payload in, 4 fingerprinted frames out) against a "
+    "pure-SQL oracle slicing the same bytes.  Proves the Python-kernel "
+    "PLUMBING (schema, batching, row explosion) byte-exactly, not just "
+    "row counts — the contract a real video decoder would slot into.",
+)
+def m02_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    frames = frame_sample(attach_binary_payload(d), n_frames=4, fake=True)
+    return frames.orderBy("item_id", "frame_idx")
