@@ -378,3 +378,152 @@ def s04_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "s05_ann_multiprobe",
+    oracle=f"""
+WITH planes AS (SELECT unnest(range(0, {N_PLANES})) AS j),
+sigs AS (
+  SELECT vec_id, embedding,
+         CAST(SUM(CASE WHEN {_duck_plane_dot('embedding', 'j')} > 0
+                  THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings CROSS JOIN planes
+  GROUP BY vec_id, embedding
+),
+probes AS (
+  SELECT vec_id, embedding,
+         CASE WHEN p = 0 THEN bucket ELSE xor(bucket, 1::BIGINT << (p - 1)) END
+           AS probe_bucket
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {N_PLANES} + 1)) AS p)
+  WHERE vec_id < {N_QUERIES}
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {duck_cosine('q.embedding', 'c.embedding', DIM)} DESC,
+                      c.vec_id ASC) AS rn
+    FROM probes q JOIN sigs c
+      ON q.probe_bucket = c.bucket AND q.vec_id <> c.vec_id
+  ) WHERE rn <= 3
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {duck_cosine('q.embedding', 'c.embedding', DIM)} DESC,
+                      c.vec_id ASC) AS rn
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= 3
+)
+SELECT e.query_id,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall_at_3
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+    description="Multi-probe LSH: each query probes its own bucket AND "
+    "every Hamming-1 neighbor (flip one plane bit) — 5 of 16 buckets, "
+    "~5x the candidates, measurably higher recall@3 than s04's single "
+    "probe at a fraction of brute-force cost.  The probe list is a tiny "
+    "per-query explode; the corpus is still touched only via the bucket "
+    "equi-join — the standard recall/cost dial for LSH at scale.",
+)
+def s05_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.functions.hashing import dot_fold
+
+    e = table(spark, sf_dir, "embeddings")
+    bucket = F.lit(0).cast("bigint")
+    for j in range(N_PLANES):
+        bucket = bucket + F.when(
+            _plane_dot_spark(F.col("embedding"), j) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    sigs = e.select(
+        "vec_id",
+        "embedding",
+        bucket.cast("bigint").alias("bucket"),
+        dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
+    )
+    probe_arr = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << (p - 1)))
+            for p in range(1, N_PLANES + 1)
+        ],
+    )
+    probes = (
+        sigs.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id", "embedding", "nsq",
+            F.explode(probe_arr).alias("probe_bucket"),
+        )
+    )
+    q = F.broadcast(probes).alias("q")
+    c = sigs.alias("c")
+    cos = dot_fold(F.col("q.embedding"), F.col("c.embedding")) / F.sqrt(
+        F.col("q.nsq") * F.col("c.nsq")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    approx = (
+        q.join(
+            c,
+            (F.col("q.probe_bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", F.col("neighbor_id").alias("a_neighbor_id"))
+    )
+    e2 = e.select(
+        "vec_id",
+        "embedding",
+        dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
+    )
+    qb = F.broadcast(e2.filter(F.col("vec_id") < N_QUERIES)).alias("q")
+    cb = e2.alias("c")
+    cos2 = dot_fold(F.col("q.embedding"), F.col("c.embedding")) / F.sqrt(
+        F.col("q.nsq") * F.col("c.nsq")
+    )
+    exact = (
+        qb.join(cb, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos2.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    hit = F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0)
+    return (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["neighbor_id"] == approx["a_neighbor_id"]),
+            "left",
+        )
+        .drop(approx["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(hit).cast("bigint").alias("n_hit"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("recall_at_3"),
+        )
+        .orderBy("query_id")
+    )
