@@ -1,0 +1,46 @@
+"""The shipped example plans must stay parseable and (where they point at
+bundled test data) runnable."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from agentic_etl_poc_spark.plans.parser import parse_plan
+from agentic_etl_poc_spark.runtime import run_from_plan
+
+EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+
+
+def test_all_examples_parse(monkeypatch):
+    monkeypatch.setenv("DATA_DIR", "/tmp/data")
+    monkeypatch.setenv("OUT_DIR", "/tmp/out")
+    paths = glob.glob(os.path.join(EXAMPLES, "*.yaml"))
+    assert len(paths) >= 3
+    for p in paths:
+        plan = parse_plan(open(p).read())
+        assert plan.transform.sql or plan.transform.steps, p
+
+
+def test_weekly_orders_example_runs(spark, tmp_path):
+    text = open(os.path.join(EXAMPLES, "weekly_orders.yaml")).read()
+    out = str(tmp_path / "weekly_out")
+    text = text.replace("/tmp/weekly_orders_out", out)
+    result = run_from_plan(spark, text)
+    assert result["status"] == "ok", result
+    assert spark.read.parquet(out).count() >= 10
+
+
+def test_incremental_example_runs(spark, tmp_path):
+    text = open(os.path.join(EXAMPLES, "incremental_orders.yaml")).read()
+    out = str(tmp_path / "inc_out")
+    ledger = str(tmp_path / "ledger.db")
+    text = text.replace("/tmp/orders_increments", out).replace(
+        "/tmp/etl_runs_example.db", ledger
+    )
+    r1 = run_from_plan(spark, text)
+    assert r1["status"] == "ok" and r1["dq"]["rows"] > 0
+    r2 = run_from_plan(spark, text)  # nothing new on the second tick
+    assert r2["status"] == "ok" and r2["dq"]["rows"] == 0
+    shutil.rmtree(out, ignore_errors=True)
