@@ -222,3 +222,39 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     100 TB/day you dedup in-flight with this and run the batch MinHash/
     SimHash passes (d03-d05) on the landed data."""
     return events.dropDuplicates((keys or ["event_id"]) + ["ts"])
+
+
+def join_click_to_view(
+    views: DataFrame, clicks: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: attribute each click to view events by the
+    same user within the preceding ``within`` interval.  Both sides carry
+    watermarks, and the time-range predicate bounds the join state: rows
+    older than (watermark - interval) are evicted, so state size tracks the
+    interval, not the stream history — the requirement for an unbounded
+    100 TB/day stream.  The same expression evaluates on batch frames for
+    backfill parity (tested)."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "view_id",
+        "view_ts",
+        "click_ts",
+        "click_value",
+    )

@@ -197,3 +197,28 @@ def test_multimodal_audio_features_fake(spark, sf_smoke):
         assert r["duration_sec"] >= 0.5
         assert r["sample_rate"] in (8000, 16000, 22050, 44100)
         assert 0.0 <= r["rms"] <= 1.0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_smoke, events_json_dir):
+    """Stream-stream time-bounded join drained with AvailableNow equals the
+    same join expressed on the batch table."""
+    from agentic_etl_poc_spark.streaming.events import join_click_to_view
+
+    stream = stream_events(spark, events_json_dir, watermark="1 minute")
+    sv = stream.filter(stream["event_type"] == "view")
+    sc = stream.filter(stream["event_type"] == "click")
+    run_to_memory(join_click_to_view(sv, sc), "stream_attrib")
+    got = {
+        (r["user_id"], r["click_id"], r["view_id"])
+        for r in spark.sql("SELECT * FROM stream_attrib").collect()
+    }
+
+    batch = table(spark, sf_smoke, "events")
+    bv = batch.filter(batch["event_type"] == "view")
+    bc = batch.filter(batch["event_type"] == "click")
+    want = {
+        (r["user_id"], r["click_id"], r["view_id"])
+        for r in join_click_to_view(bv, bc).collect()
+    }
+    assert got == want
+    assert len(got) > 0
