@@ -13,7 +13,11 @@ user migrating from the reference gains:
   (partial/merge) rewrite instead.
 - ``u02``: a Python UDTF (one row in, N rows out, lateral-joined) — the
   row-expanding escape hatch when ``explode`` over a built-in split can't
-  express the generator logic.  Both are proven against pure-SQL oracles.
+  express the generator logic.
+- ``u03``: a grouped-aggregate pandas UDAF (``@pandas_udf`` scalar return
+  inside ``groupBy().agg()``) — whole-group Arrow batch, no partial agg.
+
+All proven against pure-SQL oracles.
 """
 
 from __future__ import annotations
@@ -111,4 +115,60 @@ def u02_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL split_sentences(d.doc_id, d.text) s
         ORDER BY s.doc_id, s.sent_idx
         """
+    )
+
+
+@register(
+    "u03_pandas_udaf_weighted",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+         AS weighted_avg_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="Grouped-aggregate pandas UDAF (@pandas_udf returning a "
+    "scalar, used inside groupBy().agg() — the third UDx shape after "
+    "applyInPandas and UDTF): quantity-weighted average price.  The UDAF "
+    "computes exact decimal sums inside Python then one double division, "
+    "matching the oracle's decimal arithmetic bit-for-bit.  Caveat at "
+    "scale: grouped-agg pandas UDFs materialize each group's columns in "
+    "one Arrow batch (no partial aggregation) — fine for bounded groups, "
+    "wrong for giant ones; the built-in decimal-sum idiom (q01) stays the "
+    "default.",
+)
+def u03_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import Decimal
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        # exact decimal accumulation, one final double division — the same
+        # arithmetic the oracle's SUM(DECIMAL)/SUM(DECIMAL) performs
+        num = sum(
+            Decimal(f"{p * q:.4f}") for p, q in zip(price, qty)
+        )
+        den = sum(Decimal(f"{q:.2f}") for q in qty)
+        return float(num) / float(den)
+
+    @pandas_udf("long")
+    def n_rows(qty: pd.Series) -> int:
+        # pandas UDAFs can't mix with JVM aggregates in one agg() — the
+        # count rides along as a second pandas UDAF
+        return len(qty)
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            weighted_avg(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+                "weighted_avg_price"
+            ),
+            n_rows(F.col("l_quantity")).alias("n"),
+        )
+        .orderBy("l_returnflag")
     )
