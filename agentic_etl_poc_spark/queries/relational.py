@@ -948,3 +948,53 @@ def q35_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY variant
         """
     )
+
+
+@register(
+    "q36_explode_outer",
+    oracle="""
+WITH parts AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 5 = 0 THEN []
+              ELSE string_split(p_name, ' ') END AS words
+  FROM part WHERE p_partkey < 300
+),
+inner_exploded AS (
+  SELECT p_partkey, unnest(words) AS word FROM parts
+),
+outer_exploded AS (
+  SELECT p.p_partkey, w.word
+  FROM parts p LEFT JOIN inner_exploded w ON p.p_partkey = w.p_partkey
+)
+SELECT 'inner' AS mode, COUNT(*) AS n_rows,
+       COUNT(DISTINCT p_partkey) AS n_parts
+FROM inner_exploded
+UNION ALL
+SELECT 'outer', COUNT(*), COUNT(DISTINCT p_partkey)
+FROM outer_exploded
+ORDER BY mode
+""",
+    description="explode vs explode_outer semantics: inner explode DROPS "
+    "rows whose array is empty (every 5th part here), explode_outer keeps "
+    "them with a NULL element — the row-preservation contract that "
+    "matters when flattening optional nested data (a dropped parent row "
+    "is silent data loss).  Verified via per-mode row and parent counts.",
+)
+def q36_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    words = F.when(
+        F.col("p_partkey") % 5 == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.col("p_name"), " "))
+    parts = p.select("p_partkey", words.alias("words"))
+    inner = parts.select("p_partkey", F.explode("words").alias("word"))
+    outer = parts.select("p_partkey", F.explode_outer("words").alias("word"))
+
+    def summarize(df: DataFrame, mode: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        ).select(F.lit(mode).alias("mode"), "n_rows", "n_parts")
+
+    return summarize(inner, "inner").unionByName(
+        summarize(outer, "outer")
+    ).orderBy("mode")

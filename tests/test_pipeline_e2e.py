@@ -528,3 +528,54 @@ incremental:
     assert spark.read.parquet(out_dir).count() == n1 + n2
     wm = RunLedger(ledger).get_state("watermark:events_pipeline")
     assert wm is not None and wm.startswith(str(cutoff.year))
+
+
+def test_e2e_parquet_verify_gate_fails(spark, tmp_path):
+    """Post-load verify failure on the parquet sink: load succeeds, the
+    artifact re-read misses min_rows, result flips to failed with the
+    verify payload and the alert fires."""
+    out_dir = str(tmp_path / "small_out")
+    alerts = []
+    plan = f"""
+source:
+  kind: parquet
+  parquet:
+    tables:
+      region: /root/testdata/sf0.001/region.parquet
+transform:
+  sql: SELECT r_regionkey, r_name FROM region
+load:
+  to: parquet
+  file_path: {out_dir}
+  mode: replace
+checks:
+  min_rows: 1
+verify:
+  min_rows: 99999
+alerts:
+  on_fail: "slack://#alerts"
+"""
+    result = run_from_plan(
+        spark, plan, send_alert=lambda ch, m: alerts.append((ch, m)) or "sent"
+    )
+    assert result["status"] == "failed"
+    assert result["verify"]["rows"] == 5
+    assert result["verify"]["status"] is False
+    assert alerts and "Verify failed" in alerts[0][1]
+
+
+def test_parquet_sink_schema_evolution(spark, tmp_path):
+    """Appending a widened schema to a parquet dir: mergeSchema read yields
+    the union schema with nulls for the old rows — the lakehouse-style
+    evolution contract of the scale sink."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id int, name string").write.mode(
+        "append"
+    ).parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id int, name string, score double"
+    ).write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
