@@ -132,9 +132,21 @@ def _strptime_replacer(args: list[str]) -> str:
     return f"to_timestamp({expr.strip()}, '{jdk}')"
 
 
+#: Granularities where DuckDB's date_trunc over a DATE returns a DATE.
+#: Sub-day granularities (hour/minute/...) return timestamps in BOTH
+#: engines — casting those to DATE would silently drop the time part.
+_DAY_OR_COARSER = {
+    "day", "week", "month", "quarter", "year", "decade", "century",
+    "millennium", "isoyear",
+}
+
+
 def _date_trunc_replacer(args: list[str]) -> str:
     inner = ", ".join(a.strip() for a in args)
-    return f"CAST(date_trunc({inner}) AS DATE)"
+    gran = args[0].strip().strip("'\"").lower() if args else ""
+    if gran in _DAY_OR_COARSER:
+        return f"CAST(date_trunc({inner}) AS DATE)"
+    return f"date_trunc({inner})"
 
 
 def rewrite_duckdb_sql(sql: str, date_trunc_as_date: bool = True) -> str:

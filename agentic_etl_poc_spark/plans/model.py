@@ -59,10 +59,14 @@ class DbSource:
 class ParquetSource:
     """Engine extension (not in the reference's schema): the native scale
     source.  ``path`` registers ``input_df``; ``tables`` registers one view
-    per name, like the CSV triplet."""
+    per name, like the CSV triplet.  ``nanos_ts_cols`` names TIMESTAMP(NANOS)
+    columns (Spark's reader rejects them outright): they are read as int64
+    nanos and truncated to microsecond timestamps, matching how DuckDB and
+    most engines down-convert."""
 
     path: str | None = None
     tables: dict[str, str] | None = None
+    nanos_ts_cols: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -183,6 +187,9 @@ def plan_from_dict(doc: dict[str, Any]) -> Plan:
         parquet=ParquetSource(
             path=_get(_get(src_d, "parquet", {}), "path"),
             tables=_get(_get(src_d, "parquet", {}), "tables"),
+            nanos_ts_cols=list(
+                _get(_get(src_d, "parquet", {}), "nanos_ts_cols") or []
+            ),
         )
         if "parquet" in src_d
         else None,

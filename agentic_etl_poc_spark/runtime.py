@@ -84,11 +84,28 @@ def extract(spark: SparkSession, plan: Plan) -> DataFrame | None:
         # engine-native scale source: no size cap (admission control for
         # parquet happens via partition pruning, not a byte wall)
         pq = src.parquet
+
+        def read_parquet(p: str):
+            if not pq.nanos_ts_cols:
+                return spark.read.parquet(p)
+            from pyspark.sql import functions as _F
+
+            # TIMESTAMP(NANOS) columns: read nanos as int64, truncate to µs
+            # (integer div keeps exactness past 2^53 ns)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            out = spark.read.parquet(p)
+            for c in pq.nanos_ts_cols:
+                if c in out.columns:
+                    out = out.withColumn(
+                        c, _F.timestamp_micros(_F.expr(f"{c} div 1000"))
+                    )
+            return out
+
         if pq.tables:
             for name, p in pq.tables.items():
-                spark.read.parquet(p).createOrReplaceTempView(name)
+                read_parquet(p).createOrReplaceTempView(name)
             return None
-        df = spark.read.parquet(pq.path)
+        df = read_parquet(pq.path)
     else:
         raise ValueError(f"unknown source kind: {kind!r}")
 

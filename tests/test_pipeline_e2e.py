@@ -579,3 +579,31 @@ def test_parquet_sink_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_parquet_source_nanos_ts(spark, tmp_path):
+    """TIMESTAMP(NANOS) parquet (the bundled events table) through the plan
+    layer via nanos_ts_cols — truncated to microseconds like DuckDB."""
+    out = str(tmp_path / "nanos_out")
+    plan = f"""
+source:
+  kind: parquet
+  parquet:
+    path: /root/testdata/sf0.001/events.parquet
+    nanos_ts_cols: [ts]
+transform:
+  sql: |
+    SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+    FROM input_df GROUP BY 1
+load:
+  to: parquet
+  file_path: {out}
+  mode: replace
+checks:
+  min_rows: 10
+  nonnull_cols: [hour]
+"""
+    result = run_from_plan(spark, plan)
+    assert result["status"] == "ok", json.dumps(result)
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes)["hour"].startswith("timestamp")
