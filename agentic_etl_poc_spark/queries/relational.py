@@ -998,3 +998,49 @@ def q36_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(inner, "inner").unionByName(
         summarize(outer, "outer")
     ).orderBy("mode")
+
+
+@register(
+    "q37_map_functions",
+    oracle="""
+WITH m AS (
+  SELECT p_partkey,
+         map(['size', 'retail_cents'],
+             [CAST(p_size AS BIGINT), CAST(round(p_retailprice * 100) AS BIGINT)])
+           AS attrs
+  FROM part WHERE p_partkey < 300
+)
+SELECT p_partkey,
+       element_at(attrs, 'size')[1] AS size_attr,
+       element_at(attrs, 'retail_cents')[1] AS retail_cents,
+       CAST(cardinality(attrs) AS INT) AS n_keys,
+       map_keys(attrs)[1] AS first_key
+FROM m
+ORDER BY p_partkey
+""",
+    description="MAP column functions: construct (create_map), scalar "
+    "lookup (element_at), cardinality, key enumeration — the attribute-bag "
+    "type for sparse/evolving per-row metadata.  Dialect note the oracle "
+    "encodes: DuckDB's map element access yields a LIST ([] on miss) where "
+    "Spark yields a scalar (NULL on miss) — the [1] extraction reconciles "
+    "them.  retail_cents is rounded to integer cents so the map value "
+    "array is uniformly BIGINT in both engines.",
+)
+def q37_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    attrs = F.create_map(
+        F.lit("size"),
+        F.col("p_size").cast("bigint"),
+        F.lit("retail_cents"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint"),
+    )
+    m = p.select("p_partkey", attrs.alias("attrs"))
+    return m.select(
+        "p_partkey",
+        F.element_at(F.col("attrs"), F.lit("size")).alias("size_attr"),
+        F.element_at(F.col("attrs"), F.lit("retail_cents")).alias(
+            "retail_cents"
+        ),
+        F.size("attrs").alias("n_keys"),
+        F.map_keys(F.col("attrs")).getItem(0).alias("first_key"),
+    ).orderBy("p_partkey")
