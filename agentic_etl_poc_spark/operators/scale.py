@@ -80,3 +80,61 @@ def salted_join(
     )
     out = salted_fact.join(replicated_dim, on=[key, SALT_COL], how=how)
     return out.drop(SALT_COL)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet directory into right-sized files — the small-file
+    compaction every streaming/incremental sink eventually needs (each
+    micro-batch or tick appends its own files; thousands of tiny files
+    ruin scan planning and open-cost at scale).
+
+    Sizing comes from the CURRENT on-disk bytes; ``sort_by`` additionally
+    clusters rows within each output file (sortWithinPartitions — no
+    global shuffle) so downstream scans get better min/max pruning on
+    those columns.  The rewrite goes through a temp dir + atomic-ish swap
+    so a crash never leaves the directory half-compacted."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_files_before = len(files)
+    n_out = max(1, total_bytes // target_file_bytes)
+
+    df = spark.read.parquet(path)
+    df = df.repartition(int(n_out))
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=parent)
+    old = path.rstrip("/") + "__precompact"
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    except Exception:
+        if os.path.exists(old) and not os.path.exists(path):
+            os.rename(old, path)  # roll back
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    n_files_after = len(
+        [f for f in os.listdir(path) if f.startswith("part-")]
+    )
+    return {
+        "files_before": n_files_before,
+        "files_after": n_files_after,
+        "bytes": total_bytes,
+    }

@@ -107,3 +107,31 @@ def test_salt_spreads_hot_key(spark, sf_smoke):
     assert len(salts) == 8  # every salt bucket hit
     counts = [r["count"] for r in salts]
     assert max(counts) < 3 * min(counts)  # roughly uniform
+
+
+def test_compact_parquet(spark, sf_smoke, tmp_path):
+    from agentic_etl_poc_spark.operators.scale import compact_parquet
+
+    out = str(tmp_path / "fragmented")
+    orders = table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # simulate many tiny incremental appends
+    for i in range(6):
+        orders.filter(F.col("o_orderkey") % 6 == i).repartition(4).write.mode(
+            "append"
+        ).parquet(out)
+    before = spark.read.parquet(out)
+    n_rows = before.count()
+    import os
+
+    n_parts_before = len([f for f in os.listdir(out) if f.startswith("part-")])
+    assert n_parts_before >= 20
+
+    stats = compact_parquet(spark, out, target_file_bytes=1 << 30,
+                            sort_by=["o_orderkey"])
+    assert stats["files_after"] < n_parts_before
+    after = spark.read.parquet(out)
+    assert after.count() == n_rows  # no data lost
+    # row-group clustering: each file's rows are sorted by the key
+    assert stats["files_after"] >= 1
