@@ -69,3 +69,38 @@ def dq_check(
             result["status"] = False
             result["error"] = f"freshness check failed: lag {lag_min:.1f} min"
     return result
+
+
+def observed_write(
+    df: DataFrame,
+    write_fn,
+    nonnull_cols: list[str] | None = None,
+) -> dict:
+    """Single-action write-plus-metrics via Spark's Observation API: the
+    row count and per-column null counts are accumulated DURING the sink
+    action, so the pipeline pays ONE pass instead of DQ-then-write.
+
+    Trade-off vs the pre-load gate (dq_check): metrics arrive only after
+    the write has happened, so this is validate-after-write (pair it with
+    a staging path + promote-on-ok), while dq_check aborts BEFORE the sink
+    sees any data at the cost of a second pass.  Both shapes are needed;
+    the reference only had the two-pass form (reference:
+    etl_agent/templates.py:123-140).
+
+    ``write_fn(observed_df)`` must trigger exactly one action.
+    """
+    from pyspark.sql import Observation
+
+    nonnull_cols = [c for c in (nonnull_cols or []) if c in df.columns]
+    metrics = [F.count(F.lit(1)).alias("rows")]
+    for c in nonnull_cols:
+        metrics.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
+    obs = Observation("dq")
+    write_fn(df.observe(obs, *metrics))
+    got = obs.get
+    null_counts = {c: int(got[f"nulls_{c}"] or 0) for c in nonnull_cols}
+    return {
+        "rows": int(got["rows"]),
+        "null_counts": null_counts,
+        "nonnull_ok": all(v == 0 for v in null_counts.values()),
+    }
