@@ -1044,3 +1044,64 @@ def q37_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("attrs").alias("n_keys"),
         F.map_keys(F.col("attrs")).getItem(0).alias("first_key"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "q38_string_agg",
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+    description="Ordered string aggregation (string_agg / listagg): "
+    "per-region CSV of nation names.  Spark expresses it as "
+    "array_join(array_sort(collect_list())) — the explicit sort is what "
+    "makes the concatenation deterministic (bare collect order is "
+    "partition-dependent), same reason DuckDB's ORDER BY clause exists.",
+)
+def q38_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations_csv"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "q39_regexp_groups",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_type, '^(\\w+) (\\w+) (\\w+)$', 1) AS finish,
+       regexp_extract(p_type, '^(\\w+) (\\w+) (\\w+)$', 2) AS material,
+       regexp_extract(p_type, '^(\\w+) (\\w+) (\\w+)$', 3) AS metal,
+       CAST(regexp_matches(p_type, '^(\\w+) (\\w+) (\\w+)$') AS BOOLEAN)
+         AS well_formed
+FROM part WHERE p_partkey < 500
+ORDER BY p_partkey
+""",
+    description="Regex capture-group extraction (parse structured codes "
+    "out of freetext columns) + a well-formedness predicate — the "
+    "column-splitting workhorse of ingest cleanup.  Pure JVM regex, "
+    "map-side.",
+)
+def q39_regexp_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    pat = r"^(\w+) (\w+) (\w+)$"
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", pat, 1).alias("finish"),
+        F.regexp_extract("p_type", pat, 2).alias("material"),
+        F.regexp_extract("p_type", pat, 3).alias("metal"),
+        F.col("p_type").rlike(pat).alias("well_formed"),
+    ).orderBy("p_partkey")
