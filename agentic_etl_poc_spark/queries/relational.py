@@ -1105,3 +1105,47 @@ def q39_regexp_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_type", pat, 3).alias("metal"),
         F.col("p_type").rlike(pat).alias("well_formed"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "q40_union_by_name",
+    oracle="""
+WITH a AS (
+  SELECT n_nationkey AS entity_id, n_name AS name, 'nation' AS kind
+  FROM nation
+),
+b AS (
+  SELECT r_regionkey AS entity_id, r_name AS name,
+         CAST(r_regionkey * 100 AS BIGINT) AS extra_code
+  FROM region
+)
+SELECT entity_id, name,
+       COALESCE(kind, '(none)') AS kind,
+       COALESCE(extra_code, -1) AS extra_code
+FROM (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+ORDER BY kind, entity_id
+""",
+    description="Schema-flexible union (unionByName with "
+    "allowMissingColumns / UNION ALL BY NAME): sides contribute different "
+    "column sets, matched by NAME not position, missing columns "
+    "null-filled — the append-heterogeneous-batches operator positional "
+    "UNION silently corrupts.",
+)
+def q40_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("entity_id"),
+        F.col("n_name").alias("name"),
+        F.lit("nation").alias("kind"),
+    )
+    r = table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("entity_id"),
+        F.col("r_name").alias("name"),
+        (F.col("r_regionkey") * 100).cast("bigint").alias("extra_code"),
+    )
+    u = n.unionByName(r, allowMissingColumns=True)
+    return u.select(
+        "entity_id",
+        "name",
+        F.coalesce("kind", F.lit("(none)")).alias("kind"),
+        F.coalesce("extra_code", F.lit(-1)).alias("extra_code"),
+    ).orderBy("kind", "entity_id")
