@@ -1149,3 +1149,42 @@ def q40_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("kind", F.lit("(none)")).alias("kind"),
         F.coalesce("extra_code", F.lit(-1)).alias("extra_code"),
     ).orderBy("kind", "entity_id")
+
+
+@register(
+    "q41_set_ops_all",
+    oracle="""
+WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 3 = 0),
+b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 2 = 0)
+SELECT 'intersect_all' AS op, p, COUNT(*) AS n FROM (
+  SELECT p FROM a INTERSECT ALL SELECT p FROM b
+) GROUP BY p
+UNION ALL
+SELECT 'except_all', p, COUNT(*) FROM (
+  SELECT p FROM a EXCEPT ALL SELECT p FROM b
+) GROUP BY p
+ORDER BY op, p
+""",
+    description="Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL — "
+    "intersectAll/exceptAll): multiplicities are min(m,n) and max(m-n,0) "
+    "per value, vs q12's distinct set semantics.  The difference is what "
+    "makes EXCEPT ALL usable as a row-level diff between two loads of the "
+    "same table (each surplus duplicate surfaces once).",
+)
+def q41_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderpriority").alias("p")
+    )
+
+    def counted(df: DataFrame, op: str) -> DataFrame:
+        return df.groupBy("p").agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "p", "n"
+        )
+
+    return counted(a.intersectAll(b), "intersect_all").unionByName(
+        counted(a.exceptAll(b), "except_all")
+    ).orderBy("op", "p")
