@@ -516,3 +516,35 @@ def q33_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "attr_value")
     )
+
+
+@register(
+    "q42_json_struct_parse",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       json_extract_string(props, '$.tag') AS tag,
+       (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+FROM events
+WHERE event_id < 3000
+ORDER BY event_id
+""",
+    description="Typed JSON parsing via from_json with a declared struct "
+    "schema (Jackson parse once, typed fields out) — vs q17's per-path "
+    "get_json_object extraction, which re-parses the document per path.  "
+    "At scale the single-parse form wins when several fields are read; "
+    "same values either way, so one oracle covers both.",
+)
+def q42_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    parsed = F.from_json(F.col("props"), "k bigint, tag string")
+    return (
+        e.select("event_id", parsed.alias("p"))
+        .select(
+            "event_id",
+            F.col("p.k").alias("k"),
+            F.col("p.tag").alias("tag"),
+            F.col("p.k").isNotNull().alias("has_k"),
+        )
+        .orderBy("event_id")
+    )
