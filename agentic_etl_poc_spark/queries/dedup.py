@@ -651,3 +651,45 @@ def d08_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id1", "id2")
     )
+
+
+@register(
+    "d09_containment",
+    oracle=f"""
+WITH RECURSIVE {DUCK_MINHASH_PAIRS},
+texts AS (SELECT doc_id, text FROM corpus)
+SELECT p.id1, p.id2,
+       (strpos(t2.text, t1.text) > 0) AS id1_in_id2,
+       (strpos(t1.text, t2.text) > 0) AS id2_in_id1,
+       CAST(length(t1.text) AS BIGINT) AS len1,
+       CAST(length(t2.text) AS BIGINT) AS len2
+FROM pairs p
+JOIN texts t1 ON p.id1 = t1.doc_id
+JOIN texts t2 ON p.id2 = t2.doc_id
+ORDER BY p.id1, p.id2
+""",
+    description="Containment dedup: for each verified near-dup pair, test "
+    "exact substring containment (the truncated-copy case — one doc IS a "
+    "prefix/substring of the other, the strongest dedup signal short of "
+    "equality).  Containment is only tested on the tiny candidate set "
+    "from the MinHash pipeline — never all pairs: at 100 TB the O(n^2) "
+    "containment scan is exactly what LSH candidate generation avoids.",
+)
+def d09_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark_corpus(spark, sf_dir)
+    pairs = minhash_verified_pairs(spark, sf_dir).select("id1", "id2")
+    t1 = c.select(F.col("doc_id").alias("id1"), F.col("text").alias("text1"))
+    t2 = c.select(F.col("doc_id").alias("id2"), F.col("text").alias("text2"))
+    return (
+        pairs.join(t1, "id1")
+        .join(t2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.instr(F.col("text2"), F.col("text1")) > 0).alias("id1_in_id2"),
+            (F.instr(F.col("text1"), F.col("text2")) > 0).alias("id2_in_id1"),
+            F.length("text1").cast("bigint").alias("len1"),
+            F.length("text2").cast("bigint").alias("len2"),
+        )
+        .orderBy("id1", "id2")
+    )

@@ -1188,3 +1188,37 @@ def q41_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted(a.intersectAll(b), "intersect_all").unionByName(
         counted(a.exceptAll(b), "except_all")
     ).orderBy("op", "p")
+
+
+@register(
+    "q43_rank_family",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       ntile(4) OVER w AS quartile
+FROM orders
+WHERE o_custkey < 40
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_custkey, o_totalprice, o_orderkey
+""",
+    description="The remaining analytic rank family beyond q10's "
+    "row_number/rank/dense_rank: percent_rank ((rank-1)/(n-1)), cume_dist, "
+    "and ntile quartiles — distribution-position analytics.  The total "
+    "ORDER BY tie-break (price, then key) keeps every rank deterministic; "
+    "the divisions are the same two integers in both engines, so the "
+    "doubles match bit-for-bit.",
+)
+def q43_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 40)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_custkey", "o_totalprice", "o_orderkey")
