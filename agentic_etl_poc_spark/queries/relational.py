@@ -1222,3 +1222,42 @@ def q43_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     ).orderBy("o_custkey", "o_totalprice", "o_orderkey")
+
+
+@register(
+    "q44_arg_extremes",
+    oracle="""
+SELECT c_mktsegment,
+       arg_max(o_orderkey, o_totalprice * 1000000 + o_orderkey)
+         AS priciest_order,
+       arg_min(o_orderkey, o_totalprice * 1000000 + o_orderkey)
+         AS cheapest_order,
+       MAX(o_totalprice) AS max_price,
+       MIN(o_totalprice) AS min_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    description="Argmax/argmin aggregates (max_by/min_by, arg_max/arg_min): "
+    "which ORDER is the priciest per segment, in one aggregation pass — no "
+    "self-join back, no window.  Ties are broken deterministically by "
+    "folding the unique order key into the ordering scalar (price in "
+    "micro-units + key stays exact in a double far below 2^53); DuckDB's "
+    "arg_max has no lexicographic form, so the scalar IS the portable "
+    "spelling.",
+)
+def q44_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    ordkey = F.col("o_totalprice") * 1000000 + F.col("o_orderkey")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", ordkey).alias("priciest_order"),
+            F.min_by("o_orderkey", ordkey).alias("cheapest_order"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_totalprice").alias("min_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
