@@ -562,13 +562,22 @@ def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q23_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check.
-    description="Approximate aggregates: approx_count_distinct (HLL++) next "
-    "to the exact distinct count and the relative error.  No oracle — "
-    "DuckDB's approx_count_distinct uses a different sketch, so values "
-    "can't hash-match; the driver records the weaker rows-only check.  At "
-    "100 TB the sketch is mergeable map-side state (no shuffle of keys), "
-    "which is the entire point vs COUNT(DISTINCT).",
+    oracle="""
+SELECT l_returnflag,
+  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_nd,
+  TRUE AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="Approximate aggregates: approx_count_distinct (HLL++, "
+    "rsd=0.01) checked against the exact distinct count.  The HLL estimate "
+    "itself is engine-specific (DuckDB's sketch differs), so the checked "
+    "surface is deterministic: the exact NDV plus a boolean asserting the "
+    "sketch landed within 5x the configured rsd — the oracle emits TRUE, "
+    "so a drifting sketch fails the hash-match.  At 100 TB the sketch is "
+    "mergeable map-side state (no shuffle of keys), which is the entire "
+    "point vs COUNT(DISTINCT).",
 )
 def q23_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -585,10 +594,14 @@ def q23_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         approx.join(exact, "l_returnflag")
-        .withColumn(
-            "rel_err",
-            F.abs(F.col("approx_nd") - F.col("exact_nd"))
-            / F.col("exact_nd").cast("double"),
+        .select(
+            "l_returnflag",
+            F.col("exact_nd").cast("bigint").alias("exact_nd"),
+            (
+                F.abs(F.col("approx_nd") - F.col("exact_nd"))
+                / F.col("exact_nd").cast("double")
+                <= F.lit(0.05)
+            ).alias("approx_within_5pct"),
         )
         .orderBy("l_returnflag")
     )
@@ -685,7 +698,8 @@ def q27_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q28_array_map_agg",
     oracle="""
 SELECT n_name,
-  list(c_custkey ORDER BY c_custkey)[1:5] AS first_custkeys,
+  array_to_string(list_transform(list(c_custkey ORDER BY c_custkey)[1:5],
+       x -> CAST(x AS VARCHAR)), ',') AS first_custkeys,
   CAST(len(list(c_custkey)) AS BIGINT) AS n_customers,
   CAST(list_sum(list_transform(list(c_acctbal ORDER BY c_custkey)[1:5],
        x -> CAST(x AS DECIMAL(28,2)))) AS DOUBLE) AS top5_bal
@@ -696,8 +710,12 @@ ORDER BY n_name
     description="Array aggregation functions: per-group ordered collect "
     "(sorted for determinism — bare collect_list order is partition-"
     "dependent), array slice, and an exact decimal fold over the slice.  "
-    "The scale warning is explicit: collecting a group into an array is "
-    "bounded-group-size work (top-5 here); unbounded groups need windows.",
+    "The array column is emitted as a comma-joined STRING: the driver's "
+    "canonicalizer sorts/hashes pandas cells and dies on list cells "
+    "(unhashable), so battery outputs are scalars-only by rule (enforced "
+    "by tests/test_battery_contract.py).  The scale warning is explicit: "
+    "collecting a group into an array is bounded-group-size work (top-5 "
+    "here); unbounded groups need windows.",
 )
 def q28_array_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
@@ -720,7 +738,9 @@ def q28_array_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("n_name")
         .agg(
-            F.transform(top5, lambda s: s["c_custkey"]).alias("first_custkeys"),
+            F.array_join(
+                F.transform(top5, lambda s: s["c_custkey"].cast("string")), ","
+            ).alias("first_custkeys"),
             F.size(pairs).cast("bigint").alias("n_customers"),
             top5_bal.alias("top5_bal"),
         )
