@@ -34,9 +34,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``div`` keeps the math in int64 — a double division would lose precision
     above 2^53 ns).
     """
-    from agentic_etl_poc_spark.session import ensure_semantics
+    from agentic_etl_poc_spark.session import ensure_semantics, tune_for_data
 
     ensure_semantics(spark)  # battery must be correct on ANY caller's session
+    tune_for_data(spark, sf_dir)  # ...and sized to the data, not the default
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F

@@ -64,6 +64,44 @@ def ensure_semantics(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: (session-id, data-dir) pairs already tuned — tuning is idempotent but
+#: the stat() walk shouldn't run once per table() call.
+_TUNED: set[tuple[int, str]] = set()
+
+
+def tune_for_data(spark: SparkSession, data_dir: str) -> SparkSession:
+    """Size shuffle parallelism to the DATA under ``data_dir``, not the
+    session default.
+
+    Why this exists: an external harness's vanilla session carries Spark's
+    200-partition default, and while AQE re-coalesces ordinary shuffles, it
+    does NOT re-plan persisted/cached exchanges
+    (``canChangeCachedPlanOutputPartitioning=false``) — so iterative
+    operators that persist per round (d07) would schedule 200 near-empty
+    tasks per iteration.  Sizing rule: ~64 MB of input per partition with a
+    floor of 8, capped at 4x total cores — at sf0.01 that is 8 partitions;
+    at 100 TB the same rule yields (and should yield) tens of thousands,
+    past the core cap, where the cap keeps waves small.  Runtime-settable,
+    so it applies to ANY caller's session.
+    """
+    key = (id(spark), data_dir)
+    if key in _TUNED:
+        return spark
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(data_dir, f))
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        total = 0
+    cores = spark.sparkContext.defaultParallelism
+    parts = max(8, min(4 * cores, total // (64 * 1024 * 1024) or 8))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    _TUNED.add(key)
+    return spark
+
+
 def get_spark(
     app_name: str = "agentic-etl-poc-spark",
     master: str | None = None,

@@ -36,24 +36,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     from agentic_etl_poc_spark.queries import load_all
-    from agentic_etl_poc_spark.session import get_spark
+    from agentic_etl_poc_spark.session import get_spark, tune_for_data
 
-    # Size shuffle partitions to the DATA, not the core count: at small SF
-    # task-launch overhead dominates, so ~64MB per partition with a floor
-    # of 8; at large SF this grows toward (and past) the core count.  AQE
-    # still re-coalesces adaptively after each shuffle.
-    total_bytes = sum(
-        os.path.getsize(os.path.join(sf_dir, f))
-        for f in os.listdir(sf_dir)
-        if f.endswith(".parquet")
-    )
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    shuffle_parts = max(8, min(4 * cpus, total_bytes // (64 * 1024 * 1024) or 8))
-
-    spark = get_spark(
-        app_name="agentic-etl-poc-spark-bench",
-        extra_conf={"spark.sql.shuffle.partitions": str(shuffle_parts)},
-    )
+    spark = get_spark(app_name="agentic-etl-poc-spark-bench")
+    # Shared data-sized tuning (same rule io_tables.table applies to any
+    # caller's session): ~64MB per shuffle partition, floor 8, cap 4x cores.
+    tune_for_data(spark, sf_dir)
     spark.sparkContext.setLogLevel("ERROR")
     battery = load_all()
 
