@@ -604,38 +604,63 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH names AS (
   SELECT p_partkey, p_name FROM part WHERE p_partkey < 200
+),
+words AS (
+  SELECT p_partkey, p_name, unnest(string_split(p_name, ' ')) AS w
+  FROM names
+),
+cand AS (
+  SELECT DISTINCT a.p_partkey AS id1, b.p_partkey AS id2,
+         a.p_name AS name1, b.p_name AS name2
+  FROM words a JOIN words b
+    ON a.w = b.w AND a.p_partkey < b.p_partkey
 )
-SELECT a.p_partkey AS id1, b.p_partkey AS id2,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
-       1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
-           / CAST(greatest(length(a.p_name), length(b.p_name)) AS DOUBLE)
+SELECT id1, id2,
+       CAST(levenshtein(name1, name2) AS BIGINT) AS edit_dist,
+       1.0 - CAST(levenshtein(name1, name2) AS DOUBLE)
+           / CAST(greatest(length(name1), length(name2)) AS DOUBLE)
          AS similarity
-FROM names a JOIN names b ON a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 12
+FROM cand
+WHERE levenshtein(name1, name2) <= 8
 ORDER BY id1, id2
 """,
-    description="Fuzzy matching via Levenshtein edit distance (both "
+    description="Fuzzy record linkage via Levenshtein edit distance (both "
     "engines implement the same DP) with a normalized similarity score — "
-    "the record-linkage primitive between exact dedup (d01/d02) and "
-    "shingle methods (d03-d05).  All-pairs on a bounded block (200 keys); "
-    "at scale the block comes from a cheap blocker (same LSH bucket, same "
-    "sort-key prefix) — never the raw cross join.",
+    "the primitive between exact dedup (d01/d02) and shingle methods "
+    "(d03-d05).  Candidate generation is a BLOCKED EQUI-JOIN on shared "
+    "words (explode names to (id, word), hash-join on word, distinct "
+    "pairs), with the edit-distance verify only on candidates — the "
+    "standard record-linkage shape that scales: no nested-loop, no cross "
+    "join, the shuffle is keyed on the blocking token.  Blocking trades "
+    "recall for that equi-join (a pair sharing no word is never compared) "
+    "— both engines apply the identical rule.",
 )
 def d08_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
-    a = p.select(
-        F.col("p_partkey").alias("id1"), F.col("p_name").alias("name1")
+    words = p.select(
+        "p_partkey",
+        "p_name",
+        F.explode(F.split(F.col("p_name"), " ")).alias("w"),
     )
-    b = p.select(
-        F.col("p_partkey").alias("id2"), F.col("p_name").alias("name2")
+    a = words.select(
+        F.col("p_partkey").alias("id1"), F.col("p_name").alias("name1"),
+        F.col("w").alias("w1"),
+    )
+    b = words.select(
+        F.col("p_partkey").alias("id2"), F.col("p_name").alias("name2"),
+        F.col("w").alias("w2"),
+    )
+    cand = (
+        a.join(b, (F.col("w1") == F.col("w2")) & (F.col("id1") < F.col("id2")))
+        .select("id1", "id2", "name1", "name2")
+        .distinct()
     )
     dist = F.levenshtein(F.col("name1"), F.col("name2"))
     sim = F.lit(1.0) - dist.cast("double") / F.greatest(
         F.length("name1"), F.length("name2")
     ).cast("double")
     return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .filter(dist <= 12)
+        cand.filter(dist <= 8)
         .select(
             "id1", "id2",
             dist.cast("bigint").alias("edit_dist"),

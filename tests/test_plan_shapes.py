@@ -56,6 +56,20 @@ def test_d03_gram_exchange_reused(spark, sf_smoke):
     assert "ReusedExchange" in final or "ReusedQueryStage" in final, final[:2000]
 
 
+def test_d08_blocked_equi_join_not_nested_loop(spark, sf_smoke):
+    """d08's candidate generation must be an equi-join on the blocking
+    token — a nested-loop/cartesian over the block is the O(n^2) shape
+    that dies at scale."""
+    plan = _formatted_plan(load_all()["d08_fuzzy_levenshtein"].fn(spark, sf_smoke))
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q20_no_python_in_plan(spark, sf_smoke):
     """Pure-relational queries must not fall back to Python evaluation."""
     for name in ("q01_pricing_summary", "q05_left_join_multikey",
