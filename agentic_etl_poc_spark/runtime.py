@@ -261,14 +261,15 @@ def run_from_plan(
     return {"status": "ok", "dq": dq, "message": msg, "verify": ver}
 
 
-def run_prompt(spark: SparkSession, text: str) -> dict:
-    """Prompt entry: YAML-looking text runs offline; NL prompts would need
-    the (optional, out-of-scope) LLM planner adapter."""
+def run_prompt(spark: SparkSession, text: str, llm=None) -> dict:
+    """Prompt entry (reference: etl_agent/runtime.py:15-27): YAML-looking
+    text (or ETL_AGENT_OFFLINE=1) runs directly; anything else goes
+    through the NL planner (plans/planner.py) — deterministic offline
+    grammar by default, or an injected ``llm(system, user) -> str``
+    callable — and the resulting YAML runs through the same plan path."""
     from agentic_etl_poc_spark.plans.parser import looks_like_plan
+    from agentic_etl_poc_spark.plans.planner import plan_from_prompt
 
     if not looks_like_plan(text):
-        raise ValueError(
-            "prompt is not a YAML plan; NL planning requires an LLM adapter "
-            "(set ETL_AGENT_OFFLINE=1 and pass a YAML plan)"
-        )
+        text = plan_from_prompt(text, llm=llm)
     return run_from_plan(spark, text)
