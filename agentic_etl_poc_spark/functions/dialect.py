@@ -31,7 +31,6 @@ import re
 # strftime → JDK DateTimeFormatter token map (only tokens DuckDB's
 # strptime supports and JDK can express).
 _TOKENS = [
-    ("%%", "%"),
     ("%Y", "yyyy"),
     ("%y", "yy"),
     ("%m", "MM"),
@@ -51,11 +50,51 @@ _TOKENS = [
 ]
 
 
+_TOKEN_MAP = dict(_TOKENS)
+
+
 def translate_strftime_tokens(fmt: str) -> str:
-    out = fmt
-    for tok, jdk in _TOKENS:
-        out = out.replace(tok, jdk)
-    return out
+    """strftime format → JDK DateTimeFormatter pattern, single pass.
+
+    Sequential ``str.replace`` was wrong twice over: ``%%Y`` became ``%``
+    then matched ``%Y`` (the literal percent swallowed a real token), and
+    literal alphabetic characters (the ``T`` in ISO-8601) reached the JDK
+    formatter unquoted, where every letter is a pattern letter.  The
+    tokenizer walks left-to-right instead: ``%%`` emits a literal ``%``,
+    known ``%X`` tokens map to their JDK pattern, and any literal run
+    containing letters (or quotes) is wrapped in JDK single-quote
+    literals with embedded quotes doubled."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if not lit:
+            return
+        s = "".join(lit)
+        if any(c.isalpha() for c in s) or "'" in s:
+            out.append("'" + s.replace("'", "''") + "'")
+        else:
+            out.append(s)
+        lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            if tok == "%%":
+                lit.append("%")
+                i += 2
+                continue
+            jdk = _TOKEN_MAP.get(tok)
+            if jdk is not None:
+                flush()
+                out.append(jdk)
+                i += 2
+                continue
+        lit.append(fmt[i])
+        i += 1
+    flush()
+    return "".join(out)
 
 
 def _find_balanced(s: str, open_idx: int) -> int:

@@ -32,7 +32,14 @@ def dq_check(
     freshness_minutes: float | None = None,
     timestamp_col: str = "",
 ) -> dict:
-    nonnull_cols = [c for c in (nonnull_cols or []) if c in df.columns]
+    # A configured nonnull column that is missing from the frame is itself
+    # a DQ FAILURE (misspelled config or a transform dropped the column) —
+    # silently skipping it would make the gate vacuously pass, which is
+    # the opposite of what a gate is for.  The reference fails loudly here
+    # too (tools.py dq_check raises KeyError).
+    requested = list(nonnull_cols or [])
+    missing = [c for c in requested if c not in df.columns]
+    nonnull_cols = [c for c in requested if c in df.columns]
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in nonnull_cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"))
@@ -44,7 +51,9 @@ def dq_check(
     rows = int(row["__rows"])
 
     ok, err = True, None
-    if rows < min_rows:
+    if missing:
+        ok, err = False, f"nonnull column not found: {', '.join(missing)}"
+    elif rows < min_rows:
         ok, err = False, f"min_rows check failed: {rows} < {min_rows}"
     else:
         for c in nonnull_cols:

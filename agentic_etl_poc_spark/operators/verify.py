@@ -44,7 +44,12 @@ def verify_csv(
     timestamp_col: str = "",
     max_lag_minutes: float = DEFAULT_MAX_LAG_MINUTES,
     delimiter: str = ",",
+    include_header: bool = True,
 ) -> dict:
+    """``include_header`` must mirror the LOAD step's setting: reading a
+    headerless artifact with header=True consumes the first data row as
+    column names (row count off by one, nonnull columns unfindable) —
+    the reference hardcodes header=True and has exactly that flaw."""
     nonnull_cols = nonnull_cols or []
     if not os.path.exists(path):
         return {"status": False, "error": f"file_not_found: {path}"}
@@ -58,7 +63,7 @@ def verify_csv(
 
     if nonnull_cols or timestamp_col:
         df = (
-            spark.read.option("header", True)
+            spark.read.option("header", include_header)
             .option("sep", delimiter)
             .option("nullValue", "NA")
             .csv(path)
@@ -82,7 +87,7 @@ def verify_csv(
         # lines" (reference: ops.py:101-106) — driver-side line count +
         # mtime freshness fallback.
         with open(path, encoding="utf-8", errors="ignore") as f:
-            rows = sum(1 for _ in f) - 1
+            rows = sum(1 for _ in f) - (1 if include_header else 0)
         mtime = _dt.datetime.fromtimestamp(os.path.getmtime(path), _dt.timezone.utc)
         lag_min = (_dt.datetime.now(_dt.timezone.utc) - mtime).total_seconds() / 60.0
         fresh_ok = lag_min <= max_lag_minutes

@@ -151,9 +151,18 @@ def run_from_plan(
             src_df.createOrReplaceTempView("input_df")
         # High-watermark of THIS increment: one pushed-down max over the
         # filtered scan (cheap — one column, predicate at the reader).
-        max_row = src_df.agg(_F.max(inc.ts_col).alias("m")).collect()[0]
+        # Formatted to a string IN-ENGINE: collect() would hand back a
+        # naive datetime in the DRIVER's local timezone while the read-back
+        # cast above parses under the SESSION timezone (UTC) — on a
+        # non-UTC driver the watermark would shift by the UTC offset and
+        # silently skip or reprocess rows.
+        max_row = src_df.agg(
+            _F.date_format(
+                _F.max(inc.ts_col), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("m")
+        ).collect()[0]
         if max_row["m"] is not None:
-            new_watermark = max_row["m"].isoformat()
+            new_watermark = max_row["m"]
 
     # 2) transform (lazy)
     if plan.transform.steps:
@@ -236,6 +245,7 @@ def run_from_plan(
             ),
             timestamp_col=vf.ts_col,
             max_lag_minutes=vf.max_lag_minutes,
+            include_header=ld.include_header,
         )
     else:
         ver = verify_table(

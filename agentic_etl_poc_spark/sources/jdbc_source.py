@@ -16,38 +16,51 @@ everything through the driver.
 
 from __future__ import annotations
 
-import re
+from urllib.parse import parse_qsl, unquote, urlsplit
 
 from pyspark.sql import DataFrame, SparkSession
-
-_SQLALCHEMY_RE = re.compile(
-    r"^(?P<dialect>[a-z0-9]+)(?:\+[a-z0-9]+)?://"
-    r"(?:(?P<user>[^:@/]+)(?::(?P<pw>[^@/]*))?@)?"
-    r"(?P<host>[^:/@]+)(?::(?P<port>\d+))?/(?P<db>[^?]+)",
-    re.IGNORECASE,
-)
 
 _DEFAULT_PORTS = {"postgresql": 5432, "mysql": 3306, "sqlserver": 1433}
 
 
 def to_jdbc_url(conn_str: str) -> tuple[str, dict[str, str]]:
-    """SQLAlchemy conn string → (jdbc url, properties)."""
+    """SQLAlchemy conn string → (jdbc url, properties).
+
+    Parsed with urllib (RFC 3986), not a regex: percent-encoded
+    credentials (``p%40ss`` for a password containing ``@``) decode
+    correctly, and ``?sslmode=require``-style query parameters are carried
+    into the JDBC properties instead of being dropped.  Characters that
+    must be percent-encoded inside userinfo (``@ / :``) raise a clear
+    error if left raw — such a string is ambiguous to every URL parser.
+    """
     if conn_str.startswith("jdbc:"):
         return conn_str, {}
-    m = _SQLALCHEMY_RE.match(conn_str)
-    if not m:
+    parts = urlsplit(conn_str)
+    if not parts.scheme or "//" not in conn_str:
         raise ValueError(f"cannot parse conn_str: {conn_str!r}")
-    d = m.groupdict()
-    dialect = d["dialect"].lower()
+    dialect = parts.scheme.split("+", 1)[0].lower()
     if dialect.startswith("postgres"):
         dialect = "postgresql"
-    port = d["port"] or _DEFAULT_PORTS.get(dialect, "")
-    url = f"jdbc:{dialect}://{d['host']}:{port}/{d['db']}"
-    props = {}
-    if d["user"]:
-        props["user"] = d["user"]
-    if d["pw"]:
-        props["password"] = d["pw"]
+    try:
+        host = parts.hostname or ""
+        port = parts.port
+    except ValueError as e:  # e.g. non-numeric port from an unencoded '@'
+        raise ValueError(
+            f"cannot parse conn_str {conn_str!r}: {e}; percent-encode "
+            "special characters in credentials (e.g. '@' -> '%40')"
+        ) from e
+    if not host:
+        raise ValueError(f"cannot parse conn_str: {conn_str!r} (no host)")
+    db = unquote(parts.path.lstrip("/"))
+    url = f"jdbc:{dialect}://{host}:{port or _DEFAULT_PORTS.get(dialect, '')}/{db}"
+    props: dict[str, str] = {}
+    if parts.username:
+        props["user"] = unquote(parts.username)
+    if parts.password:
+        props["password"] = unquote(parts.password)
+    # ?sslmode=require&connect_timeout=10 → JDBC driver properties
+    for k, v in parse_qsl(parts.query, keep_blank_values=True):
+        props.setdefault(k, v)
     return url, props
 
 
