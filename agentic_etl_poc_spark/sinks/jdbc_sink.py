@@ -62,6 +62,15 @@ def load_to_postgres(
     return f"loaded {row_count:,} rows into {table} ({mode})"
 
 
+def quote_ident(name: str) -> str:
+    """Double-quote a (possibly schema-qualified) identifier for the
+    Postgres/SQLite dialects: each dot-separated part quoted separately
+    (``analytics.orders`` → ``"analytics"."orders"``), embedded quotes
+    doubled.  Quoting makes reserved words (``order``, ``user``) and
+    mixed-case names (Postgres lower-cases unquoted identifiers) safe."""
+    return ".".join('"' + p.replace('"', '""') + '"' for p in name.split("."))
+
+
 def merge_statements(
     table: str, stage: str, key_cols: list[str], columns: list[str]
 ) -> list[str]:
@@ -71,20 +80,25 @@ def merge_statements(
     WHERE 1=0`` alone yields a constraint-less table, on which every
     ON CONFLICT upsert errors (latent in the reference's
     etl_agent/tools.py:92-95, unreachable there because the Postgres path
-    never runs — SURVEY §0.2)."""
+    never runs — SURVEY §0.2).  All identifiers are quoted (quote_ident);
+    the index NAME is derived with dots flattened to underscores because
+    ``CREATE INDEX`` takes a bare name (the index lands in the target
+    table's schema — a schema-qualified index name is a syntax error in
+    Postgres)."""
     non_keys = [c for c in columns if c not in key_cols]
-    col_list = ", ".join(columns)
-    key_list = ", ".join(key_cols)
-    set_list = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys) or (
-        f"{key_cols[0]} = EXCLUDED.{key_cols[0]}"
-    )
+    qt, qs = quote_ident(table), quote_ident(stage)
+    col_list = ", ".join(quote_ident(c) for c in columns)
+    key_list = ", ".join(quote_ident(c) for c in key_cols)
+    idx_name = quote_ident(f"{table.replace('.', '_')}_upsert_key")
+    set_list = ", ".join(
+        f"{quote_ident(c)} = EXCLUDED.{quote_ident(c)}" for c in non_keys
+    ) or f"{quote_ident(key_cols[0])} = EXCLUDED.{quote_ident(key_cols[0])}"
     return [
-        f"CREATE TABLE IF NOT EXISTS {table} AS SELECT * FROM {stage} WHERE 1=0",
-        f"CREATE UNIQUE INDEX IF NOT EXISTS {table}_upsert_key "
-        f"ON {table} ({key_list})",
+        f"CREATE TABLE IF NOT EXISTS {qt} AS SELECT * FROM {qs} WHERE 1=0",
+        f"CREATE UNIQUE INDEX IF NOT EXISTS {idx_name} ON {qt} ({key_list})",
         # WHERE true disambiguates ON CONFLICT after INSERT..SELECT for
         # SQLite's parser; Postgres accepts it unchanged.
-        f"INSERT INTO {table} ({col_list}) SELECT {col_list} FROM {stage} "
+        f"INSERT INTO {qt} ({col_list}) SELECT {col_list} FROM {qs} "
         f"WHERE true ON CONFLICT ({key_list}) DO UPDATE SET {set_list}",
     ]
 

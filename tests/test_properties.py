@@ -75,17 +75,17 @@ def test_merge_statements_shape(keys, extras):
     stmts = merge_statements("tgt", "tgt_stg", keys, cols)
     assert len(stmts) == 3
     ddl, idx, merge = stmts
-    assert ddl.startswith("CREATE TABLE IF NOT EXISTS tgt ")
+    assert ddl.startswith('CREATE TABLE IF NOT EXISTS "tgt" ')
     assert "UNIQUE INDEX" in idx
     for k in keys:
-        assert k in merge
+        assert f'"{k}"' in merge
     # every non-key column gets an EXCLUDED update; keys never do
     non_keys = [c for c in cols if c not in keys]
     for c in non_keys:
-        assert f"{c} = EXCLUDED.{c}" in merge
+        assert f'"{c}" = EXCLUDED."{c}"' in merge
     if non_keys:
         for k in keys:
-            assert f"{k} = EXCLUDED.{k}" not in merge
+            assert f'"{k}" = EXCLUDED."{k}"' not in merge
 
 
 @given(st.integers(min_value=1, max_value=64), st.integers())
