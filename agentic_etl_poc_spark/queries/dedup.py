@@ -406,10 +406,9 @@ def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "d07_dedup_clusters",
-    oracle=f"""
-WITH RECURSIVE {DUCK_MINHASH_PAIRS},
+# Recursive min-reachable-id fixpoint over the verified pair graph —
+# shared by d07 (cluster report) and d10 (survivor selection).
+DUCK_CLUSTERS = f"""{DUCK_MINHASH_PAIRS},
 edges AS MATERIALIZED (  -- else DuckDB inlines the whole MinHash pipeline
                          -- into EVERY recursion step (measured 16x slower)
   SELECT id1 AS src, id2 AS dst FROM pairs
@@ -423,7 +422,28 @@ step(node, label) AS (
   SELECT e.dst, s.label FROM step s JOIN edges e ON s.node = e.src
 ),
 assign AS (SELECT node AS doc_id, MIN(label) AS cluster_id
-           FROM step GROUP BY node)
+           FROM step GROUP BY node)"""
+
+
+def shared_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels (node, label) over the verified MinHash
+    pair graph — computed once per (session, dir), shared by d07/d10."""
+    from agentic_etl_poc_spark.operators.graph import connected_components
+
+    return _shared(
+        spark,
+        sf_dir,
+        "cc_labels",
+        lambda: connected_components(
+            minhash_verified_pairs(spark, sf_dir), src="id1", dst="id2"
+        ),
+    )
+
+
+@register(
+    "d07_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {DUCK_CLUSTERS}
 SELECT a.doc_id, a.cluster_id, c.cluster_size
 FROM assign a
 JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
@@ -440,10 +460,7 @@ ORDER BY a.doc_id
     "Oracle: recursive CTE computing the same min-reachable-id fixpoint.",
 )
 def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from agentic_etl_poc_spark.operators.graph import connected_components
-
-    pairs = minhash_verified_pairs(spark, sf_dir)
-    labels = connected_components(pairs, src="id1", dst="id2")
+    labels = shared_cluster_labels(spark, sf_dir)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -709,4 +726,53 @@ def d09_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text2").cast("bigint").alias("len2"),
         )
         .orderBy("id1", "id2")
+    )
+
+
+@register(
+    "d10_cluster_survivors",
+    oracle=f"""
+WITH RECURSIVE {DUCK_CLUSTERS},
+texts AS (SELECT doc_id, length(text) AS n_chars FROM corpus),
+joined AS (
+  SELECT a.cluster_id, a.doc_id, t.n_chars
+  FROM assign a JOIN texts t USING (doc_id)
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       arg_max(doc_id, n_chars * 1000000000 - doc_id) AS survivor_id,
+       CAST(MAX(n_chars) AS BIGINT) AS survivor_chars,
+       CAST(SUM(n_chars) - MAX(n_chars) AS BIGINT) AS chars_removed
+FROM joined
+GROUP BY cluster_id
+ORDER BY cluster_id
+""",
+    description="The dedup DECISION d01-d09 build toward: per near-dup "
+    "cluster keep ONE survivor (longest text, ties to the lowest doc_id "
+    "via the exact scalar n_chars*1e9 - doc_id — int64 math, no float) "
+    "and report the bytes removed.  Rides the session-shared cluster "
+    "labels (d07) and verified pairs (d04): in a real pipeline this is "
+    "one extra shuffle (cluster_id) over already-materialized state, and "
+    "that is what it costs here too.",
+)
+def d10_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = shared_cluster_labels(spark, sf_dir)
+    texts = spark_corpus(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+    j = labels.join(
+        texts, labels["node"] == texts["doc_id"]
+    ).select(F.col("label").alias("cluster_id"), "doc_id", "n_chars")
+    pick = F.col("n_chars") * F.lit(1000000000).cast("bigint") - F.col("doc_id")
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max_by("doc_id", pick).alias("survivor_id"),
+            F.max("n_chars").alias("survivor_chars"),
+            (F.sum("n_chars") - F.max("n_chars"))
+            .cast("bigint")
+            .alias("chars_removed"),
+        )
+        .orderBy("cluster_id")
     )

@@ -1281,3 +1281,219 @@ def q44_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q45_grouping_sets",
+    oracle="""
+SELECT COALESCE(n_name, '(all)') AS nation,
+       COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), '(all)') AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, EXTRACT(year FROM o_orderdate)),
+                        (n_name), (EXTRACT(year FROM o_orderdate)))
+ORDER BY nation, order_year
+""",
+    description="Explicit GROUPING SETS (beyond ROLLUP q14 / CUBE q21): "
+    "three chosen aggregation granularities in ONE pass — Spark expands "
+    "them in a single Expand+HashAggregate, i.e. one scan and one "
+    "shuffle instead of three scans unioned.  The year is re-rendered "
+    "to string so the COALESCE '(all)' sentinel types identically in "
+    "both engines.",
+)
+def q45_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.io_tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(
+        """
+SELECT COALESCE(n_name, '(all)') AS nation,
+       COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS STRING), '(all)') AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, EXTRACT(year FROM o_orderdate)),
+                        (n_name), (EXTRACT(year FROM o_orderdate)))
+ORDER BY nation, order_year
+"""
+    )
+
+
+@register(
+    "q46_ignore_nulls_fill",
+    oracle="""
+WITH flagged AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderkey END AS urgent_key
+  FROM orders WHERE o_custkey < 200
+)
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       last_value(urgent_key IGNORE NULLS) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS last_urgent_key
+FROM flagged
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+    description="IGNORE NULLS window fill: carry the most recent non-null "
+    "value forward within each ordered partition (the forward-fill / "
+    "last-observation-carried-forward primitive; q31's gap-fill joins a "
+    "calendar, this fills over EXISTING rows).  Spark spells it "
+    "F.last(col, ignorenulls=True); both engines evaluate one window "
+    "pass, no self-join.",
+)
+def q46_ignore_nulls_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    urgent = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.col("o_orderkey")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.last(urgent, ignorenulls=True).over(w).alias("last_urgent_key"),
+        )
+        .orderBy("o_custkey", "order_date", "o_orderkey")
+    )
+
+
+@register(
+    "q47_bitwise_agg",
+    oracle="""
+SELECT l_returnflag,
+       bit_or(CAST(l_linenumber AS BIGINT)) AS flags_or,
+       bit_and(CAST(l_linenumber AS BIGINT)) AS flags_and,
+       bit_xor(CAST(l_linenumber AS BIGINT)) AS flags_xor,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="Bitwise aggregates (bit_or/bit_and/bit_xor) — the "
+    "flag-set union/intersection idiom (e.g. merging permission or "
+    "feature bitmasks per key).  Fully map-side combinable: associative "
+    "and commutative, so the shuffle carries one partial per group per "
+    "partition.",
+)
+def q47_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    v = F.col("l_linenumber").cast("bigint")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_or(v).alias("flags_or"),
+            F.bit_and(v).alias("flags_and"),
+            F.bit_xor(v).alias("flags_xor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q48_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1997-01-01'
+  AND l_shipdate > DATE '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    description="TPC-H Q3 (shipping priority): segment-filtered customer "
+    "x orders x lineitem 3-way join, decimal-exact revenue agg, top-10. "
+    "The scale shape: both filters push into the parquet scans BEFORE "
+    "the joins, customer (post-filter) broadcasts, and the final top-k "
+    "is TakeOrderedAndProject — no global sort of the aggregate.",
+)
+def q48_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    revenue = _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("order_date"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q49_latest_record_dedup",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC
+         ) AS rn
+  FROM orders
+)
+SELECT o_custkey,
+       o_orderkey AS latest_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date,
+       o_totalprice AS latest_totalprice
+FROM ranked WHERE rn = 1
+ORDER BY o_custkey
+""",
+    description="Latest-record-wins dedup (CDC compaction / SCD1): "
+    "row_number over (key ORDER BY ts DESC, id DESC) = 1 — the standard "
+    "one-shuffle way to reduce a change stream to current state.  q33 "
+    "keeps full SCD2 history; this keeps only the head.  At scale the "
+    "single window shuffle on the key replaces a self-join max + "
+    "re-join.",
+)
+def q49_latest_record_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_order_date"),
+            F.col("o_totalprice").alias("latest_totalprice"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -527,3 +527,65 @@ def s05_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "s06_knn_join",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         {duck_cosine('b.embedding', 'q.qvec', DIM)} AS cos_sim
+  FROM embeddings b CROSS JOIN q
+  WHERE b.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+         ) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+ORDER BY query_id, rk
+""",
+    description="Batch kNN JOIN (the many-queries form of s01): all query "
+    "vectors broadcast as one small side, a single distributed pass over "
+    "the corpus scores every (query, corpus) pair, and per-query top-3 "
+    "falls out of a row_number window keyed on query_id.  Scale shape: "
+    "the corpus is touched ONCE for the whole query batch (not once per "
+    "query), the shuffle is (query_id, k) partial top-k sized, and the "
+    "broadcast side is |queries| x dim floats.  For huge query batches "
+    "this becomes block-nested-loop over corpus x query tiles — same "
+    "plan family, bigger tiles.",
+)
+def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+    )
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("embedding"), F.col("qvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("query_id", "rk")
+    )

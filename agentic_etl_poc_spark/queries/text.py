@@ -641,3 +641,167 @@ def m02_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     frames = frame_sample(attach_binary_payload(d), n_frames=4, fake=True)
     return frames.orderBy("item_id", "frame_idx")
+
+
+@register(
+    "t11_repetition_score",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+tt AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_tok_cnt,
+              CAST(SUM(c) AS BIGINT) AS n_tokens
+       FROM tc GROUP BY doc_id),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i + 1])) AS bg
+  FROM w
+),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+bt AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_cnt,
+              CAST(SUM(c) AS BIGINT) AS n_bigrams
+       FROM bc GROUP BY doc_id)
+SELECT tt.doc_id, n_tokens,
+       CAST(top_tok_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+       CAST(top_bigram_cnt AS DOUBLE) / n_bigrams AS top_bigram_frac,
+       (top_tok_cnt * 5 >= n_tokens) AS repetitive
+FROM tt JOIN bt ON tt.doc_id = bt.doc_id
+ORDER BY tt.doc_id
+""",
+    description="Repetition quality filter (the Gopher/C4-style rule): "
+    "fraction of tokens taken by the single most frequent token and "
+    "bigram; a doc whose top token is >=20% of all tokens is flagged "
+    "(flag computed in exact int math, top*5 >= n, so the threshold "
+    "cannot float-drift).  Shape: explode -> count per (doc, gram) -> "
+    "max per doc — two map-side-combinable shuffles keyed by doc, no "
+    "self-joins; this is how the rule runs over a 100 TB corpus.",
+)
+def t11_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    n = F.size(F.col("ws"))
+    bigrams = F.zip_with(
+        F.slice(F.col("ws"), 1, n - 1),
+        F.slice(F.col("ws"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tok_counts = (
+        d.select("doc_id", F.explode("ws").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tt = tok_counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_tok_cnt"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    big_counts = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bt = big_counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_cnt"),
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+    )
+    return (
+        tt.join(bt, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("top_tok_cnt").cast("double") / F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+            (
+                F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams")
+            ).alias("top_bigram_frac"),
+            (F.col("top_tok_cnt") * 5 >= F.col("n_tokens")).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "t12_length_deciles",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM ranked
+GROUP BY decile
+ORDER BY decile
+""",
+    description="Corpus length-decile audit: ntile(10) over the total "
+    "order (n_chars, doc_id) then per-decile stats — the curation view "
+    "behind 'drop the shortest X%' rules.  Scale note: global ntile is a "
+    "single-partition window, exact and fine for an audit TABLE of 10 "
+    "output rows at battery scale, but at 100 TB the cutpoints come from "
+    "approxQuantile (one pass, mergeable sketches) broadcast back as a "
+    "range join — the rest of the query is unchanged.",
+)
+def t12_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        d.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "t13_vocab_by_source",
+    oracle="""
+WITH tok AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab,
+       CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS vocab_ratio
+FROM tok
+GROUP BY source
+ORDER BY source
+""",
+    description="Vocabulary growth per source (the Heaps-law audit behind "
+    "source-mixture decisions: a source whose vocab/token ratio is "
+    "near-zero is template spam).  One explode + one groupBy(source) with "
+    "two DISTINCT aggregates — Spark plans the multi-distinct via Expand "
+    "with map-side partial aggregation, still a single shuffle family "
+    "keyed on (source, token/doc).",
+)
+def t13_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("vocab"),
+            (F.countDistinct("tok").cast("double") / F.count(F.lit(1))).alias(
+                "vocab_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
