@@ -70,6 +70,38 @@ def test_d08_blocked_equi_join_not_nested_loop(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+def test_q48_filters_pushed_joins_broadcast_topk_no_sort(spark, sf_smoke):
+    """TPC-H Q3 shape: every filter reaches its parquet scan, both joins
+    broadcast (post-filter dims are small), top-10 is TakeOrdered."""
+    plan = _formatted_plan(load_all()["q48_shipping_priority"].fn(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert any("l_shipdate" in line for line in pushed)
+    assert any("o_orderdate" in line for line in pushed)
+    assert any("c_mktsegment" in line for line in pushed)
+
+
+def test_window_topk_uses_group_limit(spark, sf_smoke):
+    """rank <= k filters must push down as WindowGroupLimit (partial
+    per-group top-k BEFORE the window shuffle) — without it every group's
+    full contents sort through the exchange."""
+    for name in ("q49_latest_record_dedup", "s06_knn_join"):
+        plan = _formatted_plan(load_all()[name].fn(spark, sf_smoke))
+        assert "WindowGroupLimit" in plan, name
+
+
+def test_q45_single_expand_aggregate(spark, sf_smoke):
+    """GROUPING SETS must plan as ONE Expand + aggregate over one scan of
+    the joined input — not a union of three aggregations."""
+    plan = _formatted_plan(load_all()["q45_grouping_sets"].fn(spark, sf_smoke))
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
 def test_q20_no_python_in_plan(spark, sf_smoke):
     """Pure-relational queries must not fall back to Python evaluation."""
     for name in ("q01_pricing_summary", "q05_left_join_multikey",
