@@ -1497,3 +1497,114 @@ def q49_latest_record_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "q50_higher_order_funcs",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+)
+SELECT doc_id,
+  CAST(len(list_filter(ws, x -> length(x) > 4)) AS BIGINT) AS n_long,
+  CAST(list_max(list_prepend(0, list_transform(ws, x -> length(x))))
+       AS BIGINT) AS max_token_len,
+  -- list_max, not list_reduce: DuckDB's vectorized list_reduce misaligns
+  -- accumulator values across rows in large batches (verified: single-row
+  -- probes agree, full-table runs shuffle results between rows).  The
+  -- Spark side keeps the genuine F.aggregate fold; max == fold-of-max.
+  CAST(CASE WHEN len(list_filter(ws, x -> x = 'spark')) > 0
+       THEN 1 ELSE 0 END AS BOOLEAN) AS has_spark,
+  CAST(CASE WHEN len(list_filter(ws, x -> length(x) = 0)) = 0
+       THEN 1 ELSE 0 END AS BOOLEAN) AS all_nonempty,
+  COALESCE(array_to_string(list_sort(list_distinct(
+       list_filter(ws, x -> length(x) >= 6))), ','), '') AS long_vocab
+  -- COALESCE: DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+FROM w
+ORDER BY doc_id
+""",
+    description="Higher-order array functions as first-class relational "
+    "surface: filter, fold (reduce/aggregate), exists, forall, and a "
+    "sorted-distinct projection — all evaluated ARRAY-SIDE in one "
+    "projection, zero shuffles, zero explodes.  (exists/forall are "
+    "spelled as filter-counts in both engines so the boolean logic is "
+    "identical.)  The fold runs left-to-right in both engines, so even "
+    "non-commutative accumulators would agree.",
+)
+def q50_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    lens = F.transform(F.col("ws"), lambda x: F.length(x))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.col("ws"), lambda x: F.length(x) > 4))
+        .cast("bigint")
+        .alias("n_long"),
+        F.aggregate(
+            lens,
+            F.lit(0),
+            lambda acc, x: F.when(x > acc, x).otherwise(acc),
+        )
+        .cast("bigint")
+        .alias("max_token_len"),
+        (F.size(F.filter(F.col("ws"), lambda x: x == "spark")) > 0).alias(
+            "has_spark"
+        ),
+        (F.size(F.filter(F.col("ws"), lambda x: F.length(x) == 0)) == 0).alias(
+            "all_nonempty"
+        ),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(F.col("ws"), lambda x: F.length(x) >= 6)
+                )
+            ),
+            ",",
+        ).alias("long_vocab"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q51_salted_skew_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="Skew-safe two-stage aggregation: stage 1 aggregates by "
+    "(key, salt) — a deterministic hash-derived salt spreads each hot "
+    "key over N partitions — stage 2 merges the partials by key.  The "
+    "oracle is the PLAIN single-stage GROUP BY: the point of the query "
+    "is proving the salted decomposition is semantically invisible "
+    "(counts add, decimal sums add, maxes max).  l_returnflag has 3 "
+    "values across all of lineitem — exactly the cardinality collapse "
+    "where one reducer would own a third of 100 TB without salting.  "
+    "(AQE skew-split handles moderate skew; explicit salting is the "
+    "escape hatch when one KEY exceeds an executor.)",
+)
+def q51_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.operators.scale import salt_column
+
+    li = table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "__salt", salt_column(F.col("l_orderkey"), F.col("l_linenumber"), parts=16)
+    )
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(_dec("l_quantity")).alias("psum"),
+        F.max("l_extendedprice").alias("pmax"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n"),
+            F.sum("psum").cast("double").alias("sum_qty"),
+            F.max("pmax").cast("double").alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
