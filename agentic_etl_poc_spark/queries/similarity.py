@@ -589,3 +589,73 @@ def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("query_id", "rk")
     )
+
+
+@register(
+    "s07_int8_quantization",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, label, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, label, scale,
+         list_transform(emb, x -> floor(x / scale + 0.5)) AS qvals,
+         emb
+  FROM scaled
+)
+SELECT vec_id, label, scale,
+  CAST(list_max(list_transform(qvals, x -> abs(x))) AS BIGINT) AS max_q,
+  list_max(list_transform(range(1, {DIM + 1}),
+       i -> abs(qvals[i] * scale - emb[i]))) AS max_abs_err,
+  CAST(len(list_filter(range(1, {DIM + 1}),
+       i -> abs(qvals[i] * scale - emb[i]) > scale * 0.5)) AS BIGINT)
+    AS n_bad
+FROM q
+ORDER BY vec_id
+""",
+    description="Symmetric int8 embedding quantization (the 4x storage / "
+    "bandwidth lever for ANN at scale): per-vector scale = max|x|/127, "
+    "quantize with floor(x/scale + 0.5) — floor-plus-half instead of "
+    "round() because the engines' round() half-case tie rules differ "
+    "while floor is bit-identical — then audit the reconstruction: max "
+    "quantized magnitude (must be 127), max absolute dequantization "
+    "error, and a count of elements violating the half-step error bound "
+    "(0 by construction).  All array-side per row, zero shuffles; at "
+    "100 TB this is a map-only rewrite of the vector column.",
+)
+def s07_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = e.select("vec_id", "label", emb.alias("emb"))
+    scale = (
+        F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    scaled = v.select("vec_id", "label", "emb", scale.alias("scale"))
+    qvals = F.transform(
+        F.col("emb"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
+    )
+    q = scaled.select("vec_id", "label", "scale", qvals.alias("qvals"), "emb")
+    err = F.zip_with(
+        F.col("qvals"),
+        F.col("emb"),
+        lambda qv, x: F.abs(qv * F.col("scale") - x),
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.array_max(F.transform(F.col("qvals"), lambda x: F.abs(x)))
+        .cast("bigint")
+        .alias("max_q"),
+        F.array_max(err).alias("max_abs_err"),
+        F.size(F.filter(err, lambda d: d > F.col("scale") * 0.5))
+        .cast("bigint")
+        .alias("n_bad"),
+    ).orderBy("vec_id")

@@ -548,3 +548,156 @@ def q42_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q52_funnel",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+),
+agg AS (
+  SELECT
+    CAST(COUNT(t_view) AS BIGINT) AS viewed,
+    CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS clicked,
+    CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+             THEN 1 ELSE 0 END) AS BIGINT) AS purchased
+  FROM per_user
+)
+SELECT stage, n_users,
+       CAST(n_users AS DOUBLE) / viewed AS frac_of_viewers
+FROM (
+  SELECT 1 AS ord, 'view' AS stage, viewed AS n_users, viewed FROM agg
+  UNION ALL
+  SELECT 2, 'click', clicked, viewed FROM agg
+  UNION ALL
+  SELECT 3, 'purchase', purchased, viewed FROM agg
+)
+ORDER BY ord
+""",
+    description="Conversion funnel (view -> click -> purchase): one "
+    "groupBy(user) computes each user's first time per stage, then a "
+    "single-row conditional aggregate counts time-ordered progressions "
+    "(t_view < t_click < t_purchase).  The whole funnel is ONE shuffle "
+    "keyed on user plus a scalar reduce — the shape that handles 10^9 "
+    "users; no per-stage self-joins, no event-sequence explode.",
+)
+def q52_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    agg = per_user.agg(
+        F.count("t_view").alias("viewed"),
+        F.sum(
+            (F.col("t_click") > F.col("t_view")).cast("long")
+        ).alias("clicked"),
+        F.sum(
+            (
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click"))
+            ).cast("long")
+        ).alias("purchased"),
+    )
+    stages = agg.select(
+        F.expr(
+            "stack(3, 1, 'view', viewed, 2, 'click', clicked, "
+            "3, 'purchase', purchased) as (ord, stage, n_users)"
+        ),
+        F.col("viewed"),
+    )
+    return (
+        stages.select(
+            "stage",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("viewed")).alias(
+                "frac_of_viewers"
+            ),
+            "ord",
+        )
+        .orderBy("ord")
+        .drop("ord")
+    )
+
+
+@register(
+    "q53_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events
+),
+cohort_sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_week
+),
+joined AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
+           AS week_offset,
+         a.user_id
+  FROM activity a JOIN firsts f USING (user_id)
+)
+SELECT strftime(j.cohort_week, '%Y-%m-%d') AS cohort_week,
+       j.week_offset,
+       CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size AS retention
+FROM joined j JOIN cohort_sizes s USING (cohort_week)
+GROUP BY j.cohort_week, j.week_offset, s.cohort_size
+ORDER BY cohort_week, week_offset
+""",
+    description="Weekly retention cohorts: users bucketed by first-seen "
+    "week, per-cohort active-user counts at each week offset, retention "
+    "as a fraction of cohort size.  Three shuffles total (first-seen per "
+    "user, distinct user-weeks, cohort re-aggregation) and the cohort "
+    "sizes broadcast back — the standard cohort-table shape, linear in "
+    "events and independent of the cohort-matrix width.",
+)
+def q53_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = activity.join(firsts, "user_id").select(
+        "cohort_week",
+        (
+            F.datediff(F.col("active_week"), F.col("cohort_week"))
+            / F.lit(7)
+        )
+        .cast("bigint")
+        .alias("week_offset"),
+        "user_id",
+    )
+    return (
+        joined.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_size")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            (
+                F.col("n_active").cast("double") / F.col("cohort_size")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
