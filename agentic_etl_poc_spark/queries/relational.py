@@ -22,14 +22,24 @@ from agentic_etl_poc_spark.io_tables import table
 from agentic_etl_poc_spark.queries.core import register
 
 
-def _dec(col: str | Column, scale: int = 2) -> Column:
+def _dec(col: str | Column, scale: int = 2, precision: int = 28) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal(28,{scale})")
+    return c.cast(f"decimal({precision},{scale})")
 
 
-def _dsum(col: str | Column, scale: int = 2) -> Column:
-    """Order-independent exact sum of a double column, returned as double."""
-    return F.sum(_dec(col, scale)).cast("double")
+def _dsum(col: str | Column, scale: int = 2, precision: int = 28) -> Column:
+    """Order-independent exact sum of a double column, returned as double.
+
+    ``precision`` is a PERFORMANCE knob, not a correctness one: Spark's
+    SUM widens the result type by 10 digits, and any decimal wider than
+    18 digits leaves the long-backed Tungsten representation for
+    BigDecimal (measured 2.5-3x slower on a 600k-row aggregate).  An
+    input precision <= 8 keeps the whole sum long-backed.  Use a small
+    precision ONLY when the per-row values provably fit (the cast
+    rounding — and therefore the result — is identical at any precision;
+    overflow would be NULL under ANSI-off, which the oracle would catch
+    as a hash mismatch, but don't rely on that: document the bound)."""
+    return F.sum(_dec(col, scale, precision)).cast("double")
 
 
 @register(
@@ -55,23 +65,28 @@ ORDER BY l_returnflag, l_linestatus
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
+    # Precision bounds (see _dsum): quantity <= 50 -> (4,2); extendedprice
+    # <= ~110k -> (8,2); discount <= 0.11 -> (8,6).  All three sums stay
+    # long-backed (<= 18-digit result).  The 4/6-decimal PRODUCTS need 12
+    # integer+fraction digits per row, so their sums take the BigDecimal
+    # path — (12,6) keeps the per-row representation small at least.
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(28,6)"
+        "decimal(12,6)"
     )
     charge = (
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(28,6)")
+    ).cast("decimal(12,6)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity").alias("sum_qty"),
-            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum("l_quantity", 2, 4).alias("sum_qty"),
+            _dsum("l_extendedprice", 2, 8).alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            (_dsum("l_quantity") / n).alias("avg_qty"),
-            (_dsum("l_extendedprice") / n).alias("avg_price"),
-            (_dsum("l_discount", 6) / n).alias("avg_disc"),
+            (_dsum("l_quantity", 2, 4) / n).alias("avg_qty"),
+            (_dsum("l_extendedprice", 2, 8) / n).alias("avg_price"),
+            (_dsum("l_discount", 6, 8) / n).alias("avg_disc"),
             n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -1437,7 +1452,7 @@ def q48_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1997-01-01"
     )
-    revenue = _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    revenue = _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, 12)
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
@@ -1596,7 +1611,7 @@ def q51_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partial = salted.groupBy("l_returnflag", "__salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum(_dec("l_quantity")).alias("psum"),
+        F.sum(_dec("l_quantity", 2, 4)).alias("psum"),  # qty <= 50: long-backed
         F.max("l_extendedprice").alias("pmax"),
     )
     return (
