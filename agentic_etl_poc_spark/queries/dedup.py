@@ -229,7 +229,12 @@ def d03_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One explicit shuffle on gram; every downstream consumer (doc-freq
     # agg, the rare filter join, and both sides of the pair self-join)
     # requires exactly this partitioning, so Catalyst reuses the single
-    # exchange instead of re-exploding the corpus four times.
+    # exchange instead of re-exploding the corpus four times.  NOT fed
+    # from the shared_toks cache deliberately: AQE plans a cached source
+    # as TableCacheQueryStages and then fails to unify the four identical
+    # repartition(gram) exchanges above it (measured: 1 reused exchange
+    # becomes 4 separate shuffles), which costs more than the re-explode
+    # saves.
     grams = spark_grams(c).repartition("gram")
     df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
     rare = grams.join(
