@@ -172,3 +172,43 @@ def u03_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "u04_arrow_scalar_udf",
+    oracle="""
+SELECT p_partkey,
+       CAST(length(p_name) * 2 + CASE WHEN contains(p_name, 'green')
+            THEN 1 ELSE 0 END AS BIGINT) AS feature,
+       upper(substr(p_type, 1, 5)) AS type_tag
+FROM part
+WHERE p_partkey <= 500
+ORDER BY p_partkey
+""",
+    description="Arrow-optimized scalar Python UDF (Spark 4 "
+    "``useArrow=True``): row-at-a-time Python semantics with Arrow batch "
+    "transfer instead of pickled rows — the migration path for UDFs too "
+    "twisted for pandas vectorization but too hot for the legacy pickle "
+    "serializer.  The logic here is deliberately SQL-expressible so the "
+    "oracle can verify the Arrow path end-to-end; in the battery's own "
+    "ranking (core.py docstring) built-ins > pandas UDF > arrow UDF > "
+    "pickled UDF, and t05/u01/u03 show the preferred tiers.",
+)
+def u04_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(returnType="bigint", useArrow=True)
+    def feature(name: str) -> int:
+        return len(name) * 2 + (1 if "green" in name else 0)
+
+    @F.udf(returnType="string", useArrow=True)
+    def type_tag(t: str) -> str:
+        return t[:5].upper()
+
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return (
+        p.select(
+            "p_partkey",
+            feature(F.col("p_name")).alias("feature"),
+            type_tag(F.col("p_type")).alias("type_tag"),
+        )
+        .orderBy("p_partkey")
+    )
