@@ -132,6 +132,56 @@ def frame_sample(df: DataFrame, n_frames: int = 4, fake: bool = False) -> DataFr
     )
 
 
+RESIZE_SCHEMA = (
+    "item_id bigint, payload binary, width int, height int, "
+    "src_bytes bigint, dst_bytes bigint"
+)
+
+
+def image_resize(
+    df: DataFrame, width: int = 224, height: int = 224, fake: bool = False
+) -> DataFrame:
+    """Resize kernel: payload in, (resized payload, target dims) out — the
+    binary-in/binary-out plumbing a preprocessing pipeline needs (resize →
+    re-encode → downstream feature extraction reads the NEW payload).
+
+    The real kernel needs PIL/opencv (absent here); the fake deterministic
+    kernel re-chunks the payload to a size proportional to the pixel-count
+    ratio and tags it with an md5 header — stable bytes, so the
+    byte-for-byte contract (including the binary output column) is
+    testable end-to-end.  At scale this is map-only: no shuffle, Arrow
+    batches both directions, output parquet can be written directly.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv, not available in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                data = bytes(payload)
+                w0, h0, _, _ = _decode_image_fake(data)
+                ratio = (width * height) / float(w0 * h0)
+                dst_len = max(16, int(len(data) * min(ratio, 1.0)))
+                header = hashlib.md5(data).digest()
+                resized = (header + data)[:dst_len]
+                out.append(
+                    (int(item_id), resized, width, height, len(data), len(resized))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "payload", "width", "height",
+                    "src_bytes", "dst_bytes",
+                ],
+            )
+
+    return df.select("item_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def _decode_audio_real(payload: bytes) -> tuple[float, int, float]:
     raise NotImplementedError(
         "audio decode requires torchaudio/soundfile, not available in this "

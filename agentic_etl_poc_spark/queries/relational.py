@@ -1623,3 +1623,95 @@ def q51_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q54_recursive_month_ladder",
+    oracle="""
+WITH RECURSIVE months(m) AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+)
+SELECT strftime(m, '%Y-%m') AS month,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+FROM months
+LEFT JOIN (
+  SELECT date_trunc('month', o_orderdate) AS om, COUNT(*) AS n
+  FROM orders GROUP BY om
+) c ON c.om = months.m
+ORDER BY month
+""",
+    description="Recursive CTE (new in Spark 4): a month ladder generated "
+    "by recursion from min to max order date, left-joined to per-month "
+    "counts so empty months surface as zeros — the recursion-as-series "
+    "twin of q31's sequence()-based gap fill, proving the iterative SQL "
+    "surface matches the oracle's recursion semantics (row-per-step, "
+    "UNION ALL, correlated stop condition).",
+)
+def q54_recursive_month_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.io_tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+WITH RECURSIVE months(m) AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+)
+SELECT date_format(m, 'yyyy-MM') AS month,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+FROM months
+LEFT JOIN (
+  SELECT date_trunc('month', o_orderdate) AS om, COUNT(*) AS n
+  FROM orders GROUP BY om
+) c ON c.om = months.m
+ORDER BY month
+"""
+    )
+
+
+@register(
+    "q55_lateral_topn",
+    oracle="""
+SELECT r.r_name, t.n_name, t.n_customers
+FROM region r,
+LATERAL (
+  SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_customers DESC, n.n_name
+  LIMIT 2
+) t
+ORDER BY r.r_name, t.n_customers DESC, t.n_name
+""",
+    description="LATERAL correlated subquery (per-row top-N without a "
+    "window): for every region, the two nations with the most customers "
+    "— the 'top-N per group as a join' spelling.  Catalyst decorrelates "
+    "the lateral into a join + per-group limit; the window spelling "
+    "(q10/q49) is usually the faster plan at scale, and having BOTH "
+    "oracle-verified pins their equivalence.",
+)
+def q55_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.io_tables import register_views
+
+    register_views(spark, sf_dir, ("region", "nation", "customer"))
+    return spark.sql(
+        """
+SELECT r.r_name, t.n_name, t.n_customers
+FROM region r,
+LATERAL (
+  SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_customers DESC, n.n_name
+  LIMIT 2
+) t
+ORDER BY r.r_name, t.n_customers DESC, t.n_name
+"""
+    )

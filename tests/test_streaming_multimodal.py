@@ -222,3 +222,38 @@ def test_stream_stream_join_matches_batch(spark, sf_smoke, events_json_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_multimodal_image_resize_fake(spark, sf_smoke):
+    """Resize is binary-in/binary-out: the output payload column must be
+    real bytes (re-encodable downstream), sized by the pixel ratio, and
+    deterministic across runs."""
+    from agentic_etl_poc_spark.operators.multimodal import image_resize
+
+    docs = table(spark, sf_smoke, "documents").limit(50)
+    payloads = attach_binary_payload(docs)
+    out = image_resize(payloads, width=64, height=64, fake=True)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows[:10]:
+        assert isinstance(r["payload"], (bytes, bytearray))
+        assert r["dst_bytes"] == len(r["payload"]) > 0
+        assert r["dst_bytes"] <= max(16, r["src_bytes"])
+        assert (r["width"], r["height"]) == (64, 64)
+    again = {r["item_id"]: bytes(r["payload"]) for r in
+             image_resize(payloads, width=64, height=64, fake=True).collect()}
+    assert all(again[r["item_id"]] == bytes(r["payload"]) for r in rows)
+    # feature extraction composes on the RESIZED payload
+    feats = image_features(out, fake=True)
+    assert feats.count() == 50
+
+
+def test_multimodal_resize_real_raises(spark, sf_smoke):
+    from agentic_etl_poc_spark.operators.multimodal import image_resize
+
+    docs = table(spark, sf_smoke, "documents").limit(1)
+    with pytest.raises(Exception) as exc_info:
+        image_resize(attach_binary_payload(docs), fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "resize" in str(
+        exc_info.value
+    )
