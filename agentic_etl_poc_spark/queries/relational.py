@@ -1626,50 +1626,50 @@ def q51_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q54_recursive_month_ladder",
+    "q54_recursive_year_ladder",
     oracle="""
-WITH RECURSIVE months(m) AS (
-  SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+WITH RECURSIVE years(m) AS (
+  SELECT date_trunc('year', MIN(o_orderdate)) FROM orders
   UNION ALL
-  SELECT m + INTERVAL 1 MONTH FROM months
-  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+  SELECT m + INTERVAL 1 YEAR FROM years
+  WHERE m < (SELECT date_trunc('year', MAX(o_orderdate)) FROM orders)
 )
-SELECT strftime(m, '%Y-%m') AS month,
+SELECT strftime(m, '%Y') AS year,
        CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
-FROM months
+FROM years
 LEFT JOIN (
-  SELECT date_trunc('month', o_orderdate) AS om, COUNT(*) AS n
+  SELECT date_trunc('year', o_orderdate) AS om, COUNT(*) AS n
   FROM orders GROUP BY om
-) c ON c.om = months.m
-ORDER BY month
+) c ON c.om = years.m
+ORDER BY year
 """,
-    description="Recursive CTE (new in Spark 4): a month ladder generated "
-    "by recursion from min to max order date, left-joined to per-month "
-    "counts so empty months surface as zeros — the recursion-as-series "
+    description="Recursive CTE (new in Spark 4): a year ladder generated "
+    "by recursion from min to max order date, left-joined to per-year "
+    "counts so empty years surface as zeros (each recursion step is a sequential Spark job, so the ladder is deliberately COARSE — recursion depth, not data size, is the cost driver) — the recursion-as-series "
     "twin of q31's sequence()-based gap fill, proving the iterative SQL "
     "surface matches the oracle's recursion semantics (row-per-step, "
     "UNION ALL, correlated stop condition).",
 )
-def q54_recursive_month_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q54_recursive_year_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_etl_poc_spark.io_tables import register_views
 
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(
         """
-WITH RECURSIVE months(m) AS (
-  SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+WITH RECURSIVE years(m) AS (
+  SELECT date_trunc('year', MIN(o_orderdate)) FROM orders
   UNION ALL
-  SELECT m + INTERVAL 1 MONTH FROM months
-  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+  SELECT m + INTERVAL 1 YEAR FROM years
+  WHERE m < (SELECT date_trunc('year', MAX(o_orderdate)) FROM orders)
 )
-SELECT date_format(m, 'yyyy-MM') AS month,
+SELECT date_format(m, 'yyyy') AS year,
        CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
-FROM months
+FROM years
 LEFT JOIN (
-  SELECT date_trunc('month', o_orderdate) AS om, COUNT(*) AS n
+  SELECT date_trunc('year', o_orderdate) AS om, COUNT(*) AS n
   FROM orders GROUP BY om
-) c ON c.om = months.m
-ORDER BY month
+) c ON c.om = years.m
+ORDER BY year
 """
     )
 
