@@ -1628,11 +1628,13 @@ def q51_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q54_recursive_year_ladder",
     oracle="""
-WITH RECURSIVE years(m) AS (
-  SELECT date_trunc('year', MIN(o_orderdate)) FROM orders
+WITH RECURSIVE years(m, hi) AS (
+  -- the max bound rides along in the recursion so the stop condition is
+  -- a column compare, not a scalar subquery re-executed every step
+  SELECT date_trunc('year', MIN(o_orderdate)),
+         date_trunc('year', MAX(o_orderdate)) FROM orders
   UNION ALL
-  SELECT m + INTERVAL 1 YEAR FROM years
-  WHERE m < (SELECT date_trunc('year', MAX(o_orderdate)) FROM orders)
+  SELECT m + INTERVAL 1 YEAR, hi FROM years WHERE m < hi
 )
 SELECT strftime(m, '%Y') AS year,
        CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
@@ -1656,11 +1658,11 @@ def q54_recursive_year_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(
         """
-WITH RECURSIVE years(m) AS (
-  SELECT date_trunc('year', MIN(o_orderdate)) FROM orders
+WITH RECURSIVE years(m, hi) AS (
+  SELECT date_trunc('year', MIN(o_orderdate)),
+         date_trunc('year', MAX(o_orderdate)) FROM orders
   UNION ALL
-  SELECT m + INTERVAL 1 YEAR FROM years
-  WHERE m < (SELECT date_trunc('year', MAX(o_orderdate)) FROM orders)
+  SELECT m + INTERVAL 1 YEAR, hi FROM years WHERE m < hi
 )
 SELECT date_format(m, 'yyyy') AS year,
        CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
