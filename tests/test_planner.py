@@ -107,3 +107,38 @@ def test_run_prompt_nl_to_result(spark, tmp_path, monkeypatch):
     with open(out) as f:
         header = f.readline().strip().split(",")
     assert header == ["o_orderkey", "o_custkey", "o_totalprice"]
+
+
+def test_kv_grammar_properties():
+    """The inline k=v grammar: lists keep embedded commas, ints parse,
+    inline comments drop, arbitrary key order round-trips."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from agentic_etl_poc_spark.plans.planner import _parse_kv
+
+    ident = st.text("abcdefghij_", min_size=1, max_size=8)
+
+    @given(
+        st.dictionaries(
+            ident,
+            st.one_of(
+                st.integers(-1000, 1000),
+                st.text("xyz./$", min_size=1, max_size=10),
+                st.lists(st.text("abc", min_size=1, max_size=4), min_size=1, max_size=4),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=100)
+    def check(d):
+        parts = []
+        for k, v in d.items():
+            if isinstance(v, list):
+                parts.append(f"{k}=[{','.join(v)}]")
+            else:
+                parts.append(f"{k}={v}")
+        assert _parse_kv(", ".join(parts)) == d
+
+    check()
