@@ -44,3 +44,22 @@ def test_incremental_example_runs(spark, tmp_path):
     r2 = run_from_plan(spark, text)  # nothing new on the second tick
     assert r2["status"] == "ok" and r2["dq"]["rows"] == 0
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_nl_prompt_example_runs(spark, tmp_path, monkeypatch):
+    """The NL-prompt example goes stdin-text -> offline planner -> YAML ->
+    executed pipeline, same as `cli -p examples/nl_orders_prompt.txt`."""
+    import json
+
+    from agentic_etl_poc_spark.runtime import run_prompt
+
+    monkeypatch.delenv("ETL_AGENT_OFFLINE", raising=False)
+    text = open(os.path.join(EXAMPLES, "nl_orders_prompt.txt")).read()
+    out = str(tmp_path / "nl_report.csv")
+    text = text.replace("/tmp/nl_orders_report.csv", out)
+    result = run_prompt(spark, text)
+    assert result["status"] == "ok", json.dumps(result)[:400]
+    with open(out) as f:
+        assert f.readline().strip().split(",") == [
+            "o_orderpriority", "n_orders", "revenue",
+        ]
