@@ -135,3 +135,34 @@ def test_compact_parquet(spark, sf_smoke, tmp_path):
     assert after.count() == n_rows  # no data lost
     # row-group clustering: each file's rows are sorted by the key
     assert stats["files_after"] >= 1
+
+
+def test_results_invariant_under_parallelism(spark, sf_smoke):
+    """The same query must produce the same multiset of rows at ANY
+    shuffle parallelism — the local proxy for 'correct on 1000 executors'.
+    Covers an aggregate (q01), a window (q49), and a shuffle-heavy
+    candidate-join dedup (d05)."""
+    from agentic_etl_poc_spark import session as S
+    from agentic_etl_poc_spark.queries import dedup as dd
+    from agentic_etl_poc_spark.queries import load_all
+
+    ALL = load_all()
+    names = ["q01_pricing_summary", "q49_latest_record_dedup", "d05_simhash"]
+    results: dict[str, list] = {}
+    for parts in ("3", "17"):
+        # pre-mark the (session, dir) as tuned so tune_for_data doesn't
+        # overwrite the forced parallelism; drop shared caches so the
+        # dedup pipeline genuinely re-executes at the new setting
+        S._TUNED.add((id(spark), sf_smoke))
+        dd._SHARED.clear()
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        for name in names:
+            rows = sorted(
+                tuple(str(c) for c in r) for r in ALL[name].fn(spark, sf_smoke).collect()
+            )
+            assert rows, name
+            if name in results:
+                assert results[name] == rows, (
+                    f"{name}: result depends on shuffle parallelism"
+                )
+            results[name] = rows
