@@ -1719,3 +1719,57 @@ LATERAL (
 ORDER BY r.r_name, t.n_customers DESC, t.n_name
 """
     )
+
+
+@register(
+    "q56_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1994-01-01'
+  AND o_orderdate < DATE '1996-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    description="TPC-H Q5 (local supplier volume): a SIX-way join — "
+    "lineitem x orders x customer x supplier x nation x region — with "
+    "the customer-nation = supplier-nation co-location constraint.  The "
+    "scale shape: the date filter pushes into the orders scan and the "
+    "region filter prunes nation/region BEFORE they broadcast; the only "
+    "big-big joins are lineitem-orders and the suppkey join, both keyed "
+    "on the fact table's own keys; everything else rides broadcasts.  "
+    "Decimal-exact revenue, total-order output.",
+)
+def q56_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, 12)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
