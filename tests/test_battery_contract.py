@@ -18,7 +18,7 @@ from tests.conftest import SF_SMOKE
 
 ALL = load_all()
 
-_COMPLEX = (T.ArrayType, T.MapType, T.StructType)
+_COMPLEX = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
 
 
 @pytest.mark.parametrize("name", sorted(ALL))
