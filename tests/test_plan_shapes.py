@@ -102,6 +102,30 @@ def test_q45_single_expand_aggregate(spark, sf_smoke):
     assert "Union" not in plan
 
 
+def test_q56_six_way_join_all_hash_no_nested_loop(spark, sf_smoke):
+    """TPC-H Q5: every join is hash-based (broadcast or shuffled) — a
+    six-way join that degrades to a nested loop or cartesian is the
+    classic 100 TB killer."""
+    plan = _formatted_plan(
+        load_all()["q56_local_supplier_volume"].fn(spark, sf_smoke)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) >= 5
+
+
+def test_q51_salted_agg_is_two_hash_stages(spark, sf_smoke):
+    """The salted rewrite must stay a pure aggregate pipeline: two
+    map-side-combinable hash aggregations, no Expand (which a
+    distinct-style rewrite would introduce), no join."""
+    plan = _formatted_plan(load_all()["q51_salted_skew_agg"].fn(spark, sf_smoke))
+    assert plan.count("HashAggregate") >= 4  # partial+final x two stages
+    assert "Expand" not in plan
+    assert "Join" not in plan
+
+
 def test_q20_no_python_in_plan(spark, sf_smoke):
     """Pure-relational queries must not fall back to Python evaluation."""
     for name in ("q01_pricing_summary", "q05_left_join_multikey",
