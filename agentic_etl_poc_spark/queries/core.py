@@ -44,6 +44,27 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+#: Session-scoped persisted intermediates shared across query families
+#: (dedup shingles/pairs/labels, similarity signatures/norms).  In a real
+#: pipeline these are computed ONCE and fanned out; the battery does the
+#: same when several queries run in one session (a correctness sweep,
+#: bench).  Keyed by (session, data dir, name); persist() keeps the
+#: logical plan visible to Catalyst while caching the data.  CAVEAT
+#: (learned on d03): do NOT feed a cached frame into a plan whose
+#: efficiency depends on ReuseExchange across self-join consumers — AQE
+#: wraps the cache in TableCacheQueryStages and stops unifying the
+#: identical exchanges above it.
+_SHARED: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def shared_frame(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    df = _SHARED.get(key)
+    if df is None:
+        df = build().persist()
+        _SHARED[key] = df
+    return df
+
 
 def register(name: str, oracle: str | None, description: str = ""):
     """Decorator: add a query to the battery."""

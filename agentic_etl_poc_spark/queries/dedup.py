@@ -103,25 +103,16 @@ def spark_grams(corpus: DataFrame) -> DataFrame:
     )
 
 
-#: Session-scoped persisted intermediates shared across the dedup family.
-#: d04/d05/d07/d09 all start from the same shingle table, and d04/d07/d09
-#: from the same verified pair set; in a real pipeline these are computed
-#: ONCE and fanned out, so the battery does the same when several queries
-#: run in one session (the harness's correctness sweep, bench).  Keyed by
-#: (session, data dir); persist() keeps the logical plan visible to
-#: Catalyst while caching the data, and partition counts are bounded by
-#: the data-sized shuffle conf before persist (AQE cannot re-coalesce
-#: cached plans).
-_SHARED: dict[tuple[int, str, str], DataFrame] = {}
+# Session-scoped shared intermediates (queries/core.py::shared_frame):
+# d04/d05/d07/d09/d10 all start from the same shingle table, and
+# d04/d07/d09/d10 from the same verified pair set.  Partition counts are
+# bounded by the data-sized shuffle conf before persist (AQE cannot
+# re-coalesce cached plans).
+from agentic_etl_poc_spark.queries.core import shared_frame as _shared_frame
 
 
 def _shared(spark: SparkSession, sf_dir: str, what: str, build) -> DataFrame:
-    key = (id(spark), sf_dir, what)
-    df = _SHARED.get(key)
-    if df is None:
-        df = build().persist()
-        _SHARED[key] = df
-    return df
+    return _shared_frame(spark, sf_dir, f"dedup:{what}", build)
 
 
 def shared_toks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -138,27 +138,41 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(spark, sf_dir).orderBy("query_id", "neighbor_id")
 
 
+def lsh_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, embedding, bucket, nsq): LSH sign-bit bucket plus
+    squared norm per vector — session-shared (queries/core.py) because the
+    four interpreted plane-dot folds per row are the expensive part and
+    s02/s04/s05 all start from this exact frame."""
+    from agentic_etl_poc_spark.functions.hashing import dot_fold
+    from agentic_etl_poc_spark.queries.core import shared_frame
+
+    def build() -> DataFrame:
+        e = table(spark, sf_dir, "embeddings")
+        # Signature = sign bits of 4 plane dots, all computed in one narrow
+        # projection (planes are literal arrays): no crossJoin explosion, no
+        # groupBy-on-embedding shuffle — the bucket column is map-side free.
+        bucket = F.lit(0).cast("bigint")
+        for j in range(N_PLANES):
+            bucket = bucket + F.when(
+                _plane_dot_spark(F.col("embedding"), j) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        return e.select(
+            "vec_id",
+            "label",
+            "embedding",
+            bucket.cast("bigint").alias("bucket"),
+            dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
+        )
+
+    return shared_frame(spark, sf_dir, "similarity:lsh_sigs", build)
+
+
 def lsh_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """LSH-bucketed approximate top-k per query — shared by s02 (reports
     neighbors) and s04 (recall evaluation vs the exact baseline)."""
     from agentic_etl_poc_spark.functions.hashing import dot_fold
 
-    e = table(spark, sf_dir, "embeddings")
-    # Signature = sign bits of 4 plane dots, all computed in one narrow
-    # projection (planes are literal arrays): no crossJoin explosion, no
-    # groupBy-on-embedding shuffle — the bucket column is map-side free.
-    bucket = F.lit(0).cast("bigint")
-    for j in range(N_PLANES):
-        bucket = bucket + F.when(
-            _plane_dot_spark(F.col("embedding"), j) > 0, F.lit(1 << j)
-        ).otherwise(F.lit(0))
-    sigs = e.select(
-        "vec_id",
-        "label",
-        "embedding",
-        bucket.cast("bigint").alias("bucket"),
-        dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
-    )
+    sigs = lsh_sigs(spark, sf_dir)
     q = F.broadcast(sigs.filter(F.col("vec_id") < N_QUERIES)).alias("q")
     c = sigs.alias("c")
     cos = dot_fold(F.col("q.embedding"), F.col("c.embedding")) / F.sqrt(
@@ -334,11 +348,9 @@ ORDER BY e.query_id
 def s04_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_etl_poc_spark.functions.hashing import dot_fold
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
-    )
+    # exact side rides the shared (vec_id, ..., nsq) frame; the extra
+    # bucket/label columns are projected away by the explicit selects
+    e = lsh_sigs(spark, sf_dir)
     q = F.broadcast(e.filter(F.col("vec_id") < N_QUERIES)).alias("q")
     c = e.alias("c")
     cos = dot_fold(F.col("q.embedding"), F.col("c.embedding")) / F.sqrt(
@@ -440,18 +452,7 @@ ORDER BY e.query_id
 def s05_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_etl_poc_spark.functions.hashing import dot_fold
 
-    e = table(spark, sf_dir, "embeddings")
-    bucket = F.lit(0).cast("bigint")
-    for j in range(N_PLANES):
-        bucket = bucket + F.when(
-            _plane_dot_spark(F.col("embedding"), j) > 0, F.lit(1 << j)
-        ).otherwise(F.lit(0))
-    sigs = e.select(
-        "vec_id",
-        "embedding",
-        bucket.cast("bigint").alias("bucket"),
-        dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
-    )
+    sigs = lsh_sigs(spark, sf_dir)
     probe_arr = F.array(
         F.col("bucket"),
         *[
@@ -489,11 +490,7 @@ def s05_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", F.col("neighbor_id").alias("a_neighbor_id"))
     )
-    e2 = e.select(
-        "vec_id",
-        "embedding",
-        dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
-    )
+    e2 = sigs.select("vec_id", "embedding", "nsq")
     qb = F.broadcast(e2.filter(F.col("vec_id") < N_QUERIES)).alias("q")
     cb = e2.alias("c")
     cos2 = dot_fold(F.col("q.embedding"), F.col("c.embedding")) / F.sqrt(

@@ -143,7 +143,7 @@ def test_results_invariant_under_parallelism(spark, sf_smoke):
     Covers an aggregate (q01), a window (q49), and a shuffle-heavy
     candidate-join dedup (d05)."""
     from agentic_etl_poc_spark import session as S
-    from agentic_etl_poc_spark.queries import dedup as dd
+    from agentic_etl_poc_spark.queries import core as qcore
     from agentic_etl_poc_spark.queries import load_all
 
     ALL = load_all()
@@ -154,7 +154,7 @@ def test_results_invariant_under_parallelism(spark, sf_smoke):
         # overwrite the forced parallelism; drop shared caches so the
         # dedup pipeline genuinely re-executes at the new setting
         S._TUNED.add((id(spark), sf_smoke))
-        dd._SHARED.clear()
+        qcore._SHARED.clear()
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         for name in names:
             rows = sorted(
