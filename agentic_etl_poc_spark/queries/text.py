@@ -805,3 +805,69 @@ def t13_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t14_tfidf_keywords",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 100
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk
+""",
+    description="TF-IDF keyword extraction: term frequency per (doc, term), "
+    "document frequency per term, idf = N/df (RAW inverse document "
+    "frequency, not ln(N/df): Java's Math.log and DuckDB's libm ln "
+    "disagree in the final ulp for some inputs, which flips hash-matches "
+    "and can even flip near-tie rankings — tf*N/df is integer math plus "
+    "one correctly-rounded division, bit-identical by construction), "
+    "top-3 terms per doc.  "
+    "The idf factor is computed once PER TERM (not per occurrence) and "
+    "joined back — at 100 TB the df table is the small side and "
+    "broadcasts, so the big frame shuffles exactly twice (doc-term "
+    "counts, per-doc top-k via WindowGroupLimit).  Doubles are safe "
+    "cross-engine here: tf*ln(N/df) is the same two IEEE ops on the same "
+    "inputs in both engines, and ranking ties break on the term.",
+)
+def t14_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    )
