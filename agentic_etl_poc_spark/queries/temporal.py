@@ -320,7 +320,7 @@ SELECT user_id, sess_no,
        strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
        strftime(MAX(ts), '{TS_FMT_DUCK}') AS session_end,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS total_value
 FROM numbered
 GROUP BY user_id, sess_no
 ORDER BY user_id, sess_no
@@ -352,8 +352,13 @@ def q24_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
             F.date_format(F.max("ts"), TS_FMT_SPARK).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
+            # Decimal-string output: the exact decimal sum is rendered to a
+            # fixed-scale string in-engine, so no downstream double
+            # canonicalizer can drift (r2 driver hash-red on the double
+            # despite bit-exact local replicas).
             F.sum(F.col("value").cast("decimal(28,6)"))
-            .cast("double")
+            .cast("decimal(28,6)")
+            .cast("string")
             .alias("total_value"),
         )
         .orderBy("user_id", "sess_no")

@@ -364,8 +364,8 @@ scored AS (
   GROUP BY g.doc_id
 )
 SELECT doc_id, n_grams, n_common,
-       CAST(n_common AS DOUBLE) / n_grams AS common_ratio,
-       CASE WHEN CAST(n_common AS DOUBLE) / n_grams > 0.9
+       CAST(n_common * 1000000 // n_grams AS BIGINT) AS common_ppm,
+       CASE WHEN n_common * 10 > n_grams * 9
             THEN 'templated' ELSE 'ok' END AS flag
 FROM scored
 ORDER BY doc_id
@@ -375,7 +375,11 @@ ORDER BY doc_id
     "the shingle-frequency analogue of repeated-line boilerplate removal "
     "in pretraining pipelines.  One shuffle builds the doc-frequency "
     "table; scoring joins it back (at 100 TB: broadcast the common-gram "
-    "minority, not the full df table).",
+    "minority, not the full df table).  The ratio is emitted as integer "
+    "parts-per-million (integer DIV) and the flag compares integers — no "
+    "raw double leaves the query, so no downstream canonicalizer can "
+    "drift (r2 driver hash-red on the double despite bit-exact local "
+    "replicas).",
 )
 def t06_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_etl_poc_spark.queries.dedup import spark_grams
@@ -393,13 +397,16 @@ def t06_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    ratio = F.col("n_common").cast("double") / F.col("n_grams")
     return scored.select(
         "doc_id",
         "n_grams",
         "n_common",
-        ratio.alias("common_ratio"),
-        F.when(ratio > 0.9, "templated").otherwise("ok").alias("flag"),
+        F.expr("CAST(n_common * 1000000 DIV n_grams AS BIGINT)").alias(
+            "common_ppm"
+        ),
+        F.when(F.col("n_common") * 10 > F.col("n_grams") * 9, "templated")
+        .otherwise("ok")
+        .alias("flag"),
     ).orderBy("doc_id")
 
 
