@@ -40,11 +40,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_for_data(spark, sf_dir)  # ...and sized to the data, not the default
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
+        from pyspark.sql import functions as F, types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Only TIMESTAMP(NANOS) files surface ts as long under nanosAsLong;
+        # an events table written at µs/ms precision arrives as a real
+        # timestamp already and needs no truncation.
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(path)
 
 

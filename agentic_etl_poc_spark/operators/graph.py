@@ -31,6 +31,8 @@ Scale shape (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -49,9 +51,13 @@ def connected_components(
     derived here.  Returns ``(node, label)``, localCheckpoint'ed so the
     caller gets a lineage-free frame safe to join/iterate further.
 
-    ``stats`` (optional dict) is filled with ``rounds`` and ``checkpoints``
-    for tests asserting the convergence/lineage contract.
+    ``stats`` (optional dict) is filled with ``rounds``, ``checkpoints``
+    and ``converged`` for tests asserting the convergence/lineage contract.
     """
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     spark = edges.sparkSession
     n_part = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
     s, d = F.col(src), F.col(dst)
@@ -116,14 +122,24 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if new_sum == prev_sum:
+                converged = True
                 break
             prev_sum = new_sum
+        else:
+            converged = False
+            warnings.warn(
+                f"connected_components: no fixpoint after max_rounds="
+                f"{max_rounds}; returned labels may merge further",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         result = labels if lineage_free else labels.localCheckpoint(eager=True)
         if result is not labels:
             labels.unpersist()
         if stats is not None:
             stats["rounds"] = rounds
             stats["checkpoints"] = checkpoints
+            stats["converged"] = converged
         return result
     finally:
         e.unpersist()

@@ -80,7 +80,10 @@ def _parse_kv(text: str) -> dict[str, Any]:
         if not part or "=" not in part:
             continue
         k, v = part.split("=", 1)
-        k, v = k.strip(), v.split("#", 1)[0].strip()  # drop inline comments
+        # Inline comments start at a WHITESPACE-preceded '#' (common
+        # config-parser convention) — a bare '#' inside a value
+        # (password in a conn_str, URL fragment, '#fff') is data.
+        k, v = k.strip(), re.split(r"\s+#", v, maxsplit=1)[0].strip()
         if v.startswith("[") and v.endswith("]"):
             out[k] = [x.strip() for x in v[1:-1].split(",") if x.strip()]
         elif re.fullmatch(r"-?\d+", v):

@@ -29,6 +29,7 @@ approximately):
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -54,16 +55,39 @@ QUERIES: dict[str, QuerySpec] = {}
 #: efficiency depends on ReuseExchange across self-join consumers — AQE
 #: wraps the cache in TableCacheQueryStages and stops unifying the
 #: identical exchanges above it.
-_SHARED: dict[tuple[int, str, str], DataFrame] = {}
+#:
+#: Weak-keyed by the SESSION OBJECT, not id(spark): after a session is
+#: stopped and garbage-collected, a new session can reuse the same id()
+#: and would inherit a persisted frame bound to the dead JVM state; a
+#: WeakKeyDictionary entry dies with the session instead.
+_SHARED: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def shared_frame(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    key = (id(spark), sf_dir, name)
-    df = _SHARED.get(key)
+    per = _SHARED.get(spark)
+    if per is None:
+        per = {}
+        _SHARED[spark] = per
+    df = per.get((sf_dir, name))
     if df is None:
         df = build().persist()
-        _SHARED[key] = df
+        per[(sf_dir, name)] = df
     return df
+
+
+def clear_shared_frames(spark: SparkSession | None = None) -> None:
+    """Unpersist and drop the shared intermediates (for ``spark``, or for
+    every live session) — frees executor storage between data dirs or at
+    the end of a battery run."""
+    sessions = [spark] if spark is not None else list(_SHARED.keys())
+    for s in sessions:
+        for df in (_SHARED.pop(s, None) or {}).values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped; nothing to free
 
 
 def register(name: str, oracle: str | None, description: str = ""):

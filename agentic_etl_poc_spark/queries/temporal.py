@@ -600,16 +600,25 @@ def q52_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         first("click").alias("t_click"),
         first("purchase").alias("t_purchase"),
     )
+    # coalesce(…, 0) mirrors the oracle's CASE … ELSE 0: without it, a
+    # corpus where EVERY user misses a stage sums all-NULL comparisons to
+    # NULL in Spark while DuckDB's CASE yields 0 — a data-dependent
+    # engine/oracle divergence.
     agg = per_user.agg(
         F.count("t_view").alias("viewed"),
         F.sum(
-            (F.col("t_click") > F.col("t_view")).cast("long")
+            F.coalesce(
+                (F.col("t_click") > F.col("t_view")).cast("long"), F.lit(0)
+            )
         ).alias("clicked"),
         F.sum(
-            (
-                (F.col("t_click") > F.col("t_view"))
-                & (F.col("t_purchase") > F.col("t_click"))
-            ).cast("long")
+            F.coalesce(
+                (
+                    (F.col("t_click") > F.col("t_view"))
+                    & (F.col("t_purchase") > F.col("t_click"))
+                ).cast("long"),
+                F.lit(0),
+            )
         ).alias("purchased"),
     )
     stages = agg.select(

@@ -20,6 +20,7 @@ engine, so the defaults matter:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -64,12 +65,18 @@ def ensure_semantics(spark: SparkSession) -> SparkSession:
     return spark
 
 
-#: (session-id, data-dir) pairs already tuned — tuning is idempotent but
-#: the stat() walk shouldn't run once per table() call.
-_TUNED: set[tuple[int, str]] = set()
+#: Per-session tuning state: ``dirs`` = data dirs already sized (the
+#: stat() walk shouldn't run once per table() call), ``ours`` = the last
+#: shuffle-partition value THIS module set (so re-tuning for a new data
+#: dir recognizes its own previous setting as overridable).  Weak-keyed
+#: by the session object — id(spark) can be reused after GC and would
+#: mis-mark a fresh session as already tuned.
+_TUNED: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
-def tune_for_data(spark: SparkSession, data_dir: str) -> SparkSession:
+def tune_for_data(
+    spark: SparkSession, data_dir: str, force: bool = False
+) -> SparkSession:
     """Size shuffle parallelism to the DATA under ``data_dir``, not the
     session default.
 
@@ -83,10 +90,23 @@ def tune_for_data(spark: SparkSession, data_dir: str) -> SparkSession:
     at 100 TB the same rule yields (and should yield) tens of thousands,
     past the core cap, where the cap keeps waves small.  Runtime-settable,
     so it applies to ANY caller's session.
+
+    A caller who EXPLICITLY configured shuffle parallelism is respected:
+    unless ``force``, the override only applies when the current value is
+    Spark's 200 default, this engine's own startup default, or a value a
+    previous ``tune_for_data`` call set.
     """
-    key = (id(spark), data_dir)
-    if key in _TUNED:
+    st = _TUNED.get(spark)
+    if st is None:
+        st = {"dirs": set(), "ours": None}
+        _TUNED[spark] = st
+    if data_dir in st["dirs"]:
         return spark
+    st["dirs"].add(data_dir)
+    current = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    untouched = current in ("200", str(DEFAULT_SHUFFLE_PARTITIONS), st["ours"])
+    if not (force or untouched):
+        return spark  # caller pinned an explicit parallelism; keep it
     try:
         total = sum(
             os.path.getsize(os.path.join(data_dir, f))
@@ -98,7 +118,7 @@ def tune_for_data(spark: SparkSession, data_dir: str) -> SparkSession:
     cores = spark.sparkContext.defaultParallelism
     parts = max(8, min(4 * cores, total // (64 * 1024 * 1024) or 8))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    _TUNED.add(key)
+    st["ours"] = str(parts)
     return spark
 
 

@@ -108,3 +108,120 @@ def test_verify_csv_headerless(spark, tmp_path):
         spark, str(p), min_rows=3, nonnull_cols=["_c0"], include_header=False
     )
     assert full["rows"] == 3 and full["status"] is True
+
+
+# ---- round-2 advisory findings ------------------------------------------
+
+
+def test_parse_kv_keeps_hash_inside_values():
+    from agentic_etl_poc_spark.plans.planner import _parse_kv
+
+    kv = _parse_kv("conn_str=postgres://u:pa#ss@h/db, note=v  # a comment")
+    assert kv["conn_str"] == "postgres://u:pa#ss@h/db"
+    assert kv["note"] == "v"
+
+
+def test_connected_components_validates_args(spark):
+    from agentic_etl_poc_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        connected_components(edges, checkpoint_every=0)
+    with pytest.raises(ValueError, match="max_rounds"):
+        connected_components(edges, max_rounds=0)
+
+
+def test_connected_components_reports_convergence(spark):
+    import warnings as W
+
+    from agentic_etl_poc_spark.operators.graph import connected_components
+
+    # a 5-node chain needs >1 round; max_rounds=1 must warn + flag
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src long, dst long"
+    )
+    stats: dict = {}
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        connected_components(edges, max_rounds=1, stats=stats).collect()
+    assert stats["converged"] is False
+    assert any("fixpoint" in str(w.message) for w in caught)
+
+    stats2: dict = {}
+    connected_components(edges, stats=stats2).collect()
+    assert stats2["converged"] is True
+
+
+def test_tune_for_data_respects_explicit_parallelism(spark, sf_smoke):
+    from agentic_etl_poc_spark import session as S
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # fresh state for this session
+        S._TUNED.pop(spark, None)
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        S.tune_for_data(spark, sf_smoke)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        # …but an untouched (engine-default) value is retuned
+        S._TUNED.pop(spark, None)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(S.DEFAULT_SHUFFLE_PARTITIONS)
+        )
+        S.tune_for_data(spark, sf_smoke)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"  # sf0.001 floor
+        # force=True overrides even an explicit value
+        S._TUNED.pop(spark, None)
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        S.tune_for_data(spark, sf_smoke, force=True)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    finally:
+        S._TUNED.pop(spark, None)
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_shared_frames_clear_hook(spark, sf_smoke):
+    from agentic_etl_poc_spark.queries import core as qcore
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3)
+
+    a = qcore.shared_frame(spark, sf_smoke, "advice-test", build)
+    b = qcore.shared_frame(spark, sf_smoke, "advice-test", build)
+    assert a is b and len(calls) == 1
+    qcore.clear_shared_frames(spark)
+    c = qcore.shared_frame(spark, sf_smoke, "advice-test", build)
+    assert c is not a and len(calls) == 2
+    qcore.clear_shared_frames(spark)
+
+
+def test_q52_funnel_all_null_stage_matches_oracle(spark, tmp_path):
+    """Engine/oracle parity on the degenerate corpus where NO user
+    completes a later stage: Spark's SUM over all-NULL comparisons must
+    yield 0 (like the oracle's CASE … ELSE 0), not NULL."""
+    import datetime as dt
+
+    import duckdb
+
+    from agentic_etl_poc_spark.queries import load_all
+    from tests.oracle_diff import compare
+
+    rows = [
+        (1, 10, "view", dt.datetime(2024, 1, 1, 10), 1.0),
+        (2, 11, "view", dt.datetime(2024, 1, 1, 11), 1.0),
+        (3, 10, "purchase", dt.datetime(2024, 1, 1, 12), 1.0),  # no click ever
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}/*.parquet')"
+    )
+    spec = load_all()["q52_funnel"]
+    r = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+    assert r["ok"], r

@@ -150,11 +150,13 @@ def test_results_invariant_under_parallelism(spark, sf_smoke):
     names = ["q01_pricing_summary", "q49_latest_record_dedup", "d05_simhash"]
     results: dict[str, list] = {}
     for parts in ("3", "17"):
-        # pre-mark the (session, dir) as tuned so tune_for_data doesn't
-        # overwrite the forced parallelism; drop shared caches so the
-        # dedup pipeline genuinely re-executes at the new setting
-        S._TUNED.add((id(spark), sf_smoke))
-        qcore._SHARED.clear()
+        # tune_for_data respects an explicitly-set parallelism, but
+        # pre-mark the dir as tuned anyway so the stat() walk is skipped;
+        # drop shared caches so the dedup pipeline genuinely re-executes
+        # at the new setting
+        st = S._TUNED.setdefault(spark, {"dirs": set(), "ours": None})
+        st["dirs"].add(sf_smoke)
+        qcore.clear_shared_frames(spark)
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         for name in names:
             rows = sorted(
