@@ -373,28 +373,35 @@ ORDER BY doc_id
     description="Boilerplate/templated-ness detection: share of a doc's "
     "distinct word-bigrams that are corpus-common (doc-frequency > 50) — "
     "the shingle-frequency analogue of repeated-line boilerplate removal "
-    "in pretraining pipelines.  One shuffle builds the doc-frequency "
-    "table; scoring joins it back (at 100 TB: broadcast the common-gram "
-    "minority, not the full df table).  The ratio is emitted as integer "
-    "parts-per-million (integer DIV) and the flag compares integers — no "
-    "raw double leaves the query, so no downstream canonicalizer can "
-    "drift (r2 driver hash-red on the double despite bit-exact local "
-    "replicas).",
+    "in pretraining pipelines.  The doc-frequency aggregation shuffles "
+    "only map-side partials, and the scoring join BROADCASTS the "
+    "common-gram MINORITY (df > 50 bounds it: at most n_grams/50 such "
+    "grams, and Heaps-law sublinear vocabulary growth keeps the real set "
+    "far smaller) — the gram table itself is never shuffled on gram for "
+    "scoring, so the big frame shuffles exactly once, on doc_id, with "
+    "map-side partial aggregation.  tests/test_plan_shapes.py pins the "
+    "broadcast.  The ratio is emitted as integer parts-per-million "
+    "(integer DIV) and the flag compares integers — no raw double leaves "
+    "the query, so no downstream canonicalizer can drift (r2 driver "
+    "hash-red on the double despite bit-exact local replicas).",
 )
 def t06_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_etl_poc_spark.queries.dedup import spark_grams
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    g = spark_grams(d).repartition("gram")
-    df_counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    g = spark_grams(d)
+    common = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") > 50)
+        .select("gram", F.lit(1).alias("is_common"))
+    )
     scored = (
-        g.join(df_counts, "gram")
+        g.join(F.broadcast(common), "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("doc_freq") > 50, 1).otherwise(0)).alias(
-                "n_common"
-            ),
+            F.sum(F.coalesce(F.col("is_common"), F.lit(0))).alias("n_common"),
         )
     )
     return scored.select(

@@ -85,11 +85,13 @@ def tune_for_data(
     does NOT re-plan persisted/cached exchanges
     (``canChangeCachedPlanOutputPartitioning=false``) — so iterative
     operators that persist per round (d07) would schedule 200 near-empty
-    tasks per iteration.  Sizing rule: ~64 MB of input per partition with a
-    floor of 8, capped at 4x total cores — at sf0.01 that is 8 partitions;
-    at 100 TB the same rule yields (and should yield) tens of thousands,
-    past the core cap, where the cap keeps waves small.  Runtime-settable,
-    so it applies to ANY caller's session.
+    tasks per iteration.  Sizing rule: ~64 MB of input per partition,
+    floored at the session's total parallelism, capped at 4x cores.  The
+    floor matters: parallelism below core count idles cores — round 2's
+    floor of 8 on a 32-thread session cost a uniform ~1.35x across the
+    whole battery.  At 100 TB the size term dominates and hits the core
+    cap, where the cap keeps shuffle waves small.  Runtime-settable, so it
+    applies to ANY caller's session.
 
     A caller who EXPLICITLY configured shuffle parallelism is respected:
     unless ``force``, the override only applies when the current value is
@@ -116,7 +118,7 @@ def tune_for_data(
     except OSError:
         total = 0
     cores = spark.sparkContext.defaultParallelism
-    parts = max(8, min(4 * cores, total // (64 * 1024 * 1024) or 8))
+    parts = max(cores, min(4 * cores, total // (64 * 1024 * 1024) or cores))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     st["ours"] = str(parts)
     return spark

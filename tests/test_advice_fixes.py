@@ -162,18 +162,20 @@ def test_tune_for_data_respects_explicit_parallelism(spark, sf_smoke):
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         S.tune_for_data(spark, sf_smoke)
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
-        # …but an untouched (engine-default) value is retuned
+        # …but an untouched (engine-default) value is retuned; at smoke
+        # scale the size term is tiny so the core floor wins
+        cores = str(spark.sparkContext.defaultParallelism)
         S._TUNED.pop(spark, None)
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(S.DEFAULT_SHUFFLE_PARTITIONS)
         )
         S.tune_for_data(spark, sf_smoke)
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"  # sf0.001 floor
+        assert spark.conf.get("spark.sql.shuffle.partitions") == cores
         # force=True overrides even an explicit value
         S._TUNED.pop(spark, None)
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         S.tune_for_data(spark, sf_smoke, force=True)
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == cores
     finally:
         S._TUNED.pop(spark, None)
         spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -132,3 +132,22 @@ def test_q20_no_python_in_plan(spark, sf_smoke):
                  "q20_tumbling_window"):
         plan = _formatted_plan(load_all()[name].fn(spark, sf_smoke))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_t06_common_grams_broadcast_not_shuffled(spark, sf_smoke):
+    """t06's scale claim: the scoring join broadcasts the common-gram
+    MINORITY — the gram table must never shuffle on gram for scoring
+    (its only shuffles are the map-side-partial doc-frequency agg and
+    the per-doc groupBy)."""
+    plan = _formatted_plan(load_all()["t06_boilerplate_ratio"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_t14_df_table_broadcast(spark, sf_smoke):
+    """t14's scale claim: the per-term document-frequency table is the
+    small side and broadcasts; the doc-term frame never shuffles on term
+    for the idf join."""
+    plan = _formatted_plan(load_all()["t14_tfidf_keywords"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
