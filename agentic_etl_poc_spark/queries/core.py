@@ -130,6 +130,13 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q24_sessionize_batch",
     "t06_boilerplate_ratio",
     "d10_cluster_survivors",
+    # -- round-3 additions: need their FIRST driver row (cheap-first, so
+    # a time-budget cut still records most of them) -------------------
+    "t15_benchmark_decontam",
+    "t16_sequence_packing",
+    "s08_kmeans_refine",
+    "v01_stream_tumbling_agg",
+    "v02_stream_sessionize",
     # -- cheap green padding to fill the ~50-row sweep window ---------
     "q39_regexp_groups",
     "q37_map_functions",
@@ -221,8 +228,10 @@ def load_all() -> dict[str, QuerySpec]:
     """
     from agentic_etl_poc_spark.queries import (  # noqa: F401
         dedup,
+        pipeline,
         relational,
         similarity,
+        streamq,
         temporal,
         text,
         udx,

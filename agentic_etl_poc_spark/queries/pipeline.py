@@ -1,0 +1,190 @@
+"""Training-data pipeline ops: benchmark decontamination, sequence packing.
+
+Two corpus-preparation operators every large-scale LLM data pipeline runs
+between filtering (t02) / dedup (d01-d10) and tokenization:
+
+- **t15 benchmark decontamination** — flag corpus documents that share any
+  word n-gram with a benchmark/eval set, so evaluation data cannot leak
+  into training data.  The benchmark set is small by construction (eval
+  suites are thousands of documents, the corpus is billions), so the scale
+  shape is: distinct benchmark shingles → **broadcast** → hash-join
+  against the corpus shingle stream — the corpus side never shuffles for
+  the probe; only the per-document hit counts (a tiny fraction) shuffle
+  for the final aggregation.
+- **t16 sequence packing** — assign documents to fixed-token-budget packs
+  by their starting offset in the concatenated token stream.  The core is
+  a corpus-wide prefix sum, which naively is a single-partition window (a
+  scale killer).  Implemented as the classic two-phase distributed scan:
+  per-block partial sums (parallel) → block-offset prefix over the tiny
+  block table (broadcast back) → intra-block window, so no stage ever
+  sees more than one block's rows in one partition.
+
+Both are exact-integer computations end to end — no doubles anywhere near
+the driver hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from agentic_etl_poc_spark.io_tables import table
+from agentic_etl_poc_spark.queries.core import register
+
+#: Word n-gram order for decontamination.  Real pipelines use 8-13-gram
+#: exact overlap (the n-gram ORDER is a knob, not a design change); the
+#: synthetic corpus shares one vocabulary, so trigrams give the oracle a
+#: meaningful contaminated/clean split at test scale.
+DECONTAM_N = 3
+
+#: Every doc_id divisible by 97 plays the "benchmark set" role — a
+#: deterministic stand-in for an external eval-suite table.
+BENCH_MOD = 97
+
+#: Token budget per packed training sequence.
+PACK_BUDGET = 512
+
+#: Documents per prefix-sum block (t16).  At 100 TB this is the only
+#: knob: blocks of ~10^6 docs keep the block table in the kilobytes.
+PACK_BLOCK = 100
+
+
+@register(
+    "t15_benchmark_decontam",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words) - {DECONTAM_N} + 2),
+                                 i -> array_to_string(words[i:i+{DECONTAM_N - 1}], ' ')))
+             AS gram
+    FROM w)
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {BENCH_MOD} = 0),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS n_shared
+  FROM g JOIN bench USING (gram)
+  WHERE g.doc_id % {BENCH_MOD} <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_grams,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {BENCH_MOD} <> 0
+ORDER BY d.doc_id
+""",
+    description="Benchmark decontamination: flag corpus docs sharing any "
+    "word trigram with the (small) benchmark set.  Distinct benchmark "
+    "shingles broadcast; the corpus shingle stream is probed map-side — "
+    "no corpus shuffle until the tiny per-doc hit counts.",
+)
+def t15_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    # n-grams via zip_with over n shifted slices of ONE pre-projected words
+    # array (transform(sequence, element_at) re-evaluates split() per
+    # element and is ~4x slower — see d03's gram builder).
+    s0 = F.slice(words, 1, n - (DECONTAM_N - 1))
+    s1 = F.slice(words, 2, n - (DECONTAM_N - 1))
+    s2 = F.slice(words, 3, n - (DECONTAM_N - 1))
+    tri = F.zip_with(
+        F.zip_with(s0, s1, lambda a, b: F.concat_ws(" ", a, b)),
+        s2,
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    # docs shorter than the n-gram order produce no shingles (the slice
+    # length would go non-positive) — they fall out here and re-enter as
+    # clean via the left join below.
+    grams = (
+        d.where(n >= DECONTAM_N)
+        .select("doc_id", F.explode(F.array_distinct(tri)).alias("gram"))
+    )
+    bench = F.broadcast(
+        grams.where(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.where(F.col("doc_id") % BENCH_MOD != 0)
+        .join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    corpus = d.where(F.col("doc_id") % BENCH_MOD != 0).select("doc_id")
+    return (
+        corpus.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias(
+                "n_shared_grams"
+            ),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "t16_sequence_packing",
+    oracle=f"""
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+ORDER BY pack_id
+""",
+    description="Sequence packing: docs assigned to fixed-token-budget "
+    "packs by start offset in the concatenated token stream.  The corpus "
+    "prefix sum runs as a two-phase distributed scan (per-block partials "
+    "-> tiny broadcast offset table -> intra-block window) instead of a "
+    "single-partition global window.",
+)
+def t16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") / PACK_BLOCK).cast("bigint").alias("block"),
+    )
+    # Phase 1: block totals (parallel partial sums; blocks are doc_id
+    # ranges so this is one map-side-combined aggregation).
+    block_tot = toks.groupBy("block").agg(F.sum("n_tokens").alias("block_tokens"))
+    # Phase 2: prefix offsets over the BLOCK table — thousands of rows at
+    # 100 TB, so the single-partition window is on provably tiny data.
+    wb = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = block_tot.select(
+        "block", F.coalesce(F.sum("block_tokens").over(wb), F.lit(0)).alias("offset")
+    )
+    # Phase 3: intra-block running sum + broadcast offset join -> global
+    # cumulative position without a global shuffle.
+    wi = Window.partitionBy("block").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        toks.join(F.broadcast(offsets), "block")
+        .withColumn("cum", F.col("offset") + F.sum("n_tokens").over(wi))
+    )
+    packed = cum.withColumn(
+        "pack_id", F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )

@@ -656,3 +656,115 @@ def s07_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_bad"),
     ).orderBy("vec_id")
+
+
+N_CLUSTERS = 8
+
+
+@register(
+    "s08_kmeans_refine",
+    oracle=f"""
+WITH c0 AS (
+  SELECT vec_id AS cluster_id, embedding FROM embeddings
+  WHERE vec_id < {N_CLUSTERS}
+),
+a1 AS (
+  SELECT e.vec_id, c.cluster_id,
+         {duck_cosine('e.embedding', 'c.embedding', DIM)} AS cos
+  FROM embeddings e CROSS JOIN c0 c
+),
+b1 AS (
+  SELECT vec_id, cluster_id FROM a1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY cos DESC, cluster_id) = 1
+),
+mem AS (
+  SELECT b1.cluster_id, e.embedding
+  FROM b1 JOIN embeddings e ON e.vec_id = b1.vec_id
+),
+grouped AS (
+  SELECT cluster_id, list(embedding) AS embs, COUNT(*) AS n
+  FROM mem GROUP BY cluster_id
+),
+cent AS (
+  SELECT cluster_id,
+         list_transform(range(1, {DIM + 1}), i ->
+           CAST(list_sum(list_transform(embs,
+                v -> CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(28,12))))
+             AS DOUBLE) / n) AS centroid
+  FROM grouped
+),
+a2 AS (
+  SELECT e.vec_id, c.cluster_id,
+         {duck_cosine('e.embedding', 'c.centroid', DIM)} AS cos
+  FROM embeddings e CROSS JOIN cent c
+),
+b2 AS (
+  SELECT vec_id, cluster_id, cos FROM a2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY cos DESC, cluster_id) = 1
+)
+SELECT cluster_id, COUNT(*) AS n_members, MIN(vec_id) AS min_vec_id,
+       CAST(CAST(SUM(CAST(cos AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS VARCHAR)
+         AS total_cos
+FROM b2 GROUP BY cluster_id ORDER BY cluster_id
+""",
+    description="Spherical k-means refinement (one exact Lloyd step, "
+    "unrolled): seed centroids = first k vectors, assign by max cosine "
+    "(tie-break on cluster id), recompute per-dim means with exact "
+    "decimal sums, re-assign against the refined centroids.  The "
+    "distributed shape is the one that scales: centroids BROADCAST to "
+    "the corpus scan (assignment is map-only), the update is a "
+    "(k x dim)-cell map-side-combined aggregation — iterating just "
+    "repeats the step (with localCheckpoint per round, like d07).  "
+    "Cosines fold sequentially (functions/hashing.py), so both engines "
+    "agree bit-for-bit through BOTH assignment rounds; the checked "
+    "output keeps doubles out (counts, ids, fixed-scale decimal string).",
+)
+def s08_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    c0 = e.where(F.col("vec_id") < N_CLUSTERS).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("centroid")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cluster_id"))
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "cluster_id",
+            cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+        )
+        return scored.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") == 1
+        )
+
+    b1 = assign(c0).select("vec_id", "cluster_id")
+    dims = b1.join(e, "vec_id").select(
+        "cluster_id", F.posexplode("embedding").alias("pos", "x")
+    )
+    cd = dims.groupBy("cluster_id", "pos").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(28,12)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cent = cd.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    b2 = assign(cent)
+    return (
+        b2.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.sum(F.col("cos").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .cast("string")
+            .alias("total_cos"),
+        )
+        .orderBy("cluster_id")
+    )
+

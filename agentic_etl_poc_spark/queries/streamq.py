@@ -1,0 +1,181 @@
+"""Driver-facing Structured Streaming battery entries.
+
+The streaming operators themselves live in ``streaming/events.py``
+(windowed counts, stateful sessionize, stream-stream join, …) and are
+exercised by the pytest suite; these entries make the two central ones
+**oracle-checkable**: each runs a real Structured Streaming query
+(file source → Trigger.AvailableNow drain → memory sink) and returns the
+final result frame, which the driver compares against batch SQL on DuckDB.
+That is the batch/stream parity contract made first-class: the streaming
+pipeline must produce byte-identical results to the batch backfill.
+
+Determinism notes (what makes a *streaming* query oracle-checkable):
+
+- The events table is staged once per (process, sf_dir) as a SINGLE
+  NDJSON file, so the AvailableNow drain sees exactly one input batch —
+  batch-boundary effects (which rows share a micro-batch) cannot vary
+  between runs.  At 100 TB the same operators run continuously and the
+  parity contract is checked against windows the watermark has closed.
+- v01 runs in **complete** output mode: every window is emitted
+  regardless of the watermark, matching the batch aggregation exactly.
+- v02 (stateful sessionize) runs in append mode with a watermark delay
+  longer than the data span, so **no event-time timeout ever fires**:
+  the emitted rows are exactly the sessions closed by an observed
+  inactivity gap — every session except each user's last, a set batch
+  SQL expresses precisely (gaps-and-islands minus each user's final
+  island).  The double ``total_value`` accumulated in Python state stays
+  internal: summing floats in arrival order can never match a relational
+  engine bit-for-bit, so it is not part of the checked output.
+
+Reference: the closest surface in mounikavas/agentic-etl-poc is
+cron-rescheduled batch (etl_agent/operator.py:15-16); Structured
+Streaming subsumes it with exactly-once bookkeeping (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agentic_etl_poc_spark.io_tables import table
+from agentic_etl_poc_spark.queries.core import register
+from agentic_etl_poc_spark.streaming.events import (
+    run_to_memory,
+    sessionize,
+    stream_events,
+    windowed_counts,
+)
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+#: Memory-sink names must be unique per run within a session (the sink
+#: registers a temp view); a monotone suffix keeps reruns independent.
+_MEM_SEQ = itertools.count()
+
+#: sf_dir -> staged single-file NDJSON directory (process-lifetime cache;
+#: the staged copy is deterministic, so cross-run reuse is safe).
+_STAGED: dict[str, str] = {}
+
+
+def events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage ``events`` as ONE NDJSON file for use as a file-stream source.
+
+    The parquet table cannot be streamed directly (TIMESTAMP(NANOS) needs
+    the io_tables read shim), and a single file guarantees a single
+    AvailableNow micro-batch — the determinism anchor above.
+    """
+    cached = _STAGED.get(sf_dir)
+    if cached is not None and os.path.exists(os.path.join(cached, "_SUCCESS")):
+        return cached
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_streamq",
+        sf_dir.strip(os.sep).replace(os.sep, "_"),
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").json(out)
+    _STAGED[sf_dir] = out
+    return out
+
+
+@register(
+    "v01_stream_tumbling_agg",
+    oracle=f"""
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT)
+                               * 21600 * 1000000),
+                '{TS_FMT_DUCK}') AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    description="Structured Streaming 6-hour tumbling aggregation "
+    "(file source -> AvailableNow drain -> memory sink, complete mode), "
+    "oracle-checked against the batch SQL — the batch/stream parity "
+    "contract as a first-class query.  Same expression as q20; the "
+    "decimal partial sums live in the state store, so the streamed total "
+    "is exact.",
+)
+def v01_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = events_stream_dir(spark, sf_dir)
+    name = f"v01_win_{next(_MEM_SEQ)}"
+    stream = stream_events(spark, src, watermark="10 minutes")
+    # complete mode: the watermark never suppresses a window, so the final
+    # memory table equals the batch aggregation over all input.
+    run_to_memory(windowed_counts(stream), name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "v02_stream_sessionize",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, sess_no,
+         strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+         strftime(MAX(ts), '{TS_FMT_DUCK}') AS session_end,
+         COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, sess_no
+)
+SELECT user_id, session_start, session_end, n_events
+FROM sess
+QUALIFY sess_no < MAX(sess_no) OVER (PARTITION BY user_id)
+ORDER BY user_id, session_start
+""",
+    description="Custom stateful streaming operator "
+    "(applyInPandasWithState sessionize, 30-min gap) drained with "
+    "AvailableNow and oracle-checked: with a watermark delay longer than "
+    "the data span no timeout fires, so the emitted rows are exactly the "
+    "gap-closed sessions — every session except each user's last — which "
+    "batch gaps-and-islands SQL expresses.  State is keyed by user, so "
+    "store size tracks ACTIVE users, not history (the 100 TB/day "
+    "requirement).",
+)
+def v02_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = events_stream_dir(spark, sf_dir)
+    name = f"v02_sess_{next(_MEM_SEQ)}"
+    # Watermark delay >> data span (events cover ~3 months): the watermark
+    # stays below every event, so no event-time timeout fires and the
+    # output set is closed-by-gap sessions only (see module docstring).
+    stream = stream_events(spark, src, watermark="3650 days")
+    run_to_memory(sessionize(stream, gap_seconds=1800), name)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
