@@ -256,18 +256,28 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_id",
         cosine(F.col("embedding"), F.col("cvec")).alias("sim"),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("sim"), F.asc("cell_id")
-    )
+    # argmax via max_by aggregation, NOT a row_number window: the window
+    # would shuffle the corpus×N_CELLS expanded frame on vec_id just to
+    # keep rank 1, while max_by gets map-side partial aggregation — each
+    # mapper emits ONE row per vector, so the exchange carries 1/N_CELLS
+    # the rows.  Tie-break matches the oracle (sim DESC, cell_id ASC) via
+    # the (sim, -cell_id) ordering struct.
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("label", "embedding", "cell_id"),
+                F.struct(
+                    F.col("sim"), (-F.col("cell_id")).alias("neg_cell")
+                ),
+            ).alias("b")
+        )
         .select(
             "vec_id",
-            "label",
-            "embedding",
-            "cell_id",
-            dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
+            F.col("b.label").alias("label"),
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.cell_id").alias("cell_id"),
+            dot_fold(F.col("b.embedding"), F.col("b.embedding")).alias("nsq"),
         )
     )
     q = F.broadcast(assigned.filter(F.col("vec_id") < N_QUERIES)).alias("q")

@@ -69,6 +69,18 @@ def events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     the io_tables read shim), and a single file guarantees a single
     AvailableNow micro-batch — the determinism anchor above.
     """
+    # Tune UNCONDITIONALLY, not only on the staging miss: the stateful
+    # shuffle partition count is fixed at stream start from
+    # spark.sql.shuffle.partitions, and a vanilla harness session carries
+    # Spark's 200 default — 200 applyInPandasWithState tasks (each a
+    # Python state worker) for a drain that wants ~cores tasks.  Measured
+    # at sf0.1/local[32]: warm drain 18.1 s at 200 partitions vs 3.8 s at
+    # 32.  When the staged NDJSON survives from a previous process, the
+    # table() below is skipped, so the tune must happen here.
+    from agentic_etl_poc_spark.session import ensure_semantics, tune_for_data
+
+    ensure_semantics(spark)
+    tune_for_data(spark, sf_dir)
     cached = _STAGED.get(sf_dir)
     if cached is not None and os.path.exists(os.path.join(cached, "_SUCCESS")):
         return cached

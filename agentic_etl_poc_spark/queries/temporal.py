@@ -312,8 +312,9 @@ WITH flagged AS (
   FROM events
 ),
 numbered AS (
-  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS UNBOUNDED PRECEDING) AS sess_no
+  SELECT * EXCLUDE (new_sess),
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
   FROM flagged
 )
 SELECT user_id, sess_no,

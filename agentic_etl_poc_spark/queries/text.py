@@ -359,7 +359,8 @@ df AS (SELECT gram, COUNT(*) AS doc_freq FROM g GROUP BY gram),
 scored AS (
   SELECT g.doc_id,
          COUNT(*) AS n_grams,
-         SUM(CASE WHEN df.doc_freq > 50 THEN 1 ELSE 0 END) AS n_common
+         CAST(SUM(CASE WHEN df.doc_freq > 50 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_common
   FROM g JOIN df ON g.gram = df.gram
   GROUP BY g.doc_id
 )

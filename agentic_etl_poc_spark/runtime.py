@@ -90,15 +90,28 @@ def extract(spark: SparkSession, plan: Plan) -> DataFrame | None:
                 return spark.read.parquet(p)
             from pyspark.sql import functions as _F
 
-            # TIMESTAMP(NANOS) columns: read nanos as int64, truncate to µs
-            # (integer div keeps exactness past 2^53 ns)
+            # TIMESTAMP(NANOS) columns → truncate to µs TimestampType.
+            # Depending on the Spark version the nanos column arrives either
+            # as int64 (legacy nanosAsLong, Spark <4.1) or already as
+            # TIMESTAMP_NTZ (Spark 4.1+ reads nanos natively, µs-truncated)
+            # — branch on the dtype actually read, don't assume the conf
+            # took effect.
+            from pyspark.sql.types import LongType, TimestampNTZType
+
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             out = spark.read.parquet(p)
+            dtypes = {f.name: f.dataType for f in out.schema.fields}
             for c in pq.nanos_ts_cols:
-                if c in out.columns:
+                if c not in dtypes:
+                    continue
+                if isinstance(dtypes[c], LongType):
+                    # raw nanos: integer div keeps exactness past 2^53 ns
                     out = out.withColumn(
                         c, _F.timestamp_micros(_F.expr(f"{c} div 1000"))
                     )
+                elif isinstance(dtypes[c], TimestampNTZType):
+                    out = out.withColumn(c, _F.col(c).cast("timestamp"))
+                # already TimestampType: nothing to do
             return out
 
         if pq.tables:

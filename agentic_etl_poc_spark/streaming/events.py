@@ -116,16 +116,42 @@ def _sessionize_fn(gap_seconds: int):
             start = last = None
             n, total = 0, 0.0
         gap = _dt.timedelta(seconds=gap_seconds)
-        for ts, value in zip(rows["ts"], rows["value"]):
-            ts = ts.to_pydatetime()
-            if last is not None and ts - last > gap:
-                closed.append([user_id, start, last, n, total])
-                start, n, total = ts, 0, 0.0
+        # Vectorized gaps-and-islands over the batch (the per-row Python
+        # loop was the drain's hot path).  Flat numpy — not pandas
+        # groupby — because groups are often tiny (one user's events per
+        # micro-batch) and per-call pandas overhead would dominate:
+        # island boundaries from diff > gap, per-island sums via
+        # add.reduceat, boundary timestamps materialized only at island
+        # edges.
+        import numpy as np
+
+        ts_np = rows["ts"].to_numpy()
+        vals = rows["value"].to_numpy(dtype=float)
+        m = len(ts_np)
+        brk_after = np.flatnonzero(
+            np.diff(ts_np) > np.timedelta64(gap_seconds, "s")
+        )
+        starts_idx = np.concatenate(([0], brk_after + 1))
+        ends_idx = np.concatenate((brk_after, [m - 1]))
+        i_n = ends_idx - starts_idx + 1
+        i_total = np.add.reduceat(vals, starts_idx)
+        k = len(starts_idx)
+        first_ts = pd.Timestamp(ts_np[0]).to_pydatetime()
+        if last is not None and first_ts - last > gap:
+            # carried-over session cannot extend: close it as-is
+            closed.append([user_id, start, last, n, total])
+            start = last = None
+            n, total = 0, 0.0
+        for j in range(k):
             if start is None:
-                start = ts
-            last = ts
-            n += 1
-            total += float(value)
+                start = pd.Timestamp(ts_np[starts_idx[j]]).to_pydatetime()
+            last = pd.Timestamp(ts_np[ends_idx[j]]).to_pydatetime()
+            n += int(i_n[j])
+            total += float(i_total[j])
+            if j < k - 1:  # islands before the final one are closed
+                closed.append([user_id, start, last, n, total])
+                start = last = None
+                n, total = 0, 0.0
         state.update((start, last, n, total))
         # Event-time timeout (NOT processing-time): fires when the watermark
         # crosses last+gap; a drain trigger (AvailableNow) can therefore

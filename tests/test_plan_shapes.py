@@ -144,6 +144,21 @@ def test_t06_common_grams_broadcast_not_shuffled(spark, sf_smoke):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_s03_ivf_assignment_is_aggregate_not_window(spark, sf_smoke):
+    """s03's scale claim: centroid assignment is a max_by AGGREGATE with
+    map-side partials (one row per vector reaches the exchange), not a
+    row_number window over the corpus×N_CELLS expanded frame.  Exactly
+    one Window remains — the final per-query top-k."""
+    import re
+
+    plan = _formatted_plan(load_all()["s03_ann_ivf"].fn(spark, sf_smoke))
+    # \b excludes WindowGroupLimit (the top-k rank-pushdown rewrite)
+    windows = re.findall(r"\(\d+\) Window\b", plan)
+    assert len(windows) == 1, plan[:3000]
+    # the assignment aggregate has a map-side partial stage
+    assert "partial_max_by" in plan
+
+
 def test_t14_df_table_broadcast(spark, sf_smoke):
     """t14's scale claim: the per-term document-frequency table is the
     small side and broadcasts; the doc-term frame never shuffles on term
