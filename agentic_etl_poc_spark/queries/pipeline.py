@@ -188,3 +188,156 @@ def t16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pack_id")
     )
+
+
+#: Composite-pipeline knobs (p01): token-count quality gates and the
+#: near-dup fingerprint width (first-k-words prefix — d02's normalized
+#: fingerprint idea at its cheapest useful setting).
+P01_MIN_TOKENS = 20
+P01_MAX_TOKENS = 80
+P01_FP_WORDS = 4
+
+
+@register(
+    "p01_curation_pipeline",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM base
+  WHERE n_tokens BETWEEN {P01_MIN_TOKENS} AND {P01_MAX_TOKENS}
+),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM filtered
+  GROUP BY md5(array_to_string(words[1:{P01_FP_WORDS}], ' '))
+),
+deduped AS (
+  SELECT f.doc_id, f.words, f.n_tokens
+  FROM filtered f JOIN keep USING (doc_id)
+),
+bench AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest(list_transform(range(1, len(words) - {DECONTAM_N} + 2),
+                  i -> array_to_string(words[i:i+{DECONTAM_N - 1}], ' ')))
+             AS gram
+    FROM base WHERE doc_id % {BENCH_MOD} = 0)
+),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words) - {DECONTAM_N} + 2),
+                  i -> array_to_string(words[i:i+{DECONTAM_N - 1}], ' ')))
+             AS gram
+    FROM deduped WHERE doc_id % {BENCH_MOD} <> 0)
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
+),
+clean AS (
+  SELECT d.doc_id, d.n_tokens
+  FROM deduped d
+  WHERE d.doc_id % {BENCH_MOD} <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM clean
+)
+SELECT CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+ORDER BY pack_id
+""",
+    description="The end-to-end curation pipeline as ONE dataflow — "
+    "quality filter (token-count gates) -> near-dup removal (first-"
+    f"{P01_FP_WORDS}-words md5 fingerprint, keep lowest doc_id) -> "
+    "benchmark decontamination (trigram overlap vs the RAW eval set, "
+    "distinct bench shingles broadcast, left_anti drop) -> sequence "
+    "packing (two-phase distributed prefix sum) — proving the stages "
+    "compose as Catalyst subplans of a single lazy query, not "
+    "materialized steps.  Scale shape inherits each stage's: the "
+    "filter pushes to the scan, the fingerprint dedup is one map-side-"
+    "combined aggregation + semi join, the decontam probe never "
+    "shuffles the corpus, and the pack prefix-sum's only global window "
+    "runs over the tiny block table.",
+)
+def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    base = d.select("doc_id", words.alias("words"), F.size(words).alias("n_tokens"))
+    filtered = base.where(
+        F.col("n_tokens").between(P01_MIN_TOKENS, P01_MAX_TOKENS)
+    )
+    fp = F.md5(F.concat_ws(" ", F.slice(F.col("words"), 1, P01_FP_WORDS)))
+    keep = (
+        filtered.select(F.col("doc_id"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = filtered.join(keep, "doc_id")
+
+    def trigrams(frame):
+        n = F.size(F.col("words"))
+        s0 = F.slice(F.col("words"), 1, n - (DECONTAM_N - 1))
+        s1 = F.slice(F.col("words"), 2, n - (DECONTAM_N - 1))
+        s2 = F.slice(F.col("words"), 3, n - (DECONTAM_N - 1))
+        tri = F.zip_with(
+            F.zip_with(s0, s1, lambda a, b: F.concat_ws(" ", a, b)),
+            s2,
+            lambda ab, c: F.concat_ws(" ", ab, c),
+        )
+        return frame.where(n >= DECONTAM_N).select(
+            "doc_id", F.explode(F.array_distinct(tri)).alias("gram")
+        )
+
+    bench = F.broadcast(
+        trigrams(base.where(F.col("doc_id") % BENCH_MOD == 0))
+        .select("gram")
+        .distinct()
+    )
+    corpus = deduped.where(F.col("doc_id") % BENCH_MOD != 0)
+    contaminated = (
+        trigrams(corpus).join(bench, "gram").select("doc_id").distinct()
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    # two-phase distributed prefix sum (same shape as t16)
+    toks = clean.withColumn(
+        "block", (F.col("doc_id") / PACK_BLOCK).cast("bigint")
+    )
+    block_tot = toks.groupBy("block").agg(F.sum("n_tokens").alias("block_tokens"))
+    wb = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = block_tot.select(
+        "block", F.coalesce(F.sum("block_tokens").over(wb), F.lit(0)).alias("offset")
+    )
+    wi = Window.partitionBy("block").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        toks.join(F.broadcast(offsets), "block")
+        .withColumn("cum", F.col("offset") + F.sum("n_tokens").over(wi))
+    )
+    packed = cum.withColumn(
+        "pack_id", F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )

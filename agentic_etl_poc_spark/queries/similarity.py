@@ -778,3 +778,105 @@ def s08_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cluster_id")
     )
 
+
+
+TRUNC_DIM = 8
+RECALL_K = 3
+
+
+@register(
+    "s09_matryoshka_recall",
+    oracle=f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {{cos_full}} AS cos_full,
+         {{cos_trunc}} AS cos_trunc
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {{nq}}
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos_full DESC, neighbor_id ASC) AS rn
+    FROM scored) WHERE rn <= {{k}}
+),
+ap AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos_trunc DESC, neighbor_id ASC) AS rn
+    FROM scored) WHERE rn <= {{k}}
+)
+SELECT q.query_id,
+       CAST(COUNT(hits.neighbor_id) AS BIGINT) AS n_hits
+FROM (SELECT DISTINCT query_id FROM scored) q
+LEFT JOIN (SELECT ex.query_id, ex.neighbor_id
+           FROM ex JOIN ap USING (query_id, neighbor_id)) hits
+  ON q.query_id = hits.query_id
+GROUP BY q.query_id
+ORDER BY q.query_id
+""".format(
+        cos_full=duck_cosine("q.embedding", "c.embedding", DIM),
+        cos_trunc=duck_cosine("q.embedding", "c.embedding", TRUNC_DIM),
+        nq=N_QUERIES,
+        k=RECALL_K,
+    ),
+    description="Matryoshka/truncation recall audit: rank neighbors by "
+    f"cosine over the FIRST {TRUNC_DIM} of {DIM} dims (the "
+    "matryoshka-embedding serving trick — cheap prefilter on a prefix "
+    "slice) and count how many of the exact full-dim top-3 the "
+    "truncated ranking keeps, per query.  One corpus pass computes "
+    "both scores (the prefix dot product is a byproduct of the full "
+    "fold), broadcast query side, rank-pushdown top-k windows.  At "
+    "scale this is the evaluation loop that decides how small a "
+    "serving slice can be before recall degrades — run on a sample, "
+    "not the corpus.",
+)
+def s09_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.functions.hashing import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("embedding"), F.col("qvec")).alias("cos_full"),
+            cosine(
+                F.slice(F.col("embedding"), 1, TRUNC_DIM),
+                F.slice(F.col("qvec"), 1, TRUNC_DIM),
+            ).alias("cos_trunc"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("neighbor_id")
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_trunc"), F.asc("neighbor_id")
+    )
+    ex = (
+        scored.withColumn("rn", F.row_number().over(w_full))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    ap = (
+        scored.withColumn("rn", F.row_number().over(w_trunc))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = ex.join(ap, ["query_id", "neighbor_id"])
+    base = scored.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .groupBy("query_id")
+        .agg(F.count("neighbor_id").cast("bigint").alias("n_hits"))
+        .orderBy("query_id")
+    )

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from agentic_etl_poc_spark.io_tables import table
 from agentic_etl_poc_spark.queries.core import register
 from agentic_etl_poc_spark.streaming.events import (
+    dedup_stream,
     run_to_memory,
     sessionize,
     stream_events,
@@ -190,4 +191,59 @@ def v02_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
         .orderBy("user_id", "session_start")
+    )
+
+
+def _doubled_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events NDJSON TWICE (two identical files) — a stream
+    with every record duplicated, the input that makes exact streaming
+    dedup non-vacuous."""
+    import shutil
+
+    src = events_stream_dir(spark, sf_dir)
+    out = src + "_x2"
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        part = next(
+            f for f in sorted(os.listdir(src)) if f.endswith(".json")
+        )
+        shutil.copy(os.path.join(src, part), os.path.join(out, "a.json"))
+        shutil.copy(os.path.join(src, part), os.path.join(out, "b.json"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+@register(
+    "v03_stream_dedup_exact",
+    oracle=f"""
+SELECT event_id, user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s, event_type
+FROM events
+ORDER BY event_id
+""",
+    description="Streaming exact deduplication as a first-class oracle "
+    "query: the events stream is staged with EVERY record duplicated "
+    "(two identical input files), drained through watermark-bounded "
+    "dropDuplicates keyed on (event_id, ts), and the surviving rows "
+    "must equal the single-copy batch table exactly.  State is keyed by "
+    "id and evicted past the watermark horizon, so at 100 TB/day the "
+    "store tracks the late-data window, not stream history — the "
+    "in-flight half of the dedup story (batch MinHash/SimHash d03-d05 "
+    "runs on landed data).",
+)
+def v03_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _doubled_stream_dir(spark, sf_dir)
+    name = f"v03_dedup_{next(_MEM_SEQ)}"
+    stream = stream_events(spark, src, watermark="3650 days")
+    run_to_memory(dedup_stream(stream), name)
+    return (
+        spark.table(name)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+            "event_type",
+        )
+        .orderBy("event_id")
     )

@@ -659,6 +659,129 @@ def m02_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m03_audio_decode",
+    oracle="""
+SELECT doc_id AS item_id,
+       CAST(44 + 2 * (100 + doc_id % 200) AS BIGINT) AS payload_bytes,
+       CAST(100 + doc_id % 200 AS DOUBLE)
+         / ([8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INT) + 1])
+         AS duration_sec,
+       CAST([8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INT) + 1]
+            AS INT) AS sample_rate,
+       CAST((doc_id * 37) % 32768 AS DOUBLE) / 32768 AS rms
+FROM documents WHERE doc_id % 7 = 0
+ORDER BY item_id
+""",
+    description="Real audio codec round-trip, hash-verified: Spark "
+    "synthesizes a PCM16 WAV container per item (RIFF header + square "
+    "wave whose rate/length/amplitude are integer functions of doc_id), "
+    "decodes it with the real byte-level RIFF parser "
+    "(operators/multimodal.py::_decode_audio_real — chunk walk, fmt "
+    "block, sample decode, rms), and the oracle computes the same "
+    "features ARITHMETICALLY — agreement proves the codec path, not "
+    "just plumbing.  Exactness by construction: every sample has the "
+    "same magnitude amp=(doc_id*37)%32768, so rms = amp/32768 via "
+    "power-of-two divisions and a correctly-rounded sqrt of an exact "
+    "square; duration is one double division of identical integers in "
+    "both engines.  Scale shape: synthesis and decode are both "
+    "Arrow-batched mapInPandas, map-only, no shuffle.",
+)
+def m03_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    import numpy as np
+
+    from agentic_etl_poc_spark.operators.multimodal import audio_features
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = (8000, 16000, 22050, 44100)[i % 4]
+                n = 100 + (i % 200)
+                amp = (i * 37) % 32768
+                samples = np.empty(n, dtype="<i2")
+                samples[0::2] = amp
+                samples[1::2] = -amp
+                data = samples.tobytes()
+                hdr = struct.pack(
+                    "<4sI4s4sIHHIIHH4sI",
+                    b"RIFF", 36 + len(data), b"WAVE",
+                    b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+                    b"data", len(data),
+                )
+                rows.append((i, hdr + data))
+            yield pd.DataFrame(rows, columns=["item_id", "payload"])
+
+    payloads = d.mapInPandas(synth, schema="item_id bigint, payload binary")
+    return audio_features(payloads, fake=False).orderBy("item_id")
+
+
+@register(
+    "m04_image_decode",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         4 + CAST(doc_id % 13 AS INT) AS w,
+         3 + CAST(doc_id % 7 AS INT) AS h,
+         (doc_id * 31) % 256 AS v
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id AS item_id,
+       CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            + w * h AS BIGINT) AS payload_bytes,
+       w AS width,
+       h AS height,
+       CAST(1 AS INT) AS n_channels,
+       CAST(v AS DOUBLE) / 255 AS mean_luma
+FROM g
+ORDER BY item_id
+""",
+    description="Real image codec round-trip, hash-verified: Spark "
+    "synthesizes a P5 (grayscale PNM) image per item — dimensions and "
+    "constant pixel value integer functions of doc_id — decodes it with "
+    "the real byte-level PNM parser (operators/multimodal.py::"
+    "_decode_image_real — header tokenizer, raster read, mean luma) and "
+    "the oracle computes the same features arithmetically.  Exactness: "
+    "all pixels share one integer value v, so the raster mean is exact "
+    "in float64 (integer-valued partial sums < 2^53, final division "
+    "returns the representable v) and mean_luma = v/255 is one double "
+    "division of identical integers in both engines.  Map-only "
+    "mapInPandas both ways; no shuffle.",
+)
+def m04_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.operators.multimodal import image_features
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 4 + i % 13
+                h = 3 + i % 7
+                v = (i * 31) % 256
+                payload = b"P5\n%d %d\n255\n" % (w, h) + bytes([v]) * (w * h)
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["item_id", "payload"])
+
+    payloads = d.mapInPandas(synth, schema="item_id bigint, payload binary")
+    return image_features(payloads, fake=False).orderBy("item_id")
+
+
+@register(
     "t11_repetition_score",
     oracle="""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -212,3 +212,44 @@ def u04_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "u05_arrow_map_batches",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       upper(substr(text, 1, 16)) AS head_upper
+FROM documents
+ORDER BY doc_id
+""",
+    description="mapInArrow escape hatch: the whole-RecordBatch Arrow "
+    "surface (no pandas conversion at all — pyarrow.compute kernels "
+    "straight on the batch columns), the lowest-overhead Python hook "
+    "for columnar libraries that speak Arrow natively (tokenizers, "
+    "model runtimes).  Computes utf8_length and an uppercased prefix "
+    "per document; the oracle is plain SQL.  Map-only, zero shuffle; "
+    "batch size bounded by spark.sql.execution.arrow.maxRecordsPerBatch.",
+)
+def u05_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def arrow_fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            doc_id = batch.column("doc_id")
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_id,
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.utf8_upper(pc.utf8_slice_codeunits(text, 0, 16)),
+                ],
+                names=["doc_id", "n_chars", "head_upper"],
+            )
+
+    return d.mapInArrow(
+        arrow_fn, schema="doc_id bigint, n_chars bigint, head_upper string"
+    ).orderBy("doc_id")

@@ -65,18 +65,39 @@ def test_sweep_priority_block_leads():
 
     from tests.conftest import REPO_ROOT
 
-    r03 = json.load(open(os.path.join(REPO_ROOT, "CORRECTNESS_r03.json")))
-    recorded_green = {
-        n
-        for n, row in r03.items()
-        if row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
-    }
-    need = set(ALL) - recorded_green
+    def greens(fname):
+        path = os.path.join(REPO_ROOT, fname)
+        rows = json.load(open(path)) if os.path.exists(path) else {}
+        return {
+            n
+            for n, row in rows.items()
+            if row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        }
+
+    r03_green = greens("CORRECTNESS_r03.json")
+    ever_recorded = set()
+    for rnd in ("r01", "r02", "r03"):
+        path = os.path.join(REPO_ROOT, f"CORRECTNESS_{rnd}.json")
+        if os.path.exists(path):
+            ever_recorded |= set(json.load(open(path)))
+    # band 1: every pre-round-4 entry not green in r03 (the sweep window)
+    need = (set(ALL) & ever_recorded) - r03_green
     window = set(list(ALL)[: len(need)])
     assert window == need, (
         f"sweep window misses entries needing an r04 row: "
-        f"{sorted(need - window)}; wastes slots on already-green: "
+        f"{sorted(need - window)}; wastes slots on: "
         f"{sorted(window - need)}"
     )
     # the two previously-red entries lead — they must not risk truncation
     assert list(ALL)[:2] == ["t06_boilerplate_ratio", "q24_sessionize_batch"]
+    # band 2: brand-new entries (never recorded) come immediately after,
+    # before any already-green-in-r03 entry burns a future sweep slot
+    rest = list(ALL)[len(need) :]
+    new_entries = [n for n in rest if n not in ever_recorded]
+    assert rest[: len(new_entries)] == sorted(
+        rest[: len(new_entries)], key=new_entries.index
+    ) and set(rest[: len(new_entries)]) == set(new_entries), (
+        f"new entries {new_entries} must directly follow the sweep window"
+    )

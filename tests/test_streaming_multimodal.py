@@ -88,14 +88,120 @@ def test_multimodal_image_features_fake(spark, sf_smoke):
     assert all(again[r["item_id"]] == r["mean_luma"] for r in rows)
 
 
-def test_multimodal_real_decode_raises(spark, sf_smoke):
+def test_multimodal_real_decode_rejects_unknown_format(spark, sf_smoke):
+    """Real decode on a non-image payload (text bytes) must fail loudly
+    with the format name, not return garbage."""
     docs = table(spark, sf_smoke, "documents").limit(1)
     payloads = attach_binary_payload(docs)
     with pytest.raises(Exception) as exc_info:
         image_features(payloads, fake=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or "decode" in str(
-        exc_info.value
+    assert "unsupported image format" in str(exc_info.value)
+
+
+def _ppm_bytes(width, height, pixel_fn):
+    """Build a P6 PPM: pixel_fn(x, y) -> (r, g, b)."""
+    raster = bytearray()
+    for y in range(height):
+        for x in range(width):
+            raster.extend(pixel_fn(x, y))
+    return b"P6\n# test\n%d %d\n255\n" % (width, height) + bytes(raster)
+
+
+def _wav_bytes(rate, samples_i16):
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples_i16, dtype="<i2").tobytes()
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE",
+            b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+            b"data", len(data),
+        )
+        + data
     )
+
+
+def _payload_df(spark, payloads):
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("item_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], schema
+    )
+
+
+def test_real_ppm_decode_exact(spark):
+    # 2x2 image: pixels (10,20,30) everywhere -> luma = .299*10+.587*20+.114*30
+    img = _ppm_bytes(2, 2, lambda x, y: (10, 20, 30))
+    rows = image_features(_payload_df(spark, [img]), fake=False).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"], r["n_channels"]) == (2, 2, 3)
+    expect = (0.299 * 10 + 0.587 * 20 + 0.114 * 30) / 255.0
+    assert abs(r["mean_luma"] - expect) < 1e-12
+    assert r["payload_bytes"] == len(img)
+
+
+def test_real_wav_decode_exact(spark):
+    # 16000 Hz, 8000 samples of constant amplitude 16384 -> 0.5s, rms 0.5
+    wav = _wav_bytes(16000, [16384] * 8000)
+    from agentic_etl_poc_spark.operators.multimodal import audio_features
+
+    r = audio_features(_payload_df(spark, [wav]), fake=False).collect()[0]
+    assert r["sample_rate"] == 16000
+    assert r["duration_sec"] == 0.5
+    assert r["rms"] == 16384 / 32768.0
+
+
+def test_real_frame_sample_ppm_stream(spark):
+    # 5 concatenated frames; sample 2 evenly -> frames 0 and 2 (floor(j*5/2))
+    frames = [
+        _ppm_bytes(2, 1, lambda x, y, v=v: (v, v, v)) for v in (1, 2, 3, 4, 5)
+    ]
+    stream = b"".join(frames)
+    rows = frame_sample(_payload_df(spark, [stream]), n_frames=2, fake=False).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1]
+    import hashlib
+
+    def raster_md5(f):
+        # header ends after the single whitespace following maxval
+        off = f.index(b"255\n") + 4
+        return hashlib.md5(f[off:]).hexdigest()
+
+    assert rows[0]["frame_md5"] == raster_md5(frames[0])
+    assert rows[1]["frame_md5"] == raster_md5(frames[2])
+
+
+def test_real_image_resize_roundtrip(spark):
+    from agentic_etl_poc_spark.operators.multimodal import image_resize
+
+    # 4x4 with distinct per-pixel values; downscale to 2x2 nearest-neighbor
+    img = _ppm_bytes(4, 4, lambda x, y: (x * 16, y * 16, 128))
+    rows = image_resize(
+        _payload_df(spark, [img]), width=2, height=2, fake=False
+    ).collect()
+    out = bytes(rows[0]["payload"])
+    from agentic_etl_poc_spark.operators.multimodal import _decode_image_real
+
+    w, h, c, _ = _decode_image_real(out)
+    assert (w, h, c) == (2, 2, 3)
+    # nearest-neighbor with center sampling picks src pixels 1 and 3
+    raster = out[out.index(b"255\n") + 4 :]
+    px = [tuple(raster[i : i + 3]) for i in range(0, len(raster), 3)]
+    assert px == [
+        (16, 16, 128), (48, 16, 128),
+        (16, 48, 128), (48, 48, 128),
+    ]
 
 
 def test_multimodal_frame_sample(spark, sf_smoke):
