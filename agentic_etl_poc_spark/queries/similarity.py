@@ -856,27 +856,33 @@ def s09_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_trunc"),
         )
     )
+    # Both ranks in ONE pass: the corpus×queries frame (and its two
+    # cosine folds) is computed once, both row_number windows share the
+    # query_id partitioning (one exchange), and recall is a conditional
+    # count — no joins, no recomputation of the scored frame (the
+    # ex/ap/base 3-consumer formulation re-ran the broadcast corpus
+    # pass three times).
     w_full = Window.partitionBy("query_id").orderBy(
         F.desc("cos_full"), F.asc("neighbor_id")
     )
     w_trunc = Window.partitionBy("query_id").orderBy(
         F.desc("cos_trunc"), F.asc("neighbor_id")
     )
-    ex = (
-        scored.withColumn("rn", F.row_number().over(w_full))
-        .filter(F.col("rn") <= RECALL_K)
-        .select("query_id", "neighbor_id")
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(w_full).alias("rf"),
+        F.row_number().over(w_trunc).alias("rt"),
     )
-    ap = (
-        scored.withColumn("rn", F.row_number().over(w_trunc))
-        .filter(F.col("rn") <= RECALL_K)
-        .select("query_id", "neighbor_id")
-    )
-    hits = ex.join(ap, ["query_id", "neighbor_id"])
-    base = scored.select("query_id").distinct()
     return (
-        base.join(hits, "query_id", "left")
-        .groupBy("query_id")
-        .agg(F.count("neighbor_id").cast("bigint").alias("n_hits"))
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rf") <= RECALL_K) & (F.col("rt") <= RECALL_K), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hits")
+        )
         .orderBy("query_id")
     )
