@@ -138,3 +138,60 @@ def compact_parquet(
         "files_after": n_files_after,
         "bytes": total_bytes,
     }
+
+
+ZORDER_BITS = 16
+
+
+def zorder_key(*cols: Column, bits: int = ZORDER_BITS) -> Column:
+    """Interleave the low ``bits`` bits of each (non-negative integer)
+    column into a single Z-order (Morton) key.
+
+    Sorting/range-partitioning by this key clusters rows so that files
+    are simultaneously tight in EVERY interleaved dimension — min/max
+    parquet pruning then skips files for predicates on any of the
+    columns, not just the leading sort column.  This is the layout trick
+    (Delta/Iceberg call it Z-ORDER) for the 100 TB fact table that gets
+    filtered by ts one hour and by user_id the next.
+
+    Callers pre-normalize: each column should already be a bounded
+    non-negative int (bucket timestamps to epoch-minutes, hash strings
+    to ints, etc.).  Values wider than ``bits`` cluster by their low
+    bits only.  Pure bit arithmetic, JVM-side, whole-stage-codegen.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs at least two columns")
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits overflows a signed long")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Write ``df`` as parquet range-partitioned AND sorted by the
+    Z-order key of ``cols`` — every output file covers a compact Z-range,
+    i.e. a small rectangle in the keyspace, so min/max stats prune on
+    all ``cols`` (verified against a row-order layout in
+    tests/test_scale.py).  repartitionByRange samples the key (one extra
+    pass) — at 100 TB, reuse persisted bounds or bucket the key instead
+    of re-sampling every write."""
+    z = zorder_key(*[F.col(c) for c in cols], bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

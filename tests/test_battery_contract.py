@@ -65,25 +65,25 @@ def test_sweep_priority_block_leads():
 
     from tests.conftest import REPO_ROOT
 
-    def greens(fname):
-        path = os.path.join(REPO_ROOT, fname)
-        rows = json.load(open(path)) if os.path.exists(path) else {}
-        return {
-            n
-            for n, row in rows.items()
-            if row.get("rows_match")
-            and row.get("schema_match")
-            and row.get("hash_match")
-        }
+    import glob
 
-    r03_green = greens("CORRECTNESS_r03.json")
+    files = sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")))
+    assert files, "no CORRECTNESS files — nothing to rotate against"
+    latest = json.load(open(files[-1]))
+    latest_green = {
+        n
+        for n, row in latest.items()
+        if row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+    }
     ever_recorded = set()
-    for rnd in ("r01", "r02", "r03"):
-        path = os.path.join(REPO_ROOT, f"CORRECTNESS_{rnd}.json")
-        if os.path.exists(path):
-            ever_recorded |= set(json.load(open(path)))
-    # band 1: every pre-round-4 entry not green in r03 (the sweep window)
-    need = (set(ALL) & ever_recorded) - r03_green
+    for path in files:
+        ever_recorded |= set(json.load(open(path)))
+    # band 1: every previously-recorded entry not green in the LATEST
+    # sweep (when a new CORRECTNESS_r{N}.json lands, this test goes red
+    # until SWEEP_ORDER is rotated for round N+1 — that is the point)
+    need = (set(ALL) & ever_recorded) - latest_green
     window = set(list(ALL)[: len(need)])
     assert window == need, (
         f"sweep window misses entries needing an r04 row: "

@@ -128,3 +128,160 @@ def test_to_jdbc_url_translation():
 
     with _pytest.raises(ValueError):
         to_jdbc_url("not a conn string")
+
+
+# ---------- real media codecs (operators/multimodal.py) ----------
+# Pure functions — no SparkSession; hypothesis drives the byte-level
+# encode/decode round-trips the m03/m04 oracle entries rely on.
+
+import struct
+
+import numpy as np
+
+from agentic_etl_poc_spark.operators.multimodal import (
+    _decode_audio_real,
+    _decode_image_real,
+    _iter_ppm_frames,
+    _pnm_header,
+)
+
+
+def _wav(rate, samples, bits=16, fmt=1, channels=1):
+    if bits == 16:
+        data = np.asarray(samples, dtype="<i2").tobytes()
+    elif bits == 8:
+        data = (np.asarray(samples, dtype=np.int64) + 128).astype(np.uint8).tobytes()
+    elif bits == 32 and fmt == 1:
+        data = np.asarray(samples, dtype="<i4").tobytes()
+    else:  # float32
+        data = np.asarray(samples, dtype="<f4").tobytes()
+    return struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, fmt, channels, rate, rate * bits // 8 * channels,
+        bits // 8 * channels, bits,
+        b"data", len(data),
+    ) + data
+
+
+@given(
+    st.sampled_from([8000, 16000, 44100]),
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64),
+)
+@settings(max_examples=50)
+def test_wav_pcm16_roundtrip(rate, samples):
+    duration, got_rate, rms = _decode_audio_real(_wav(rate, samples))
+    assert got_rate == rate
+    assert duration == len(samples) / rate
+    want = float(np.sqrt(np.mean((np.asarray(samples, dtype=np.float64) / 32768.0) ** 2)))
+    assert rms == want
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=50)
+def test_pnm_p5_constant_decode(w, h, v):
+    payload = b"P5\n%d %d\n255\n" % (w, h) + bytes([v]) * (w * h)
+    gw, gh, gc, luma = _decode_image_real(payload)
+    assert (gw, gh, gc) == (w, h, 1)
+    assert luma == v / 255.0  # integer-valued mean is exact in float64
+
+
+@given(st.integers(min_value=1, max_value=6), st.integers(min_value=1, max_value=5))
+@settings(max_examples=30)
+def test_ppm_stream_splits_exactly(n_frames, w):
+    frames = [
+        b"P6\n%d 2\n255\n" % w + bytes([i % 256]) * (w * 2 * 3)
+        for i in range(n_frames)
+    ]
+    got = list(_iter_ppm_frames(b"".join(frames)))
+    assert got == frames
+
+
+def test_pnm_header_comments_and_whitespace():
+    payload = b"P5\n# a comment\n  3\t2 # trailing\n255\n" + bytes(6)
+    magic, w, h, maxval, off = _pnm_header(payload)
+    assert (magic, w, h, maxval) == (b"P5", 3, 2, 255)
+    assert payload[off:] == bytes(6)
+
+
+# ---------- sessionize state fn (streaming/events.py) ----------
+# The numpy gaps-and-islands rewrite must preserve the exact boundary
+# semantics of the original per-row loop: a session breaks only when the
+# inter-arrival gap STRICTLY exceeds the threshold, and carried-over
+# state merges with the first island iff the bridge gap allows.
+
+import datetime as dt
+
+import pandas as pd
+
+from agentic_etl_poc_spark.streaming.events import _sessionize_fn
+
+
+class _FakeState:
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.updated = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.updated = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+
+def _run(rows, state_tuple=None, gap=1800):
+    ts0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "ts": [ts0 + dt.timedelta(seconds=s) for s, _ in rows],
+            "value": [v for _, v in rows],
+        }
+    )
+    state = _FakeState(state_tuple)
+    out = list(_sessionize_fn(gap)((7,), iter([pdf]), state))
+    closed = pd.concat(out) if out else pd.DataFrame()
+    return closed, state.updated
+
+
+def test_sessionize_gap_boundary_is_strict():
+    # gaps of exactly `gap` seconds do NOT break; gap+1 does
+    closed, carried = _run([(0, 1.0), (1800, 1.0), (3601, 1.0)])
+    assert len(closed) == 1  # one closed session: rows 0+1800
+    assert closed.iloc[0]["n_events"] == 2
+    assert carried[2] == 1  # open session holds the 3601 row
+
+
+def test_sessionize_state_merges_adjacent_batch():
+    ts0 = dt.datetime(2024, 1, 1)
+    prior = (ts0 - dt.timedelta(seconds=900), ts0 - dt.timedelta(seconds=900), 3, 5.0)
+    closed, carried = _run([(0, 2.0)], state_tuple=prior)
+    assert len(closed) == 0  # bridge gap 900 <= 1800: merged, stays open
+    assert carried[2] == 4 and carried[3] == 7.0
+
+
+def test_sessionize_state_closes_when_batch_is_far():
+    ts0 = dt.datetime(2024, 1, 1)
+    prior = (ts0 - dt.timedelta(seconds=4000), ts0 - dt.timedelta(seconds=4000), 2, 1.0)
+    closed, carried = _run([(0, 1.0)], state_tuple=prior)
+    assert len(closed) == 1 and closed.iloc[0]["n_events"] == 2
+    assert carried[2] == 1  # new open session = the batch row

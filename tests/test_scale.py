@@ -168,3 +168,47 @@ def test_results_invariant_under_parallelism(spark, sf_smoke):
                     f"{name}: result depends on shuffle parallelism"
                 )
             results[name] = rows
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from agentic_etl_poc_spark.operators.scale import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "x long, y long").select(
+        zorder_key(F.col("x"), F.col("y"), bits=3).alias("z")
+    )
+    # x bits at even positions, y bits at odd: x=101, y=011
+    # -> z = y2 x2 y1 x1 y0 x0 = 0 1 1 0 1 1 = 0b011011
+    assert df.collect()[0]["z"] == 0b011011
+
+
+def test_zorder_layout_clusters_both_dims(spark, tmp_path):
+    """Range-partitioning by the Z key must localize BOTH dimensions:
+    a thin selective range on either column maps to a minority of files,
+    while a plain x-sorted layout localizes only x (a y-range query hits
+    every file — no pruning possible at 100 TB)."""
+    from agentic_etl_poc_spark.operators.scale import write_zordered
+
+    df = spark.range(0, 65536).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),  # full 256x256 grid
+        F.col("id").alias("payload"),
+    )
+    p_lin = str(tmp_path / "lin")
+    p_z = str(tmp_path / "z")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(p_lin)
+    )
+    write_zordered(df, p_z, ["x", "y"], n_files=16, bits=8)
+
+    def files_with_rows(path, col):
+        d = spark.read.parquet(path).filter(F.col(col) < 16)  # 1/16 strip
+        return d.select(F.input_file_name()).distinct().count()
+
+    assert files_with_rows(p_lin, "x") <= 2  # x-sorted: x localized
+    assert files_with_rows(p_lin, "y") == 16  # ...but y in EVERY file
+    # z-layout: both strips touch only the quadrant-overlapping minority
+    assert files_with_rows(p_z, "x") <= 6
+    assert files_with_rows(p_z, "y") <= 6
