@@ -177,6 +177,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s09_matryoshka_recall",
     "u05_arrow_map_batches",
     "p01_curation_pipeline",
+    "t17_chunk_dedup",
     # -- band 3: already green in r03 ---------------------------------
     "q08_topk_orders",
     "q39_regexp_groups",

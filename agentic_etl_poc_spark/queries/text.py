@@ -1009,3 +1009,91 @@ def t14_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("doc_id", "rk")
     )
+
+
+#: t17 chunk width (words per non-overlapping chunk).  C4 removes
+#: repeated three-sentence spans; on the word-soup corpus a 5-word
+#: chunk is the analogous unit.
+CHUNK_W = 5
+
+
+@register(
+    "t17_chunk_dedup",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[(i - 1) * {CHUNK_W} + 1 : i * {CHUNK_W}], ' ')
+           AS chunk
+  FROM w CROSS JOIN (SELECT unnest(range(1, 200)) AS i)
+  WHERE i <= n_tokens // {CHUNK_W}
+),
+ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM ch
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id, p.n_chunks, p.n_removed,
+       CAST(p.n_removed * {CHUNK_W} AS BIGINT) AS tokens_removed
+FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+""",
+    description="Cross-document chunk deduplication (the C4 repeated-"
+    f"span rule): every non-overlapping {CHUNK_W}-word chunk is kept "
+    "only at its globally FIRST occurrence (ordered by doc_id, then "
+    "position) and counted as removed everywhere else; per-doc output "
+    "reports chunks, removals, and tokens removed.  Scale shape: the "
+    "first-occurrence computation is a map-side-combinable "
+    "min_by(struct(doc_id,pos)) aggregation on chunk + an equi-join "
+    "back — NOT a per-chunk window sort — so the corpus shuffles once "
+    "on chunk with partial aggregation and once on doc_id.  (The "
+    "oracle states the same semantics as rn=1 of a window.)",
+)
+def t17_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks_expr = (F.size(words) / CHUNK_W).cast("long")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks_expr),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, (i - F.lit(1)) * CHUNK_W + 1, CHUNK_W)
+                ),
+            )
+        ).alias("pos0", "chunk"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "chunk")
+    firsts = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    flagged = chunks.join(firsts, "chunk").select(
+        "doc_id",
+        (
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        ).cast("long").alias("removed"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("removed").cast("bigint").alias("n_removed"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_chunks",
+            "n_removed",
+            (F.col("n_removed") * CHUNK_W).cast("bigint").alias("tokens_removed"),
+        )
+        .orderBy("doc_id")
+    )
