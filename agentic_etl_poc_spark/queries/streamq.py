@@ -2,7 +2,8 @@
 
 The streaming operators themselves live in ``streaming/events.py``
 (windowed counts, stateful sessionize, stream-stream join, …) and are
-exercised by the pytest suite; these entries make the two central ones
+exercised by the pytest suite; these entries make the central three
+(v01 windowed agg, v02 stateful sessionize, v03 exact dedup)
 **oracle-checkable**: each runs a real Structured Streaming query
 (file source → Trigger.AvailableNow drain → memory sink) and returns the
 final result frame, which the driver compares against batch SQL on DuckDB.

@@ -39,6 +39,12 @@ def main() -> int:
         help="check only the first N registry entries (0 = all)",
     )
     ap.add_argument("--names", default="", help="comma-separated subset")
+    ap.add_argument(
+        "--out",
+        default="",
+        help="also write a CORRECTNESS_r{N}.json-shaped artifact here "
+        "(rows_match/schema_match/hash_match per entry)",
+    )
     args = ap.parse_args()
 
     # Vanilla session: NO engine confs — exactly what an external harness
@@ -69,6 +75,7 @@ def main() -> int:
         picked = picked[: args.limit]
 
     n_fail = 0
+    rows_out: dict[str, dict] = {}
     t_all = time.perf_counter()
     for name in picked:
         t0 = time.perf_counter()
@@ -78,11 +85,36 @@ def main() -> int:
                 r = compare(df, con, oracles[name])
                 ok = bool(r["ok"])
                 detail = "" if ok else r.get("detail", "")
+                rows_out[name] = {
+                    "rows_match": r["rows_spark"] == r["rows_duckdb"],
+                    "schema_match": r["cols_spark"] == r["cols_duckdb"],
+                    "hash_match": ok,
+                    "spark_rows": r["rows_spark"],
+                    "oracle_rows": r["rows_duckdb"],
+                    "err": detail[:300] or None,
+                }
             else:
-                ok = len(df.collect()) >= 0  # rows-only check, like the driver
+                n_rows = len(df.collect())
+                ok = n_rows >= 0  # rows-only check, like the driver
                 detail = ""
+                rows_out[name] = {
+                    "rows_match": ok,
+                    "schema_match": True,
+                    "hash_match": None,
+                    "spark_rows": n_rows,
+                    "oracle_rows": None,
+                    "err": None,
+                }
         except Exception as exc:  # noqa: BLE001 — report, don't abort the sweep
             ok, detail = False, f"{type(exc).__name__}: {exc}"[:300]
+            rows_out[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": detail,
+            }
         n_fail += 0 if ok else 1
         print(
             json.dumps(
@@ -106,6 +138,9 @@ def main() -> int:
         ),
         flush=True,
     )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rows_out, f, indent=1)
     spark.stop()
     return 1 if n_fail else 0
 
