@@ -49,9 +49,20 @@ def expand_env(text: str) -> str:
 
 
 def looks_like_plan(text: str) -> bool:
-    """Offline-mode detection: is this YAML-plan text (vs an NL prompt)?"""
+    """Offline-mode detection: is this YAML-plan text (vs an NL prompt)?
+
+    Decided by the first non-blank, non-comment line — a plan file that
+    opens with ``# usage`` comments (e.g. examples/weekly_orders.yaml)
+    must still route to the plan parser, not the NL planner (a plain
+    ``startswith`` check mis-routed exactly that file through the CLI).
+    """
     s = strip_wrappers(text)
-    return s.startswith(_PLAN_KEYS) or os.environ.get("ETL_AGENT_OFFLINE") == "1"
+    for line in s.splitlines():
+        ls = line.strip()
+        if not ls or ls.startswith("#"):
+            continue
+        return ls.startswith(_PLAN_KEYS) or os.environ.get("ETL_AGENT_OFFLINE") == "1"
+    return os.environ.get("ETL_AGENT_OFFLINE") == "1"
 
 
 def to_yaml_map(text: str) -> dict[str, Any]:

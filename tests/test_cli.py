@@ -63,3 +63,34 @@ def test_cli_plan_file_and_failure_exit(tmp_path):
     result = json.loads(proc.stdout)
     assert result["status"] == "failed"
     assert "reading plan" not in proc.stderr
+
+
+def test_plan_with_leading_comments_routes_to_plan_parser():
+    """A plan file that opens with usage comments must be detected as a
+    plan, not sent to the NL planner (the CLI's documented invocation of
+    examples/weekly_orders.yaml broke exactly this way)."""
+    from agentic_etl_poc_spark.plans.parser import looks_like_plan
+
+    assert looks_like_plan("# usage: run me\n\nsource:\n  kind: csv\n")
+    assert looks_like_plan(open("examples/weekly_orders.yaml").read())
+    assert not looks_like_plan("# a comment\nload the weekly orders report")
+    assert not looks_like_plan("summarize sales by region")
+
+
+def test_cli_runs_weekly_orders_example(tmp_path):
+    """The example's own header says `python -m ... -p <this file>` runs
+    as-is — hold the CLI to it end-to-end (stdout stays pure JSON)."""
+    text = open("/root/repo/examples/weekly_orders.yaml").read()
+    out = str(tmp_path / "weekly_out")
+    plan = tmp_path / "weekly.yaml"
+    plan.write_text(text.replace("/tmp/weekly_orders_out", out))
+    proc = subprocess.run(
+        [sys.executable, "-m", "agentic_etl_poc_spark.cli", "--no-greet",
+         "-p", str(plan), "--master", "local[4]"],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd="/root/repo",
+    )
+    result = json.loads(proc.stdout)
+    assert proc.returncode == 0 and result["status"] == "ok", result
