@@ -363,3 +363,26 @@ def test_multimodal_resize_real_raises(spark, sf_smoke):
     assert "NotImplementedError" in str(exc_info.value) or "resize" in str(
         exc_info.value
     )
+
+
+def test_run_available_now_exactly_once_redrain(spark, sf_smoke, events_json_dir, tmp_path):
+    """The cron-batch replacement contract: a second AvailableNow drain
+    with the same checkpoint processes NOTHING new (exactly-once
+    bookkeeping), and the parquet sink holds each input row exactly once."""
+    from agentic_etl_poc_spark.streaming.events import (
+        run_available_now,
+        stream_events,
+    )
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    n_in = table(spark, sf_smoke, "events").count()
+
+    stream = stream_events(spark, events_json_dir, watermark="1 minute")
+    run_available_now(stream, ckpt, out)
+    assert spark.read.parquet(out).count() == n_in
+
+    # re-drain: checkpoint marks every file processed -> no duplicates
+    stream2 = stream_events(spark, events_json_dir, watermark="1 minute")
+    run_available_now(stream2, ckpt, out)
+    assert spark.read.parquet(out).count() == n_in
