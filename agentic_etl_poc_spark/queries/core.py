@@ -178,6 +178,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "u05_arrow_map_batches",
     "p01_curation_pipeline",
     "t17_chunk_dedup",
+    "v04_stream_stream_join",
     # -- band 3: already green in r03 ---------------------------------
     "q08_topk_orders",
     "q39_regexp_groups",

@@ -248,3 +248,54 @@ def v03_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "v04_stream_stream_join",
+    oracle=f"""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       strftime(v.ts, '{TS_FMT_DUCK}') AS view_ts_s,
+       strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts_s
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY view_id, click_id
+""",
+    description="Stream-stream inner join as a first-class oracle query: "
+    "two independent streams over the same staged source (views and "
+    "clicks), time-range attribution join (click within 1 hour after "
+    "the view), AvailableNow drain, hash-compared against the batch "
+    "interval join.  Both sides carry watermarks and the range "
+    "predicate bounds the join state: rows older than (watermark - "
+    "interval) are evicted, so state size tracks the attribution "
+    "window, not stream history — the requirement for an unbounded "
+    "100 TB/day stream (streaming/events.py::join_click_to_view; the "
+    "drain sees one batch, so no match is watermark-suppressed and the "
+    "emitted set equals the batch join exactly).",
+)
+def v04_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.streaming.events import join_click_to_view
+
+    src = events_stream_dir(spark, sf_dir)
+    name = f"v04_ssj_{next(_MEM_SEQ)}"
+    views = stream_events(spark, src, watermark="3650 days").filter(
+        F.col("event_type") == "view"
+    )
+    clicks = stream_events(spark, src, watermark="3650 days").filter(
+        F.col("event_type") == "click"
+    )
+    run_to_memory(join_click_to_view(views, clicks, within="1 hour"), name)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            F.date_format("view_ts", TS_FMT_SPARK).alias("view_ts_s"),
+            F.date_format("click_ts", TS_FMT_SPARK).alias("click_ts_s"),
+        )
+        .orderBy("view_id", "click_id")
+    )
