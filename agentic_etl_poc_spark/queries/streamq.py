@@ -250,6 +250,34 @@ def v03_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _typed_stream_dir(spark: SparkSession, sf_dir: str, event_type: str) -> str:
+    """Stage ``events WHERE event_type = X`` as its own single-file NDJSON
+    — the two-topics shape a stream-stream join reads in production."""
+    key = f"{sf_dir}::{event_type}"
+    cached = _STAGED.get(key)
+    if cached is not None and os.path.exists(os.path.join(cached, "_SUCCESS")):
+        return cached
+    from agentic_etl_poc_spark.session import ensure_semantics, tune_for_data
+
+    ensure_semantics(spark)
+    tune_for_data(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_streamq",
+        sf_dir.strip(os.sep).replace(os.sep, "_") + "_" + event_type,
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == event_type)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(out)
+        )
+    _STAGED[key] = out
+    return out
+
+
 @register(
     "v04_stream_stream_join",
     oracle=f"""
@@ -279,13 +307,15 @@ ORDER BY view_id, click_id
 def v04_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_etl_poc_spark.streaming.events import join_click_to_view
 
-    src = events_stream_dir(spark, sf_dir)
+    # Stage each side as its OWN single-file NDJSON (the real shape: two
+    # topics), not two full-corpus scans with post-filters — each stream
+    # then parses only its ~1/5 slice of the events file.
     name = f"v04_ssj_{next(_MEM_SEQ)}"
-    views = stream_events(spark, src, watermark="3650 days").filter(
-        F.col("event_type") == "view"
+    views = stream_events(
+        spark, _typed_stream_dir(spark, sf_dir, "view"), watermark="3650 days"
     )
-    clicks = stream_events(spark, src, watermark="3650 days").filter(
-        F.col("event_type") == "click"
+    clicks = stream_events(
+        spark, _typed_stream_dir(spark, sf_dir, "click"), watermark="3650 days"
     )
     run_to_memory(join_click_to_view(views, clicks, within="1 hour"), name)
     return (
