@@ -54,20 +54,40 @@ def test_sweep_order_covers_registry_exactly():
     assert list(ALL) == [n for n in SWEEP_ORDER if n in ALL]
 
 
-def test_sweep_priority_block_leads():
-    """Round-4 rotation invariant, computed from the recorded round-3
-    sweep: the first ~50 slots must be exactly the entries that still
-    need a driver row — the two r03 hash-reds (t06/q24, oracles fixed)
-    plus every entry the r03 window did not record — so that r03 ∪ r04
-    gives every battery entry a green driver row."""
-    import json
+SWEEP_WINDOW = 50  # rows the external correctness sweep records per round
+
+
+def _correctness_files():
+    """CORRECTNESS_r*.json paths sorted by INTEGER round number (a plain
+    lexicographic sort would rank r100 < r99)."""
+    import glob
     import os
+    import re
 
     from tests.conftest import REPO_ROOT
 
-    import glob
+    def round_no(path):
+        return int(re.search(r"_r(\d+)\.json$", path).group(1))
 
-    files = sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")))
+    return sorted(
+        glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")), key=round_no
+    )
+
+
+def test_sweep_priority_block_leads():
+    """Rotation invariant, recomputed from the recorded sweeps so it goes
+    red the moment a new CORRECTNESS_r{N}.json lands (rotating SWEEP_ORDER
+    is then the next round's first task — this red is the signal, not a
+    product bug).  Invariant: with `stale` = entries lacking a green row
+    in the LATEST sweep (never-sampled entries count as stale), the first
+    min(50, len(stale)) slots must all be stale — no window slot may be
+    burned on an entry that is already freshly green — and never-sampled
+    entries (which have waited the longest) must all sit inside the
+    window, with any entry recorded RED in the latest sweep at the very
+    front."""
+    import json
+
+    files = _correctness_files()
     assert files, "no CORRECTNESS files — nothing to rotate against"
     latest = json.load(open(files[-1]))
     latest_green = {
@@ -75,29 +95,32 @@ def test_sweep_priority_block_leads():
         for n, row in latest.items()
         if row.get("rows_match")
         and row.get("schema_match")
-        and row.get("hash_match")
+        and row.get("hash_match") is not False
     }
+    latest_red = set(latest) - latest_green
     ever_recorded = set()
     for path in files:
         ever_recorded |= set(json.load(open(path)))
-    # band 1: every previously-recorded entry not green in the LATEST
-    # sweep (when a new CORRECTNESS_r{N}.json lands, this test goes red
-    # until SWEEP_ORDER is rotated for round N+1 — that is the point)
-    need = (set(ALL) & ever_recorded) - latest_green
-    window = set(list(ALL)[: len(need)])
-    assert window == need, (
-        f"sweep window misses entries needing an r04 row: "
-        f"{sorted(need - window)}; wastes slots on: "
-        f"{sorted(window - need)}"
+
+    stale = set(ALL) - latest_green
+    never_sampled = set(ALL) - ever_recorded
+    n_window = min(SWEEP_WINDOW, len(stale))
+    window = list(ALL)[:n_window]
+    wasted = [n for n in window if n not in stale]
+    assert not wasted, (
+        f"sweep window wastes slots on freshly-green entries {wasted}; "
+        f"rotate queries/core.py::SWEEP_ORDER (this test going red right "
+        f"after a new CORRECTNESS file lands is the designed tripwire)"
     )
-    # the two previously-red entries lead — they must not risk truncation
-    assert list(ALL)[:2] == ["t06_boilerplate_ratio", "q24_sessionize_batch"]
-    # band 2: brand-new entries (never recorded) come immediately after,
-    # before any already-green-in-r03 entry burns a future sweep slot
-    rest = list(ALL)[len(need) :]
-    new_entries = [n for n in rest if n not in ever_recorded]
-    assert rest[: len(new_entries)] == sorted(
-        rest[: len(new_entries)], key=new_entries.index
-    ) and set(rest[: len(new_entries)]) == set(new_entries), (
-        f"new entries {new_entries} must directly follow the sweep window"
+    # red-in-latest entries are regressions — they must lead, never risk
+    # truncation at the window tail
+    reds_in_battery = latest_red & set(ALL)
+    assert set(list(ALL)[: len(reds_in_battery)]) == reds_in_battery, (
+        f"entries red in the latest sweep {sorted(reds_in_battery)} must "
+        f"lead SWEEP_ORDER"
+    )
+    missing_new = never_sampled - set(window)
+    assert len(never_sampled) > n_window or not missing_new, (
+        f"never-driver-sampled entries {sorted(missing_new)} must sit "
+        f"inside the sweep window — they have waited longest for a row"
     )
