@@ -162,7 +162,14 @@ def _iter_ppm_frames(payload: bytes) -> Iterator[bytes]:
     ffmpeg calls image2pipe/ppm) into one bytes object per frame."""
     pos, n = 0, len(payload)
     while pos < n:
-        _, width, height, maxval, off = _pnm_header(payload[pos:])
+        magic, width, height, maxval, off = _pnm_header(payload[pos:])
+        if magic != b"P6":
+            # frame_len below assumes 3 channels; a P5 (grayscale) frame
+            # would be split at wrong offsets — reject it clearly instead
+            raise ValueError(
+                f"unsupported frame magic {magic!r} in PPM stream "
+                "(only binary P6 frames are supported)"
+            )
         frame_len = off + width * height * 3 * (1 if maxval < 256 else 2)
         if pos + frame_len > n:
             raise ValueError("truncated PPM frame in stream")

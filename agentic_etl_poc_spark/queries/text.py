@@ -1026,11 +1026,14 @@ WITH w AS (
   FROM documents
 ),
 ch AS (
-  SELECT doc_id, i AS pos,
-         array_to_string(words[(i - 1) * {CHUNK_W} + 1 : i * {CHUNK_W}], ' ')
+  SELECT doc_id, pos,
+         array_to_string(words[(pos - 1) * {CHUNK_W} + 1 : pos * {CHUNK_W}], ' ')
            AS chunk
-  FROM w CROSS JOIN (SELECT unnest(range(1, 200)) AS i)
-  WHERE i <= n_tokens // {CHUNK_W}
+  FROM (
+    SELECT doc_id, words,
+           unnest(range(1, n_tokens // {CHUNK_W} + 1)) AS pos
+    FROM w
+  )
 ),
 ranked AS (
   SELECT doc_id, pos,
@@ -1063,6 +1066,9 @@ def t17_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_chunks_expr = (F.size(words) / CHUNK_W).cast("long")
+    # docs shorter than one chunk yield no chunks; without this filter
+    # sequence(1, 0) DESCENDS ([1, 0]) and fabricates a bogus chunk
+    d = d.filter(F.size(words) >= CHUNK_W)
     chunks = d.select(
         "doc_id",
         F.posexplode(

@@ -227,3 +227,43 @@ def test_q52_funnel_all_null_stage_matches_oracle(spark, tmp_path):
     spec = load_all()["q52_funnel"]
     r = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
     assert r["ok"], r
+
+
+def test_t17_chunk_dedup_subchunk_doc_matches_oracle(spark, tmp_path):
+    """Round-4 advisory: a doc shorter than one chunk (< CHUNK_W tokens)
+    used to hit sequence(1, 0), which DESCENDS ([1, 0]) and fabricated a
+    bogus chunk from a negative-start slice; the oracle's old fixed
+    range(1, 200) also capped chunks per doc at 199.  Both sides must now
+    agree on the degenerate corpus: short docs yield NO row, long docs
+    are uncapped, duplicate chunks dedup to first occurrence."""
+    import duckdb
+
+    from agentic_etl_poc_spark.queries import load_all
+
+    from tests.oracle_diff import compare
+
+    long_doc = " ".join(f"w{i % 7}" for i in range(1500))  # 300 chunks > 199
+    rows = [
+        (1, "a b c", "en", "web", 5),                      # 3 tokens: no chunk
+        (2, "p q r s t u v", "en", "web", 13),             # 1 chunk + remainder
+        (3, "p q r s t x y z w9 w8", "en", "web", 20),     # dup of doc 2's chunk
+        (4, long_doc, "en", "web", len(long_doc)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}/*.parquet')"
+    )
+    spec = load_all()["t17_chunk_dedup"]
+    out = spec.fn(spark, str(tmp_path))
+    r = compare(out, con, spec.oracle)
+    assert r["ok"], r
+    got = {row["doc_id"]: row.asDict() for row in out.collect()}
+    assert set(got) == {2, 3, 4}, "doc 1 (< CHUNK_W tokens) must drop out"
+    assert got[2]["n_chunks"] == 1 and got[2]["n_removed"] == 0
+    assert got[3]["n_chunks"] == 2 and got[3]["n_removed"] == 1
+    assert got[4]["n_chunks"] == 300, "chunks per doc must be uncapped"

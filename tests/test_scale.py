@@ -21,10 +21,26 @@ def _physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _reset_bucketed_table(spark, name: str) -> None:
+    """Self-healing setup: an interrupted prior run can leave the managed
+    table's LOCATION on disk with no entry in this process's fresh Derby
+    metastore, and every later ``write_bucketed`` then fails with
+    LOCATION_ALREADY_EXISTS.  Drop the (possibly stale) metastore entry
+    AND remove the leftover warehouse directory before writing."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse.rstrip('/')}/{name}", ignore_errors=True)
+
+
 @pytest.fixture(scope="module")
 def bucketed_pair(spark, sf_smoke):
     # warehouse.dir is a static conf — managed tables land in the session's
     # default warehouse; DROP TABLE below removes the files.
+    _reset_bucketed_table(spark, "orders_b")
+    _reset_bucketed_table(spark, "lineitem_b")
     orders = table(spark, sf_smoke, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )

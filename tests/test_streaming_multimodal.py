@@ -182,6 +182,15 @@ def test_real_frame_sample_ppm_stream(spark):
     assert rows[1]["frame_md5"] == raster_md5(frames[2])
 
 
+def test_real_frame_sample_rejects_p5_stream(spark):
+    """A P5 (grayscale) frame in the stream must be rejected outright:
+    the 3-channel frame_len arithmetic would split it at wrong offsets."""
+    p5 = b"P5\n2 1\n255\n" + bytes([7, 8])
+    with pytest.raises(Exception) as exc_info:
+        frame_sample(_payload_df(spark, [p5]), n_frames=1, fake=False).collect()
+    assert "unsupported frame magic" in str(exc_info.value)
+
+
 def test_real_image_resize_roundtrip(spark):
     from agentic_etl_poc_spark.operators.multimodal import image_resize
 
@@ -354,15 +363,15 @@ def test_multimodal_image_resize_fake(spark, sf_smoke):
     assert feats.count() == 50
 
 
-def test_multimodal_resize_real_raises(spark, sf_smoke):
+def test_multimodal_resize_real_rejects_unknown_format(spark, sf_smoke):
+    """Real resize exists (pure-numpy PNM path); a non-PNM payload must be
+    rejected with the clear format error, not mis-decoded."""
     from agentic_etl_poc_spark.operators.multimodal import image_resize
 
     docs = table(spark, sf_smoke, "documents").limit(1)
     with pytest.raises(Exception) as exc_info:
         image_resize(attach_binary_payload(docs), fake=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or "resize" in str(
-        exc_info.value
-    )
+    assert "unsupported image format" in str(exc_info.value)
 
 
 def test_run_available_now_exactly_once_redrain(spark, sf_smoke, events_json_dir, tmp_path):
