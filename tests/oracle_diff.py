@@ -123,6 +123,25 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
             f"column mismatch: {sorted(s_pdf.columns)} != {sorted(d_pdf.columns)}"
         )
         return result
+    # Standing dtype guard (the round-2..4 HUGEINT lesson, promoted): the
+    # driver hashes through pandas on both engines, so a per-column dtype
+    # KIND skew (DuckDB HUGEINT/DECIMAL -> float64 'f' vs Spark int64 'i')
+    # is a driver-red even when fetchall values agree — and a zero-row
+    # result would otherwise hide it from the cell-level compare below.
+    kind_skew = {
+        c: (s_pdf[c].dtype.kind, d_pdf[c].dtype.kind)
+        for c in s_pdf.columns
+        if s_pdf[c].dtype.kind != d_pdf[c].dtype.kind
+    }
+    if kind_skew:
+        result["detail"] = (
+            f"pandas dtype-kind mismatch (spark_kind, duckdb_kind): {kind_skew}; "
+            f"full dtypes spark={list(s_pdf.dtypes.astype(str))} "
+            f"duckdb={list(d_pdf.dtypes.astype(str))} — CAST the oracle "
+            f"(integer SUMs to BIGINT; no raw doubles/dates/decimals in "
+            f"checked outputs)"
+        )
+        return result
     if len(s_pdf) != len(d_pdf):
         result["detail"] = f"row count mismatch: {len(s_pdf)} != {len(d_pdf)}"
         return result
