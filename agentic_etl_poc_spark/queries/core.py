@@ -106,10 +106,11 @@ def register(name: str, oracle: str | None, description: str = ""):
 #:
 #: 1. Slots 1-50 (the sweep window) — every entry that needs an r05 row
 #:    and has never been driver-sampled (the 8 round-4 additions,
-#:    replica-green in REPLICA_r04.json) first, then the 42 cheapest of
+#:    replica-green in REPLICA_r04.json, plus new-in-round-5 v05/p02)
+#:    first, then the cheapest of
 #:    the 48 entries whose latest driver-green row is r03.  Streaming
 #:    entries sit adjacent so the staged-topic cache is shared.
-#: 2. The 6 r03-era spillovers that did not fit — they lead round 6's
+#: 2. The r03-era spillovers that did not fit — they lead round 6's
 #:    window (with anything new in round 5).
 #: 3. Entries green in the r04 sweep, cheap-first.
 #:
@@ -132,7 +133,10 @@ SWEEP_ORDER: tuple[str, ...] = (
     "p01_curation_pipeline",
     "v03_stream_dedup_exact",
     "v04_stream_stream_join",
-    # -- then the 42 cheapest entries whose latest driver-green row is
+    # new in round 5 (never driver-sampled): multi-batch watermark
+    # eviction — shares the staged-topic cache with v01-v04 above
+    "v05_stream_watermark_eviction",
+    # -- then the cheapest entries whose latest driver-green row is
     # -- r03 (cheap-first by builder per-query bench) -----------------
     "q08_topk_orders",
     "q39_regexp_groups",
@@ -176,7 +180,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "t16_sequence_packing",
     "q55_lateral_topn",
     "q54_recursive_year_ladder",
-    # -- band 2: the 6 r03-era spillovers that did not fit the window —
+    # -- band 2: r03-era spillovers that did not fit the window —
     # -- these lead round 6 ------------------------------------------
     "q56_local_supplier_volume",
     "q45_grouping_sets",

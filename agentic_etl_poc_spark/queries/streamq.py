@@ -250,6 +250,119 @@ def v03_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _eviction_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a THREE-file topic for the watermark-eviction entry (v05),
+    mtime-ordered so maxFilesPerTrigger=1 yields three deterministic
+    micro-batches:
+
+    1. ``a_base.json`` — the full events table (event-time max = M).
+    2. ``b_settle.json`` — re-keyed (+20M) copies of the last-30-min rows:
+       max ts still M, and every row lands in a window whose end is past
+       the final watermark cut (M - 1h), i.e. a window that is NEVER
+       emitted.  Its only job is to let the watermark (one-batch filter
+       lag, measured on Spark 4.1) take effect before the late file.
+    3. ``c_late.json`` — re-keyed (+10M) copies of ALL events: every copy
+       in a window closed by the watermark must be DROPPED as late.  If
+       the filter failed, those rows would re-create the evicted window
+       state and the final no-data batch would re-emit duplicate window
+       rows — so the oracle (base-only counts over closed windows)
+       proves the suppression.
+    """
+    src = events_stream_dir(spark, sf_dir)
+    out = src + "_evict"
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        import time
+
+        os.makedirs(out, exist_ok=True)
+        part = next(f for f in sorted(os.listdir(src)) if f.endswith(".json"))
+        shutil.copy(os.path.join(src, part), os.path.join(out, "a_base.json"))
+        ev = table(spark, sf_dir, "events")
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        rekey = lambda off: [  # noqa: E731
+            (F.col("event_id") + off).alias("event_id"),
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ]
+        for fname, frame in (
+            (
+                "b_settle.json",
+                ev.filter(
+                    F.col("ts") > F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES")
+                ).select(*rekey(20_000_000)),
+            ),
+            ("c_late.json", ev.select(*rekey(10_000_000))),
+        ):
+            tmp = os.path.join(out, "_tmp_" + fname)
+            frame.coalesce(1).write.mode("overwrite").json(tmp)
+            p = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
+            os.replace(os.path.join(tmp, p), os.path.join(out, fname))
+            shutil.rmtree(tmp)
+        now = time.time()
+        for i, fname in enumerate(
+            ("a_base.json", "b_settle.json", "c_late.json")
+        ):
+            os.utime(os.path.join(out, fname), (now - 180 + 60 * i,) * 2)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+@register(
+    "v05_stream_watermark_eviction",
+    oracle=f"""
+WITH win AS (
+  SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS wid, event_type, value
+  FROM events
+)
+SELECT strftime(make_timestamp(wid * 21600 * 1000000),
+                '{TS_FMT_DUCK}') AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM win
+GROUP BY wid, event_type
+HAVING (wid + 1) * 21600
+       <= (SELECT floor(epoch(MAX(ts))) - 3600 FROM events)
+ORDER BY window_start, event_type
+""",
+    description="Watermark EVICTION made oracle-checkable (the round-4 "
+    "gap: single-file staging meant the drain never saw a second batch, "
+    "so late-row suppression was never exercised under the oracle).  A "
+    "three-file staged topic drained with maxFilesPerTrigger=1 gives "
+    "three deterministic micro-batches: base events, a settling file "
+    "(rows only in never-emitted tail windows), then a full late replay "
+    "(every event re-keyed, original timestamps).  The 1-hour watermark "
+    "must drop every late copy aimed at a closed 6-hour window — if it "
+    "did not, the copies would rebuild evicted state and the final "
+    "batch would re-emit duplicate windows, which the oracle (base-only "
+    "counts over windows closed by M - 1h) would catch as extra rows.  "
+    "Append mode: only watermark-closed windows are emitted, which is "
+    "exactly what continuous 100 TB/day operation relies on.",
+)
+def v05_stream_watermark_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _eviction_stream_dir(spark, sf_dir)
+    name = f"v05_evict_{next(_MEM_SEQ)}"
+    stream = stream_events(
+        spark, src, watermark="1 hour", max_files_per_trigger=1
+    )
+    run_to_memory(windowed_counts(stream), name, output_mode="append")
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def _typed_stream_dir(spark: SparkSession, sf_dir: str, event_type: str) -> str:
     """Stage ``events WHERE event_type = X`` as its own single-file NDJSON
     — the two-topics shape a stream-stream join reads in production."""

@@ -69,14 +69,21 @@ _STATE_SCHEMA = StructType(
 
 
 def stream_events(
-    spark: SparkSession, source_dir: str, watermark: str = "10 minutes"
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """NDJSON file-stream of events with an event-time watermark."""
-    return (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .json(source_dir)
-        .withWatermark("ts", watermark)
-    )
+    """NDJSON file-stream of events with an event-time watermark.
+
+    ``max_files_per_trigger`` splits an AvailableNow drain into one
+    micro-batch per file (mtime order) — the knob that makes multi-batch
+    watermark semantics (late-row suppression) testable and
+    deterministic."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(source_dir).withWatermark("ts", watermark)
 
 
 def windowed_counts(events: DataFrame, window: str = "6 hours") -> DataFrame:

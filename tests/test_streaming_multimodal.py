@@ -395,3 +395,30 @@ def test_run_available_now_exactly_once_redrain(spark, sf_smoke, events_json_dir
     stream2 = stream_events(spark, events_json_dir, watermark="1 minute")
     run_available_now(stream2, ckpt, out)
     assert spark.read.parquet(out).count() == n_in
+
+
+def test_v05_watermark_drops_late_rows(spark, sf_smoke):
+    """The v05 mechanism, asserted at the metrics level: the three-file
+    eviction topic drained with maxFilesPerTrigger=1 must process three
+    micro-batches, and the late-replay batch must report rows dropped BY
+    THE WATERMARK (not merely absent from the output)."""
+    from agentic_etl_poc_spark.queries.streamq import _eviction_stream_dir
+    from agentic_etl_poc_spark.streaming.events import (
+        run_to_memory,
+        stream_events,
+        windowed_counts,
+    )
+
+    src = _eviction_stream_dir(spark, sf_smoke)
+    stream = stream_events(spark, src, watermark="1 hour", max_files_per_trigger=1)
+    q = run_to_memory(
+        windowed_counts(stream), "v05_mech_probe", output_mode="append"
+    )
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) == 3, [p["numInputRows"] for p in data_batches]
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in data_batches
+        for op in p["stateOperators"]
+    )
+    assert dropped > 0, "late replay was never suppressed by the watermark"
