@@ -131,6 +131,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "m03_audio_decode",
     "t17_chunk_dedup",
     "p01_curation_pipeline",
+    # new in round 5 (never driver-sampled): the reference's CSV-triplet
+    # plan path end-to-end under the oracle
+    "p02_plan_csv_pipeline",
     "v03_stream_dedup_exact",
     "v04_stream_stream_join",
     # new in round 5 (never driver-sampled): multi-batch watermark

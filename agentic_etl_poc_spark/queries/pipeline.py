@@ -341,3 +341,143 @@ def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pack_id")
     )
+
+
+@register(
+    "p02_plan_csv_pipeline",
+    oracle="""
+WITH clean AS (
+  SELECT o_custkey AS store_id,
+         COALESCE(CAST(o_totalprice AS DOUBLE), 0.0) AS amt,
+         o_orderdate AS d
+  FROM orders
+)
+SELECT c.store_id,
+       TRIM(n.n_name) AS nation,
+       strftime(CAST(DATE_TRUNC('week', c.d) AS DATE), '%Y-%m-%d') AS week,
+       COUNT(*) AS n_sales,
+       CAST(CAST(SUM(CAST(c.amt AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS VARCHAR) AS weekly_sales
+FROM clean c
+JOIN customer cu ON cu.c_custkey = c.store_id
+JOIN nation n ON n.n_nationkey = cu.c_nationkey
+GROUP BY 1, 2, 3
+ORDER BY store_id, week
+""",
+    description="The reference's demonstrated end-to-end path (CSV triplet "
+    "-> dialect-shimmed SQL transform -> DQ gate -> single-file CSV sink "
+    "-> verify gate), oracle-gated as a battery entry so the plan layer "
+    "is visible to the driver's correctness sweep, not just pytest "
+    "(reference: etl_agent/templates.py:59-82 CSV_TRIPLET shape; "
+    "ops.py:25-32 csv load/write).  The triplet (sales/features/stores) "
+    "is staged deterministically FROM the driver's parquet tables "
+    "(orders/nation/customer), so the oracle can state the same result "
+    "over the pre-registered views — which makes the check cover the "
+    "whole loop: CSV write/read roundtrip (incl. doubles and "
+    "'%m/%d/%Y' date strings through try_strptime), the DuckDB-dialect "
+    "shim, the DQ gate, the single-file sink contract, and the verify "
+    "re-read, all of which must be value-exact for the hash to match.  "
+    "Scale: the plan layer itself is declarative Spark SQL (Catalyst "
+    "broadcasts the dim joins); the single-file sink is the reference's "
+    "contract, with single_file=False as the partitioned scale path.",
+)
+def p02_plan_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agentic_etl_poc_spark.runtime import run_from_plan
+    from agentic_etl_poc_spark.sinks.csv_sink import write_csv
+    from agentic_etl_poc_spark.sources.csv_source import read_csv
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_p02",
+        sf_dir.strip(os.sep).replace(os.sep, "_"),
+    )
+    out_path = os.path.join(root, "weekly_sales.csv")
+    marker = os.path.join(root, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        orders = table(spark, sf_dir, "orders")
+        write_csv(
+            orders.select(
+                F.col("o_orderkey").alias("sale_id"),
+                F.col("o_custkey").alias("store"),
+                F.col("o_totalprice").alias("amount"),
+                F.date_format("o_orderdate", "MM/dd/yyyy").alias("sale_date"),
+            ),
+            os.path.join(root, "sales.csv"),
+        )
+        write_csv(
+            table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("store_id"),
+                F.col("c_name").alias("store_name"),
+                F.col("c_nationkey").alias("nation_id"),
+            ),
+            os.path.join(root, "stores.csv"),
+        )
+        write_csv(
+            table(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("nation_id"),
+                F.col("n_name").alias("nation_name"),
+            ),
+            os.path.join(root, "features.csv"),
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    plan = f"""
+limits:
+  max_input_bytes: 1073741824
+source:
+  kind: csv
+  csv:
+    paths:
+      sales: {root}/sales.csv
+      features: {root}/features.csv
+      stores: {root}/stores.csv
+transform:
+  sql: |
+    WITH clean AS (
+      SELECT CAST(store AS BIGINT) AS store_id,
+             COALESCE(CAST(amount AS DOUBLE), 0.0) AS amt,
+             CAST(try_strptime(CAST(sale_date AS STRING), '%m/%d/%Y')
+                  AS DATE) AS d
+      FROM sales
+    )
+    SELECT c.store_id,
+           TRIM(f.nation_name) AS nation,
+           CAST(CAST(DATE_TRUNC('week', c.d) AS DATE) AS STRING) AS week,
+           COUNT(*) AS n_sales,
+           CAST(CAST(SUM(CAST(c.amt AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                AS STRING) AS weekly_sales
+    FROM clean c
+    JOIN stores s ON s.store_id = c.store_id
+    JOIN features f ON f.nation_id = s.nation_id
+    GROUP BY c.store_id, TRIM(f.nation_name),
+             CAST(DATE_TRUNC('week', c.d) AS DATE)
+    ORDER BY store_id, week
+load:
+  to: csv
+  file_path: {out_path}
+  include_header: true
+checks:
+  min_rows: 1
+  nonnull_cols: [store_id, weekly_sales]
+verify:
+  min_rows: 1
+alerts:
+  on_fail: "slack://#data-alerts"
+"""
+    result = run_from_plan(spark, plan)
+    if result.get("status") != "ok":
+        raise RuntimeError(f"p02 plan pipeline failed: {result}")
+    # the battery result IS the verified artifact, re-read from disk
+    artifact = read_csv(spark, out_path, infer_schema=False)
+    return artifact.select(
+        F.col("store_id").cast("bigint").alias("store_id"),
+        "nation",
+        "week",
+        F.col("n_sales").cast("bigint").alias("n_sales"),
+        "weekly_sales",
+    ).orderBy("store_id", "week")
