@@ -35,6 +35,7 @@ Streaming subsumes it with exactly-once bookkeeping (SURVEY.md §2.5).
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import os
 import tempfile
@@ -63,9 +64,41 @@ _MEM_SEQ = itertools.count()
 #: the staged copy is deterministic, so cross-run reuse is safe).
 _STAGED: dict[str, str] = {}
 
+#: State-store partition count for the one-shot AvailableNow drains.  The
+#: stateful partition count is locked in at stream START from
+#: spark.sql.shuffle.partitions, and for a local drain the cost is
+#: dominated by per-partition state-store file commits (a stream-stream
+#: join keeps FOUR stores per partition), not CPU: v04 at sf0.1/local[32]
+#: measures 6.2 s with 32 state partitions vs 2.5 s with 8.  In
+#: continuous production the right number is ~cluster cores (state store
+#: count scales with throughput, not with this harness constant) — these
+#: knobs tune the drain-style battery/bench runs only.
+STREAM_DRAIN_PARTITIONS = 8
+#: The Python-state sessionize drain keeps more partitions: each state
+#: task feeds an applyInPandasWithState worker, and 16 tasks keep the
+#: worker pool busy without paying 32 stores' commit I/O (measured:
+#: 4.3 s @32, 3.3 s @16, noisy 3.2-4.1 s @8).
+STREAM_STATEFUL_PY_PARTITIONS = 16
+
+
+@contextlib.contextmanager
+def _drain_partitions(spark: SparkSession, n: int):
+    """Pin spark.sql.shuffle.partitions for a stream start, then restore
+    (the drained query keeps the pinned count; later batch stages get the
+    session's tuned value back)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 def events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Stage ``events`` as ONE NDJSON file for use as a file-stream source.
+    """Stage ``events`` as ONE NDJSON file for use as a file-stream source,
+    and — on the same single pass over a persisted events frame — the two
+    typed single-file topics (views/clicks) v04 streams, so the whole
+    v01-v05 family pays one staging job instead of three.
 
     The parquet table cannot be streamed directly (TIMESTAMP(NANOS) needs
     the io_tables read shim), and a single file guarantees a single
@@ -92,7 +125,22 @@ def events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
         sf_dir.strip(os.sep).replace(os.sep, "_"),
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").json(out)
+        ev = table(spark, sf_dir, "events").persist()
+        try:
+            for event_type in ("view", "click"):
+                typed_out = out + "_" + event_type
+                if not os.path.exists(os.path.join(typed_out, "_SUCCESS")):
+                    (
+                        ev.filter(F.col("event_type") == event_type)
+                        .coalesce(1)
+                        .write.mode("overwrite")
+                        .json(typed_out)
+                    )
+                _STAGED[f"{sf_dir}::{event_type}"] = typed_out
+            # base LAST: its _SUCCESS marks the whole family staged
+            ev.coalesce(1).write.mode("overwrite").json(out)
+        finally:
+            ev.unpersist()
     _STAGED[sf_dir] = out
     return out
 
@@ -120,10 +168,11 @@ ORDER BY window_start, event_type
 def v01_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = events_stream_dir(spark, sf_dir)
     name = f"v01_win_{next(_MEM_SEQ)}"
-    stream = stream_events(spark, src, watermark="10 minutes")
-    # complete mode: the watermark never suppresses a window, so the final
-    # memory table equals the batch aggregation over all input.
-    run_to_memory(windowed_counts(stream), name, output_mode="complete")
+    with _drain_partitions(spark, STREAM_DRAIN_PARTITIONS):
+        stream = stream_events(spark, src, watermark="10 minutes")
+        # complete mode: the watermark never suppresses a window, so the
+        # final memory table equals the batch aggregation over all input.
+        run_to_memory(windowed_counts(stream), name, output_mode="complete")
     return (
         spark.table(name)
         .select(
@@ -178,11 +227,13 @@ ORDER BY user_id, session_start
 def v02_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = events_stream_dir(spark, sf_dir)
     name = f"v02_sess_{next(_MEM_SEQ)}"
-    # Watermark delay >> data span (events cover ~3 months): the watermark
-    # stays below every event, so no event-time timeout fires and the
-    # output set is closed-by-gap sessions only (see module docstring).
-    stream = stream_events(spark, src, watermark="3650 days")
-    run_to_memory(sessionize(stream, gap_seconds=1800), name)
+    with _drain_partitions(spark, STREAM_STATEFUL_PY_PARTITIONS):
+        # Watermark delay >> data span (events cover ~3 months): the
+        # watermark stays below every event, so no event-time timeout
+        # fires and the output set is closed-by-gap sessions only (see
+        # module docstring).
+        stream = stream_events(spark, src, watermark="3650 days")
+        run_to_memory(sessionize(stream, gap_seconds=1800), name)
     return (
         spark.table(name)
         .select(
@@ -236,8 +287,9 @@ ORDER BY event_id
 def v03_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _doubled_stream_dir(spark, sf_dir)
     name = f"v03_dedup_{next(_MEM_SEQ)}"
-    stream = stream_events(spark, src, watermark="3650 days")
-    run_to_memory(dedup_stream(stream), name)
+    with _drain_partitions(spark, STREAM_DRAIN_PARTITIONS):
+        stream = stream_events(spark, src, watermark="3650 days")
+        run_to_memory(dedup_stream(stream), name)
     return (
         spark.table(name)
         .select(
@@ -347,10 +399,11 @@ ORDER BY window_start, event_type
 def v05_stream_watermark_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _eviction_stream_dir(spark, sf_dir)
     name = f"v05_evict_{next(_MEM_SEQ)}"
-    stream = stream_events(
-        spark, src, watermark="1 hour", max_files_per_trigger=1
-    )
-    run_to_memory(windowed_counts(stream), name, output_mode="append")
+    with _drain_partitions(spark, STREAM_DRAIN_PARTITIONS):
+        stream = stream_events(
+            spark, src, watermark="1 hour", max_files_per_trigger=1
+        )
+        run_to_memory(windowed_counts(stream), name, output_mode="append")
     return (
         spark.table(name)
         .select(
@@ -364,22 +417,19 @@ def v05_stream_watermark_eviction(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _typed_stream_dir(spark: SparkSession, sf_dir: str, event_type: str) -> str:
-    """Stage ``events WHERE event_type = X`` as its own single-file NDJSON
-    — the two-topics shape a stream-stream join reads in production."""
+    """Staged ``events WHERE event_type = X`` single-file NDJSON topic —
+    the two-topics shape a stream-stream join reads in production.  The
+    actual write happens inside :func:`events_stream_dir`'s one staging
+    pass (persisted events frame, all topics in one go)."""
     key = f"{sf_dir}::{event_type}"
     cached = _STAGED.get(key)
     if cached is not None and os.path.exists(os.path.join(cached, "_SUCCESS")):
         return cached
-    from agentic_etl_poc_spark.session import ensure_semantics, tune_for_data
-
-    ensure_semantics(spark)
-    tune_for_data(spark, sf_dir)
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_streamq",
-        sf_dir.strip(os.sep).replace(os.sep, "_") + "_" + event_type,
-    )
+    base = events_stream_dir(spark, sf_dir)
+    out = base + "_" + event_type
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        # base was staged by an EARLIER process whose typed topics were
+        # since removed: restage just this topic
         (
             table(spark, sf_dir, "events")
             .filter(F.col("event_type") == event_type)
@@ -424,13 +474,16 @@ def v04_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # topics), not two full-corpus scans with post-filters — each stream
     # then parses only its ~1/5 slice of the events file.
     name = f"v04_ssj_{next(_MEM_SEQ)}"
-    views = stream_events(
-        spark, _typed_stream_dir(spark, sf_dir, "view"), watermark="3650 days"
-    )
-    clicks = stream_events(
-        spark, _typed_stream_dir(spark, sf_dir, "click"), watermark="3650 days"
-    )
-    run_to_memory(join_click_to_view(views, clicks, within="1 hour"), name)
+    v_dir = _typed_stream_dir(spark, sf_dir, "view")
+    c_dir = _typed_stream_dir(spark, sf_dir, "click")
+    # 8 state partitions, not the session's 32: a stream-stream join
+    # commits FOUR state stores per partition per batch, and this
+    # one-shot drain is commit-I/O-bound (6.2 s @32 vs 2.5 s @8 at
+    # sf0.1/local[32]); see STREAM_DRAIN_PARTITIONS.
+    with _drain_partitions(spark, STREAM_DRAIN_PARTITIONS):
+        views = stream_events(spark, v_dir, watermark="3650 days")
+        clicks = stream_events(spark, c_dir, watermark="3650 days")
+        run_to_memory(join_click_to_view(views, clicks, within="1 hour"), name)
     return (
         spark.table(name)
         .select(
