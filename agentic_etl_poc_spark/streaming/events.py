@@ -115,7 +115,8 @@ def _sessionize_fn(gap_seconds: int):
                 )
             return
 
-        rows = pd.concat(list(pdfs)).sort_values("ts")
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
         closed: list[list] = []
         if state.exists:
             start, last, n, total = state.get
@@ -127,13 +128,17 @@ def _sessionize_fn(gap_seconds: int):
         # loop was the drain's hot path).  Flat numpy — not pandas
         # groupby — because groups are often tiny (one user's events per
         # micro-batch) and per-call pandas overhead would dominate:
-        # island boundaries from diff > gap, per-island sums via
-        # add.reduceat, boundary timestamps materialized only at island
-        # edges.
+        # sort via argsort on the raw arrays (a DataFrame sort allocates
+        # a whole frame per group), island boundaries from diff > gap,
+        # per-island sums via add.reduceat, boundary timestamps
+        # materialized only at island edges.
         import numpy as np
 
         ts_np = rows["ts"].to_numpy()
         vals = rows["value"].to_numpy(dtype=float)
+        order = np.argsort(ts_np, kind="stable")
+        ts_np = ts_np[order]
+        vals = vals[order]
         m = len(ts_np)
         brk_after = np.flatnonzero(
             np.diff(ts_np) > np.timedelta64(gap_seconds, "s")
