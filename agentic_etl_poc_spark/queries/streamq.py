@@ -94,6 +94,27 @@ def _drain_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _drain_parts_for(spark: SparkSession, dirs: list[str], floor: int) -> int:
+    """Size-aware state partition count for a drain: ~8 MB of staged
+    NDJSON per partition, clamped to [floor, cores].  Small drains stay at
+    the floor (state-store commit I/O dominates: v04 at sf0.1 measured
+    6.2 s @32 vs 2.5 s @8); big drains scale back up (v03 at sf1 streams
+    a 244 MB doubled topic with ~2M state keys and measures 4.3 s @32 vs
+    5.8-9.5 s @8-16 — real state work wants the parallelism again)."""
+    total_mb = 0
+    for d in dirs:
+        try:
+            total_mb += sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".json")
+            ) // (1024 * 1024)
+        except OSError:
+            pass
+    cores = spark.sparkContext.defaultParallelism
+    return min(cores, max(floor, int(total_mb) // 8))
+
+
 def events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage ``events`` as ONE NDJSON file for use as a file-stream source,
     and — on the same single pass over a persisted events frame — the two
@@ -168,7 +189,8 @@ ORDER BY window_start, event_type
 def v01_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = events_stream_dir(spark, sf_dir)
     name = f"v01_win_{next(_MEM_SEQ)}"
-    with _drain_partitions(spark, STREAM_DRAIN_PARTITIONS):
+    parts = _drain_parts_for(spark, [src], STREAM_DRAIN_PARTITIONS)
+    with _drain_partitions(spark, parts):
         stream = stream_events(spark, src, watermark="10 minutes")
         # complete mode: the watermark never suppresses a window, so the
         # final memory table equals the batch aggregation over all input.
@@ -227,7 +249,8 @@ ORDER BY user_id, session_start
 def v02_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = events_stream_dir(spark, sf_dir)
     name = f"v02_sess_{next(_MEM_SEQ)}"
-    with _drain_partitions(spark, STREAM_STATEFUL_PY_PARTITIONS):
+    parts = _drain_parts_for(spark, [src], STREAM_STATEFUL_PY_PARTITIONS)
+    with _drain_partitions(spark, parts):
         # Watermark delay >> data span (events cover ~3 months): the
         # watermark stays below every event, so no event-time timeout
         # fires and the output set is closed-by-gap sessions only (see
@@ -287,7 +310,8 @@ ORDER BY event_id
 def v03_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _doubled_stream_dir(spark, sf_dir)
     name = f"v03_dedup_{next(_MEM_SEQ)}"
-    with _drain_partitions(spark, STREAM_DRAIN_PARTITIONS):
+    parts = _drain_parts_for(spark, [src], STREAM_DRAIN_PARTITIONS)
+    with _drain_partitions(spark, parts):
         stream = stream_events(spark, src, watermark="3650 days")
         run_to_memory(dedup_stream(stream), name)
     return (
@@ -399,7 +423,8 @@ ORDER BY window_start, event_type
 def v05_stream_watermark_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _eviction_stream_dir(spark, sf_dir)
     name = f"v05_evict_{next(_MEM_SEQ)}"
-    with _drain_partitions(spark, STREAM_DRAIN_PARTITIONS):
+    parts = _drain_parts_for(spark, [src], STREAM_DRAIN_PARTITIONS)
+    with _drain_partitions(spark, parts):
         stream = stream_events(
             spark, src, watermark="1 hour", max_files_per_trigger=1
         )
@@ -480,7 +505,8 @@ def v04_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # commits FOUR state stores per partition per batch, and this
     # one-shot drain is commit-I/O-bound (6.2 s @32 vs 2.5 s @8 at
     # sf0.1/local[32]); see STREAM_DRAIN_PARTITIONS.
-    with _drain_partitions(spark, STREAM_DRAIN_PARTITIONS):
+    parts = _drain_parts_for(spark, [v_dir, c_dir], STREAM_DRAIN_PARTITIONS)
+    with _drain_partitions(spark, parts):
         views = stream_events(spark, v_dir, watermark="3650 days")
         clicks = stream_events(spark, c_dir, watermark="3650 days")
         run_to_memory(join_click_to_view(views, clicks, within="1 hour"), name)
