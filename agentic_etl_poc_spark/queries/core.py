@@ -130,6 +130,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s09_matryoshka_recall",
     "m03_audio_decode",
     "t17_chunk_dedup",
+    # new in round 5 (never driver-sampled): overlapping RAG chunking
+    "t18_sliding_chunks",
     "p01_curation_pipeline",
     # new in round 5 (never driver-sampled): the reference's CSV-triplet
     # plan path end-to-end under the oracle
@@ -137,8 +139,10 @@ SWEEP_ORDER: tuple[str, ...] = (
     "v03_stream_dedup_exact",
     "v04_stream_stream_join",
     # new in round 5 (never driver-sampled): multi-batch watermark
-    # eviction — shares the staged-topic cache with v01-v04 above
+    # eviction and stream-static enrichment — share the staged-topic
+    # cache with v01-v04 above
     "v05_stream_watermark_eviction",
+    "v06_stream_static_enrich",
     # -- then the cheapest entries whose latest driver-green row is
     # -- r03 (cheap-first by builder per-query bench) -----------------
     "q08_topk_orders",

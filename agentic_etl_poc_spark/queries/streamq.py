@@ -521,3 +521,48 @@ def v04_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("view_id", "click_id")
     )
+
+
+@register(
+    "v06_stream_static_enrich",
+    oracle=f"""
+SELECT e.event_id,
+       e.user_id,
+       COALESCE(cu.c_mktsegment, '(none)') AS segment,
+       strftime(e.ts, '{TS_FMT_DUCK}') AS ts_s,
+       e.event_type
+FROM events e LEFT JOIN customer cu ON cu.c_custkey = e.user_id
+ORDER BY e.event_id
+""",
+    description="Stream-static enrichment join as a first-class oracle "
+    "query (streaming/events.py::enrich_with_dim was pytest-proven but "
+    "invisible to the driver's sweep): the events stream left-joins a "
+    "broadcast customer dimension per micro-batch — the static side is "
+    "re-read each batch (picking up slowly-changing updates) and the "
+    "stream side never shuffles, which is the standard shape for joining "
+    "a 100 TB/day event stream to reference data.  Stateless, so the "
+    "drained output must equal the batch left join row-for-row.",
+)
+def v06_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.streaming.events import enrich_with_dim
+
+    src = events_stream_dir(spark, sf_dir)
+    name = f"v06_enrich_{next(_MEM_SEQ)}"
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    # stateless: no state stores, so the drain needs no partition pin
+    stream = stream_events(spark, src, watermark="10 minutes")
+    run_to_memory(enrich_with_dim(stream, dim, "user_id"), name)
+    return (
+        spark.table(name)
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("segment", F.lit("(none)")).alias("segment"),
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+            "event_type",
+        )
+        .orderBy("event_id")
+    )

@@ -1103,3 +1103,92 @@ def t17_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: t18 sliding-window chunking: width/stride in words (50% overlap — the
+#: standard RAG ingestion shape; the ratio is a knob, not a design choice).
+SLIDE_W = 8
+SLIDE_S = 4
+
+
+@register(
+    "t18_sliding_chunks",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+k AS (
+  SELECT doc_id, words, n_tokens,
+         CASE WHEN n_tokens > {SLIDE_W}
+              THEN (n_tokens - {SLIDE_W} + {SLIDE_S} - 1) // {SLIDE_S} + 1
+              ELSE 1 END AS n_chunks
+  FROM w
+),
+ch AS (
+  SELECT doc_id, idx,
+         (idx - 1) * {SLIDE_S} + 1 AS start_tok,
+         LEAST({SLIDE_W}, n_tokens - ((idx - 1) * {SLIDE_S} + 1) + 1)
+           AS n_tok,
+         md5(array_to_string(
+           words[(idx - 1) * {SLIDE_S} + 1 :
+                 (idx - 1) * {SLIDE_S} + {SLIDE_W}], ' ')) AS chunk_md5
+  FROM (SELECT doc_id, words, n_tokens,
+               unnest(range(1, n_chunks + 1)) AS idx
+        FROM k)
+)
+SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(n_tok AS BIGINT) AS n_tok, chunk_md5
+FROM ch
+ORDER BY doc_id, chunk_idx
+""",
+    description="Sliding-window document chunking (width 8, stride 4 — "
+    "50% overlap), the RAG/embedding ingestion shape t17's non-"
+    "overlapping C4 rule does not cover: every token is covered, the "
+    "last window is allowed to be short, sub-width docs yield one whole-"
+    "doc chunk, and each chunk ships a content fingerprint (md5 of the "
+    "joined words) for downstream chunk-level dedup.  Scale shape: pure "
+    "per-row expression work (sequence + transform + posexplode) — no "
+    "shuffle at all before the output sort; chunk count per doc is "
+    "ceil((n-W)/S)+1, derived, never capped.  The window arithmetic is "
+    "exact integer on both engines.",
+)
+def t18_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    n_chunks = F.when(
+        n > SLIDE_W,
+        F.floor((n - SLIDE_W + SLIDE_S - 1) / SLIDE_S).cast("long") + 1,
+    ).otherwise(F.lit(1))
+    base = d.select("doc_id", words.alias("words"), n_chunks.alias("k"))
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("k")),
+                lambda i: F.struct(
+                    ((i - 1) * SLIDE_S + 1).cast("long").alias("start_tok"),
+                    F.least(
+                        F.lit(SLIDE_W),
+                        F.size(F.col("words")) - ((i - 1) * SLIDE_S + 1) + 1,
+                    ).cast("long").alias("n_tok"),
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice(F.col("words"), (i - 1) * SLIDE_S + 1, SLIDE_W),
+                        )
+                    ).alias("chunk_md5"),
+                ),
+            )
+        ).alias("pos0", "c"),
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("bigint").alias("chunk_idx"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.n_tok").alias("n_tok"),
+        F.col("c.chunk_md5").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -267,3 +267,39 @@ def test_t17_chunk_dedup_subchunk_doc_matches_oracle(spark, tmp_path):
     assert got[2]["n_chunks"] == 1 and got[2]["n_removed"] == 0
     assert got[3]["n_chunks"] == 2 and got[3]["n_removed"] == 1
     assert got[4]["n_chunks"] == 300, "chunks per doc must be uncapped"
+
+
+def test_t18_sliding_chunks_edges_match_oracle(spark, tmp_path):
+    """t18 edge coverage the 10-100-token driver corpus never exercises:
+    a sub-width doc (one whole-doc chunk), an exact-width doc, a
+    width-plus-one doc (short second window), and an off-stride tail."""
+    import duckdb
+
+    from agentic_etl_poc_spark.queries import load_all
+    from tests.oracle_diff import compare
+
+    def doc(i, n):
+        return (i, " ".join(f"w{j}" for j in range(n)), "en", "web", 2 * n)
+
+    rows = [doc(1, 3), doc(2, 8), doc(3, 9), doc(4, 14), doc(5, 21)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}/*.parquet')"
+    )
+    spec = load_all()["t18_sliding_chunks"]
+    out = spec.fn(spark, str(tmp_path))
+    r = compare(out, con, spec.oracle)
+    assert r["ok"], r
+    got = {}
+    for row in out.collect():
+        got.setdefault(row["doc_id"], []).append((row["start_tok"], row["n_tok"]))
+    assert got[1] == [(1, 3)], "sub-width doc: one whole-doc chunk"
+    assert got[2] == [(1, 8)], "exact-width doc: one chunk"
+    assert got[3] == [(1, 8), (5, 5)], "width+1: short second window"
+    assert got[4] == [(1, 8), (5, 8), (9, 6)]
+    assert got[5] == [(1, 8), (5, 8), (9, 8), (13, 8), (17, 5)]
