@@ -128,6 +128,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     "u05_arrow_map_batches",
     "m04_image_decode",
     "s09_matryoshka_recall",
+    # new in round 5 (never driver-sampled): metadata-filtered kNN
+    "s10_filtered_knn",
     "m03_audio_decode",
     "t17_chunk_dedup",
     # new in round 5 (never driver-sampled): overlapping RAG chunking

@@ -886,3 +886,75 @@ def s09_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+#: s10 metadata filter: the corpus-side predicate a filtered vector
+#: search applies BEFORE any distance work (label is the stand-in for
+#: tenant/source/date metadata).
+S10_LABEL_MOD = 3
+
+
+@register(
+    "s10_filtered_knn",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, b.label,
+         {duck_cosine('b.embedding', 'q.qvec', DIM)} AS cos_sim
+  FROM embeddings b CROSS JOIN q
+  WHERE b.label % {S10_LABEL_MOD} = 0 AND b.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, label, cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+         ) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(label AS BIGINT) AS label, cos_sim,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+ORDER BY query_id, rk
+""",
+    description="FILTERED vector search (the retrieval shape every "
+    "multi-tenant / source-scoped RAG system runs): per-query top-k "
+    "restricted to corpus vectors passing a metadata predicate.  The "
+    "predicate is applied BEFORE any distance computation — "
+    "post-filtering top-k results instead can return fewer than k (or "
+    "zero) survivors, the classic filtered-ANN correctness bug — and "
+    "sits on the scan side of the broadcast join, so Catalyst pushes "
+    "it into the parquet scan and the distance kernel touches only the "
+    "qualifying fraction of the corpus (plan-shape-tested).  At IVF "
+    "scale the same predicate rides along the s03 cell-probe scan.",
+)
+def s10_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+    )
+    scored = (
+        e.filter(F.col("label") % S10_LABEL_MOD == 0)  # before any distance
+        .crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").cast("bigint").alias("label"),
+            cosine(F.col("embedding"), F.col("qvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("query_id", "rk")
+    )

@@ -166,3 +166,16 @@ def test_t14_df_table_broadcast(spark, sf_smoke):
     plan = _formatted_plan(load_all()["t14_tfidf_keywords"].fn(spark, sf_smoke))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_s10_filter_pushed_before_distance(spark, sf_smoke):
+    """Filtered vector search: the metadata predicate must reach the
+    parquet SCAN (pre-filtering), not run after the distance kernel —
+    post-filtering is both the classic filtered-ANN correctness bug and
+    a full-corpus distance scan at 100 TB."""
+    plan = _formatted_plan(load_all()["s10_filtered_knn"].fn(spark, sf_smoke))
+    scan_filters = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "label" in scan_filters, scan_filters
+    # and the query side stays a broadcast, corpus never shuffles
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
