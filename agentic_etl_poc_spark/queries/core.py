@@ -136,8 +136,10 @@ SWEEP_ORDER: tuple[str, ...] = (
     "t18_sliding_chunks",
     "p01_curation_pipeline",
     # new in round 5 (never driver-sampled): the reference's CSV-triplet
-    # plan path end-to-end under the oracle
+    # plan path and the incremental-watermark runs, end-to-end under the
+    # oracle
     "p02_plan_csv_pipeline",
+    "p03_plan_incremental",
     "v03_stream_dedup_exact",
     "v04_stream_stream_join",
     # new in round 5 (never driver-sampled): multi-batch watermark

@@ -481,3 +481,94 @@ alerts:
         F.col("n_sales").cast("bigint").alias("n_sales"),
         "weekly_sales",
     ).orderBy("store_id", "week")
+
+
+#: p03 keeps one working dir per (session, sf_dir); the previous call's
+#: dir is removed on the next call (the result frame stays readable
+#: between calls — the driver collects lazily).
+_P03_DIRS: dict[str, str] = {}
+
+
+@register(
+    "p03_plan_incremental",
+    oracle="""
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       event_type
+FROM events
+ORDER BY event_id
+""",
+    description="Watermark-incremental plan runs, oracle-gated end-to-end "
+    "(the engine extension was pytest-proven but driver-invisible): the "
+    "events table is split at max(ts) - 7 days, tick 1 ingests the old "
+    "batch, tick 2 sees a newly-arrived file and must load ONLY rows "
+    "past the stored watermark (strict >, formatted in-engine at "
+    "microsecond scale so no TZ/precision drift re-ingests or skips "
+    "rows), tick 3 finds nothing new and loads zero.  The checked "
+    "result is the accumulated parquet sink re-read: it must equal "
+    "exactly ONE copy of the source table — any watermark bug "
+    "(reprocess, skip, premature advance on a failed run) shows up as "
+    "duplicate or missing event_ids under the driver's hash.  Scale "
+    "shape: each tick's filter (ts > watermark) is pushed into the "
+    "parquet scan, so a tick reads the new files' row groups, not "
+    "history; the ledger write is one row per verified run.",
+)
+def p03_plan_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from agentic_etl_poc_spark.runtime import run_from_plan
+
+    prev = _P03_DIRS.pop(sf_dir, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix="spark_graft_p03_")
+    _P03_DIRS[sf_dir] = work
+    src_dir = f"{work}/src"
+    out_dir = f"{work}/out"
+    ledger = f"{work}/ledger.db"
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    cutoff = ev.agg(F.max("ts")).collect()[0][0]
+    split_at = cutoff - dt.timedelta(days=7)
+    ev.filter(F.col("ts") <= split_at).write.parquet(f"{src_dir}/batch1")
+
+    plan = f"""
+source:
+  kind: parquet
+  parquet:
+    path: {src_dir}/*
+transform:
+  sql: SELECT event_id, ts, user_id, event_type FROM input_df
+load:
+  to: parquet
+  file_path: {out_dir}
+  mode: append
+checks:
+  min_rows: 0
+incremental:
+  ts_col: ts
+  ledger: {ledger}
+  key: p03_events
+"""
+    for tick in range(3):
+        if tick == 1:
+            ev.filter(F.col("ts") > split_at).write.parquet(
+                f"{src_dir}/batch2"
+            )
+        result = run_from_plan(spark, plan)
+        if result.get("status") != "ok":
+            raise RuntimeError(f"p03 tick {tick} failed: {result}")
+
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "event_type",
+        )
+        .orderBy("event_id")
+    )
