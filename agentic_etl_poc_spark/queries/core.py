@@ -185,14 +185,14 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q28_array_map_agg",
     "s07_int8_quantization",
     "q50_higher_order_funcs",
+    # -- band 2: r03-era spillovers that did not fit the 50-slot window
+    # -- (it absorbed the six new round-5 entries) — these lead round 6
     "s06_knn_join",
     "q51_salted_skew_agg",
     "q48_shipping_priority",
     "t16_sequence_packing",
     "q55_lateral_topn",
     "q54_recursive_year_ladder",
-    # -- band 2: r03-era spillovers that did not fit the window —
-    # -- these lead round 6 ------------------------------------------
     "q56_local_supplier_volume",
     "q45_grouping_sets",
     "t15_benchmark_decontam",
