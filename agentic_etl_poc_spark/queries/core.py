@@ -104,14 +104,14 @@ def register(name: str, oracle: str | None, description: str = ""):
 #: order and records only the FIRST ~50 entries per round (rounds 1-4
 #: each recorded exactly 50).  Round-5 rotation, three bands:
 #:
-#: 1. Slots 1-50 (the sweep window) — every entry that needs an r05 row
-#:    and has never been driver-sampled (the 8 round-4 additions,
-#:    replica-green in REPLICA_r04.json, plus new-in-round-5 v05/p02)
-#:    first, then the cheapest of
-#:    the 48 entries whose latest driver-green row is r03.  Streaming
-#:    entries sit adjacent so the staged-topic cache is shared.
-#: 2. The r03-era spillovers that did not fit — they lead round 6's
-#:    window (with anything new in round 5).
+#: 1. Slots 1-50 (the sweep window) — every never-driver-sampled entry
+#:    first (the 8 round-4 additions, replica-green in REPLICA_r04.json,
+#:    plus the six new round-5 entries v05/v06/p02/p03/t18/s10 — all 14
+#:    replica-green in REPLICA_r05.json), then the 36 cheapest of the 48
+#:    entries whose latest driver-green row is r03.  Streaming entries
+#:    sit adjacent so the staged-topic cache is shared.
+#: 2. The 12 r03-era spillovers that did not fit — they lead round 6's
+#:    window (with anything new in round 6).
 #: 3. Entries green in the r04 sweep, cheap-first.
 #:
 #: tests/test_battery_contract.py::test_sweep_priority_block_leads

@@ -179,3 +179,16 @@ def test_s10_filter_pushed_before_distance(spark, sf_smoke):
     # and the query side stays a broadcast, corpus never shuffles
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_t18_chunker_is_shuffle_free_before_sort(spark, sf_smoke):
+    """Sliding-window chunking is pure per-row expression work: the only
+    Exchange allowed in the plan is the final presentation sort's range
+    partitioning — a shuffle before it would mean the chunker
+    materializes per-chunk rows through a partitioner at 100 TB."""
+    plan = _formatted_plan(load_all()["t18_sliding_chunks"].fn(spark, sf_smoke))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "hashpartitioning" not in body, body
+    tree = body.split("(1) Scan")[0]
+    n_exchanges = sum("Exchange" in ln for ln in tree.splitlines())
+    assert n_exchanges == 1 and "rangepartitioning" in body, body
