@@ -132,8 +132,11 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s10_filtered_knn",
     "m03_audio_decode",
     "t17_chunk_dedup",
-    # new in round 5 (never driver-sampled): overlapping RAG chunking
+    # new in round 5 (never driver-sampled): overlapping RAG chunking,
+    # the unigram-LM rarity proxy, and epoch-weighted upsampling
     "t18_sliding_chunks",
+    "t19_token_rarity",
+    "t20_quality_upsample",
     "p01_curation_pipeline",
     # new in round 5 (never driver-sampled): the reference's CSV-triplet
     # plan path and the incremental-watermark runs, end-to-end under the
@@ -183,10 +186,10 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q49_latest_record_dedup",
     "d10_cluster_survivors",
     "q28_array_map_agg",
+    # -- band 2: r03-era spillovers that did not fit the 50-slot window
+    # -- (it absorbed the eight new round-5 entries) — these lead round 6
     "s07_int8_quantization",
     "q50_higher_order_funcs",
-    # -- band 2: r03-era spillovers that did not fit the 50-slot window
-    # -- (it absorbed the six new round-5 entries) — these lead round 6
     "s06_knn_join",
     "q51_salted_skew_agg",
     "q48_shipping_priority",

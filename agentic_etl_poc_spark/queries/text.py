@@ -1192,3 +1192,148 @@ def t18_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n_tok").alias("n_tok"),
         F.col("c.chunk_md5").alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "t19_token_rarity",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+ctf AS (SELECT term, COUNT(*) AS ctf FROM tok GROUP BY term),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(f.ctf) AS BIGINT) AS sum_ctf
+  FROM tok t JOIN ctf f ON t.term = f.term
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, sum_ctf,
+       CAST(sum_ctf * 1000 // n_tokens AS BIGINT) AS mean_ctf_milli,
+       CAST(NTILE(10) OVER (ORDER BY sum_ctf * 1000 // n_tokens, doc_id)
+            AS BIGINT) AS rarity_decile
+FROM per_doc
+ORDER BY doc_id
+""",
+    description="Unigram-LM quality proxy (log-free): each document is "
+    "scored by the mean CORPUS frequency of its tokens — the rational "
+    "equivalent of average unigram log-likelihood (sum of collection term "
+    "frequencies instead of sum of logs, because transcendental functions "
+    "are not cross-engine bit-stable).  Docs in the low deciles use "
+    "vocabulary the corpus has barely seen (OCR noise, gibberish, wrong "
+    "language); the high deciles are template spam — both ends are what a "
+    "perplexity filter trims before training.  Scale shape: the collection "
+    "term-frequency table is Heaps-law bounded (vocab grows ~sqrt(corpus)) "
+    "so it BROADCASTS back onto the exploded tokens; the big frame "
+    "shuffles twice (term tf agg, per-doc re-agg), both map-side-"
+    "combinable.  The global NTILE runs over one row per document for "
+    "deterministic decile labels; at 100 TB the label step swaps to "
+    "approx-quantile thresholds + broadcast join without touching the "
+    "scoring plan.  All arithmetic is integer (milli-units via integer "
+    "division), so the driver hash is safe by construction.",
+)
+def t19_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    ctf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    per_doc = (
+        tok.join(F.broadcast(ctf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("ctf").cast("bigint").alias("sum_ctf"),
+        )
+    )
+    mean_milli = F.expr("sum_ctf * 1000 div n_tokens")
+    w = Window.orderBy(mean_milli, F.col("doc_id"))
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            "sum_ctf",
+            mean_milli.cast("bigint").alias("mean_ctf_milli"),
+        )
+        .withColumn("rarity_decile", F.ntile(10).over(w).cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+#: t20 epoch tiers: docs whose type-token ratio (milli) is at or below
+#: these bounds train for 3 / 2 epochs; everything else for 1.  On the
+#: word-soup corpus TTR quartiles are ~361/461/600, so the tiers split
+#: the corpus roughly 35/40/25.
+UPSAMPLE_TTR_3 = 400
+UPSAMPLE_TTR_2 = 600
+
+
+@register(
+    "t20_quality_upsample",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+),
+q AS (
+  SELECT doc_id, source, len(words) AS n_tokens,
+         len(list_distinct(words)) * 1000 // len(words) AS ttr_milli
+  FROM w
+),
+e AS (
+  SELECT source, n_tokens,
+         CASE WHEN ttr_milli <= {UPSAMPLE_TTR_3} THEN 3
+              WHEN ttr_milli <= {UPSAMPLE_TTR_2} THEN 2
+              ELSE 1 END AS epochs
+  FROM q
+),
+r AS (
+  SELECT source, n_tokens, unnest(range(1, epochs + 1)) AS epoch FROM e
+)
+SELECT source, CAST(epoch AS BIGINT) AS epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM r
+GROUP BY source, epoch
+ORDER BY source, epoch
+""",
+    description="Quality-weighted corpus upsampling (epoch mixing): each "
+    "document is assigned 1-3 training epochs from a deterministic "
+    "quality tier (type-token ratio in milli-units — integer arithmetic, "
+    "thresholds are exact), then physically REPLICATED via "
+    "explode(sequence(1, epochs)) — the shape a data loader consumes when "
+    "high-quality sources are seen multiple times per training run "
+    "(epoch column = replica index, so downstream global shuffling keeps "
+    "replicas distinguishable).  Output audits the mixture: rows out per "
+    "(source, epoch) with token mass.  Scale shape: scoring and "
+    "replication are pure per-row expression work (no shuffle before the "
+    "final (source, epoch) agg, which is map-side-combinable); the "
+    "explode multiplies rows at most 3x and never widens a shuffle key.",
+)
+def t20_quality_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    ttr = F.expr(
+        "size(array_distinct(split(text, ' '))) * 1000"
+        " div size(split(text, ' '))"
+    )
+    epochs = (
+        F.when(ttr <= UPSAMPLE_TTR_3, 3)
+        .when(ttr <= UPSAMPLE_TTR_2, 2)
+        .otherwise(1)
+    )
+    base = d.select(
+        "source", F.size(words).alias("n_tokens"), epochs.alias("epochs")
+    )
+    replicated = base.select(
+        "source",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("epochs"))).alias("epoch"),
+    )
+    return (
+        replicated.groupBy("source", F.col("epoch").cast("bigint").alias("epoch"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "epoch")
+    )

@@ -1,0 +1,74 @@
+"""Semantic invariants for the corpus-quality entries t19/t20 (the oracle
+diff proves cross-engine equality; these prove the NUMBERS mean what the
+operator claims)."""
+
+from __future__ import annotations
+
+import pytest
+
+from agentic_etl_poc_spark.queries.text import (
+    UPSAMPLE_TTR_2,
+    UPSAMPLE_TTR_3,
+    t19_token_rarity,
+    t20_quality_upsample,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def rarity(spark):
+    return t19_token_rarity(spark, SF_SMOKE).collect()
+
+
+def test_t19_deciles_are_balanced_and_complete(rarity):
+    from collections import Counter
+
+    deciles = Counter(r.rarity_decile for r in rarity)
+    assert sorted(deciles) == list(range(1, 11))
+    # NTILE guarantees bucket sizes differ by at most one
+    assert max(deciles.values()) - min(deciles.values()) <= 1
+
+
+def test_t19_decile_monotone_in_score(rarity):
+    """Every doc in decile k has mean_ctf_milli <= every doc in decile
+    k+1 (NTILE over the score order) — i.e. low deciles really are the
+    rare-vocabulary docs."""
+    by_decile: dict[int, list[int]] = {}
+    for r in rarity:
+        by_decile.setdefault(r.rarity_decile, []).append(r.mean_ctf_milli)
+    for k in range(1, 10):
+        assert max(by_decile[k]) <= min(by_decile[k + 1])
+
+
+def test_t19_mean_is_floor_of_ratio(rarity):
+    for r in rarity:
+        assert r.mean_ctf_milli == r.sum_ctf * 1000 // r.n_tokens
+        # every token occurs at least once in the corpus (itself)
+        assert r.sum_ctf >= r.n_tokens
+
+
+def test_t20_epoch_counts_nest(spark):
+    """Replication semantics: a doc emitting epoch k also emits every
+    epoch < k, so per-source doc counts are non-increasing in epoch and
+    the epoch set is exactly 1..max."""
+    rows = t20_quality_upsample(spark, SF_SMOKE).collect()
+    by_source: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_source.setdefault(r.source, {})[r.epoch] = r.n_docs
+    assert by_source, "no output rows"
+    for src, per_epoch in by_source.items():
+        epochs = sorted(per_epoch)
+        assert epochs == list(range(1, epochs[-1] + 1)), (src, epochs)
+        counts = [per_epoch[e] for e in epochs]
+        assert counts == sorted(counts, reverse=True), (src, counts)
+
+
+def test_t20_totals_match_corpus(spark):
+    """Epoch-1 rows cover every document exactly once: summing n_docs at
+    epoch 1 over sources equals the corpus document count."""
+    from agentic_etl_poc_spark.io_tables import table
+
+    rows = t20_quality_upsample(spark, SF_SMOKE).collect()
+    n_docs_epoch1 = sum(r.n_docs for r in rows if r.epoch == 1)
+    assert n_docs_epoch1 == table(spark, SF_SMOKE, "documents").count()
+    assert UPSAMPLE_TTR_3 < UPSAMPLE_TTR_2
