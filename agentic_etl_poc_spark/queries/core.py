@@ -137,6 +137,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     "t18_sliding_chunks",
     "t19_token_rarity",
     "t20_quality_upsample",
+    # new in round 5 (never driver-sampled): MinHash sketch-error eval
+    "d11_sketch_error",
     "p01_curation_pipeline",
     # new in round 5 (never driver-sampled): the reference's CSV-triplet
     # plan path and the incremental-watermark runs, end-to-end under the
@@ -185,9 +187,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q31_date_spine_gapfill",
     "q49_latest_record_dedup",
     "d10_cluster_survivors",
-    "q28_array_map_agg",
     # -- band 2: r03-era spillovers that did not fit the 50-slot window
-    # -- (it absorbed the eight new round-5 entries) — these lead round 6
+    # -- (it absorbed the nine new round-5 entries) — these lead round 6
+    "q28_array_map_agg",
     "s07_int8_quantization",
     "q50_higher_order_funcs",
     "s06_knn_join",

@@ -330,23 +330,27 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Single explicit shuffle on doc_id, reused by the signature agg, the
-    # doc-size agg, and both verification joins (all keyed on doc_id).
-    toks = shared_toks(spark, sf_dir)
+def _minhash_wide(toks: DataFrame) -> DataFrame:
+    """Wide MinHash signatures (doc_id, m0..m11).  All 12 permutation
+    minima in ONE groupBy(doc_id) with 12 agg columns: partial (map-side)
+    aggregation shrinks the shuffle to one row per (doc, partition) — vs
+    the naive grams x perms crossJoin, which shuffles 12x the shingle
+    count and then shuffles again for banding."""
     hashes = toks.select(
         "doc_id", (md5_48(F.col("gram")) % MERSENNE_P).alias("h0")
     )
-    # All 12 permutation minima in ONE groupBy(doc_id) with 12 agg columns:
-    # partial (map-side) aggregation shrinks the shuffle to one row per
-    # (doc, partition) — vs the naive grams x perms crossJoin, which
-    # shuffles 12x the shingle count and then shuffles again for banding.
-    minhash = hashes.groupBy("doc_id").agg(
+    return hashes.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h0") + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
             for i, a, b in MINHASH_PERMS
         ]
     )
+
+
+def _band_candidates(minhash: DataFrame) -> DataFrame:
+    """LSH band-bucket candidate pairs (id1 < id2) from wide signatures:
+    stack to (doc_id, band, sig), self-join on the band signature — the
+    shuffle key is the tiny signature string, never the documents."""
     n_bands = len(MINHASH_PERMS) // MINHASH_ROWS_PER_BAND
     band_sigs = [
         F.concat_ws(
@@ -364,7 +368,7 @@ def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = bands.alias("b1")
     b2 = bands.alias("b2")
-    cand = (
+    return (
         b1.join(
             b2,
             (F.col("b1.band") == F.col("b2.band"))
@@ -376,6 +380,13 @@ def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single explicit shuffle on doc_id, reused by the signature agg, the
+    # doc-size agg, and both verification joins (all keyed on doc_id).
+    toks = shared_toks(spark, sf_dir)
+    cand = _band_candidates(_minhash_wide(toks))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     t1 = toks.alias("t1")
     t2 = toks.alias("t2")
@@ -772,3 +783,145 @@ def d10_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_N_PERMS = len(MINHASH_PERMS)
+
+#: Unverified LSH candidates with BOTH the sketch estimate and the exact
+#: Jaccard — the evaluation harness behind choosing bands x rows.
+DUCK_SKETCH_EVAL = f"""{DUCK_CORPUS},
+{DUCK_GRAMS},
+hashes AS (
+  SELECT doc_id, {duck_md5_48('gram')} % {MERSENNE_P} AS h0 FROM grams
+),
+perms(i, a, b) AS (VALUES {_duck_perms_values()}),
+minhash AS (
+  SELECT doc_id, i, MIN((a * h0 + b) % {MERSENNE_P}) AS m
+  FROM hashes CROSS JOIN perms
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // {MINHASH_ROWS_PER_BAND} AS band,
+         string_agg(CAST(m AS VARCHAR), '-' ORDER BY i) AS sig
+  FROM minhash GROUP BY doc_id, i // {MINHASH_ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+),
+matches AS (
+  SELECT c.id1, c.id2,
+         SUM(CASE WHEN m1.m = m2.m THEN 1 ELSE 0 END) AS n_match
+  FROM cand c
+  JOIN minhash m1 ON m1.doc_id = c.id1
+  JOIN minhash m2 ON m2.doc_id = c.id2 AND m1.i = m2.i
+  GROUP BY c.id1, c.id2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS shared
+  FROM cand c
+  JOIN grams t1 ON t1.doc_id = c.id1
+  JOIN grams t2 ON t2.doc_id = c.id2 AND t1.gram = t2.gram
+  GROUP BY c.id1, c.id2
+),
+eval AS (
+  SELECT m.id1, m.id2,
+         CAST(m.n_match AS BIGINT) AS n_match,
+         CAST(COALESCE(i.shared, 0) AS BIGINT) AS shared,
+         CAST(s1.sz + s2.sz - COALESCE(i.shared, 0) AS BIGINT) AS union_sz
+  FROM matches m
+  LEFT JOIN inter i ON m.id1 = i.id1 AND m.id2 = i.id2
+  JOIN sizes s1 ON m.id1 = s1.doc_id
+  JOIN sizes s2 ON m.id2 = s2.doc_id
+)"""
+
+
+@register(
+    "d11_sketch_error",
+    oracle=f"""
+WITH {DUCK_SKETCH_EVAL}
+SELECT id1, id2, n_match, shared, union_sz,
+       CAST(n_match * 1000 // {_N_PERMS} AS BIGINT) AS est_milli,
+       CAST(shared * 1000 // union_sz AS BIGINT) AS exact_milli,
+       CAST(ABS(n_match * 1000 // {_N_PERMS}
+                - shared * 1000 // union_sz) AS BIGINT) AS err_milli
+FROM eval
+ORDER BY id1, id2
+""",
+    description="Sketch-accuracy evaluation: for every LSH candidate pair "
+    "(band-bucket join, BEFORE the verification threshold), the MinHash "
+    f"Jaccard estimate (matching minima / {_N_PERMS} permutations) next "
+    "to the exact shingle Jaccard, with the absolute error — the harness "
+    "that tunes bands x rows-per-band before committing a 100 TB dedup "
+    "run (too-small sketches pass false candidates; the error column "
+    "quantifies it).  All ratios are integer milli-units (integer DIV), "
+    "so the driver hash is exact.  Scale shape: signatures aggregate "
+    "map-side on the shared doc_id exchange; the estimate join touches "
+    "only the 1-row-per-doc signature table; exact Jaccard is computed "
+    "ONLY for candidates (never all pairs).",
+)
+def d11_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = shared_toks(spark, sf_dir)
+    minhash = _minhash_wide(toks)
+    cand = _band_candidates(minhash)
+    w1 = minhash.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i, _, _ in MINHASH_PERMS],
+    )
+    w2 = minhash.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i, _, _ in MINHASH_PERMS],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("bigint")
+        for i, _, _ in MINHASH_PERMS
+    )
+    est = cand.join(w1, "id1").join(w2, "id2").select(
+        "id1", "id2", n_match.alias("n_match")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    t1 = toks.alias("t1")
+    t2 = toks.alias("t2")
+    inter = (
+        cand.join(t1, F.col("id1") == F.col("t1.doc_id"))
+        .join(
+            t2,
+            (F.col("id2") == F.col("t2.doc_id"))
+            & (F.col("t1.gram") == F.col("t2.gram")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    merged = (
+        est.join(inter, ["id1", "id2"], "left")
+        .join(s1, F.col("id1") == F.col("s1.doc_id"))
+        .join(s2, F.col("id2") == F.col("s2.doc_id"))
+        .select(
+            "id1",
+            "id2",
+            "n_match",
+            F.coalesce(F.col("shared"), F.lit(0)).cast("bigint").alias("shared"),
+            (F.col("s1.sz") + F.col("s2.sz") - F.coalesce(F.col("shared"), F.lit(0)))
+            .cast("bigint")
+            .alias("union_sz"),
+        )
+    )
+    return merged.select(
+        "id1",
+        "id2",
+        "n_match",
+        "shared",
+        "union_sz",
+        F.expr(f"n_match * 1000 div {_N_PERMS}").cast("bigint").alias("est_milli"),
+        F.expr("shared * 1000 div union_sz").cast("bigint").alias("exact_milli"),
+        F.abs(
+            F.expr(f"n_match * 1000 div {_N_PERMS}")
+            - F.expr("shared * 1000 div union_sz")
+        )
+        .cast("bigint")
+        .alias("err_milli"),
+    ).orderBy("id1", "id2")
