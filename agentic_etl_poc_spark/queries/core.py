@@ -138,7 +138,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "t19_token_rarity",
     "t20_quality_upsample",
     # new in round 5 (never driver-sampled): MinHash sketch-error eval
+    # and product-quantization ADC recall
     "d11_sketch_error",
+    "s11_pq_adc",
     "p01_curation_pipeline",
     # new in round 5 (never driver-sampled): the reference's CSV-triplet
     # plan path and the incremental-watermark runs, end-to-end under the
@@ -186,9 +188,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q44_arg_extremes",
     "q31_date_spine_gapfill",
     "q49_latest_record_dedup",
-    "d10_cluster_survivors",
     # -- band 2: r03-era spillovers that did not fit the 50-slot window
-    # -- (it absorbed the nine new round-5 entries) — these lead round 6
+    # -- (it absorbed the ten new round-5 entries) — these lead round 6
+    "d10_cluster_survivors",
     "q28_array_map_agg",
     "s07_int8_quantization",
     "q50_higher_order_funcs",

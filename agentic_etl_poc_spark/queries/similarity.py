@@ -958,3 +958,221 @@ def s10_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("query_id", "rk")
     )
+
+
+# -- s11: product quantization + asymmetric distance computation --------
+
+PQ_SCALE = 200  # fixed int quantization grid: |x| < 0.58 -> |q| <= 116
+PQ_SUB = 8  # subspaces
+PQ_SUB_DIM = DIM // PQ_SUB
+PQ_CODES = 16  # codebook entries per subspace (seed vectors vec_id < 16)
+PQ_TOP_K = 10
+
+
+def _pq_quant(col: Column) -> Column:
+    """float array -> integer grid (floor(x*200 + 0.5): floor-plus-half,
+    not round(), because the engines' round() half-tie rules differ)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * PQ_SCALE + F.lit(0.5))
+    )
+
+
+def _pq_sub_d2(a: Column, b: Column, s: int) -> Column:
+    """Integer squared L2 over subspace s — exact, order-free arithmetic."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(a, s * PQ_SUB_DIM + 1, PQ_SUB_DIM),
+            F.slice(b, s * PQ_SUB_DIM + 1, PQ_SUB_DIM),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _duck_pq_quant(expr: str) -> str:
+    return (
+        f"list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST(floor(CAST({expr}[i] AS DOUBLE) * {PQ_SCALE} + 0.5) AS BIGINT))"
+    )
+
+
+def _duck_pq_sub_d2(a: str, b: str, s: str) -> str:
+    lo = f"{PQ_SUB_DIM} * {s} + 1"
+    hi = f"{PQ_SUB_DIM} * {s} + {PQ_SUB_DIM + 1}"
+    return (
+        f"list_sum(list_transform(range({lo}, {hi}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+@register(
+    "s11_pq_adc",
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, {_duck_pq_quant('embedding')} AS vq FROM embeddings
+),
+seeds AS (SELECT vec_id AS code, vq AS cq FROM emb WHERE vec_id < {PQ_CODES}),
+qs AS (SELECT vec_id AS query_id, vq AS qq FROM emb WHERE vec_id < {N_QUERIES}),
+subs AS (SELECT unnest(range(0, {PQ_SUB})) AS s),
+enc_scored AS (
+  SELECT e.vec_id, s.s, d.code,
+         {_duck_pq_sub_d2('e.vq', 'd.cq', 's.s')} AS d2
+  FROM emb e CROSS JOIN seeds d CROSS JOIN subs s
+),
+enc AS (
+  SELECT vec_id, s, CAST(MIN(d2 * {PQ_CODES} + code) % {PQ_CODES} AS BIGINT) AS code
+  FROM enc_scored GROUP BY vec_id, s
+),
+dtable AS (
+  SELECT q.query_id, s.s, d.code,
+         {_duck_pq_sub_d2('q.qq', 'd.cq', 's.s')} AS d2
+  FROM qs q CROSS JOIN seeds d CROSS JOIN subs s
+),
+approx AS (
+  SELECT t.query_id, e.vec_id, SUM(t.d2) AS approx_d2
+  FROM enc e JOIN dtable t ON e.s = t.s AND e.code = t.code
+  WHERE e.vec_id <> t.query_id
+  GROUP BY t.query_id, e.vec_id
+),
+exact AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, {DIM + 1}),
+                  i -> (e.vq[i] - q.qq[i]) * (e.vq[i] - q.qq[i]))) AS exact_d2
+  FROM emb e CROSS JOIN qs q
+  WHERE e.vec_id <> q.query_id
+),
+approx_rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY approx_d2, vec_id) AS rk
+  FROM approx
+),
+exact_rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY exact_d2, vec_id) AS erk
+  FROM exact
+)
+SELECT a.query_id, CAST(a.rk AS BIGINT) AS rk, a.vec_id AS neighbor_id,
+       CAST(a.approx_d2 AS BIGINT) AS approx_d2,
+       CAST(x.exact_d2 AS BIGINT) AS exact_d2,
+       CAST(CASE WHEN x.erk <= {PQ_TOP_K} THEN 1 ELSE 0 END AS BIGINT) AS hit
+FROM approx_rk a
+JOIN exact_rk x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+WHERE a.rk <= {PQ_TOP_K}
+ORDER BY a.query_id, a.rk
+""",
+    description=f"Product quantization + ADC (the billion-scale ANN "
+    f"memory lever): vectors are cut into {PQ_SUB} subspaces of "
+    f"{PQ_SUB_DIM} dims, each encoded as the nearest of {PQ_CODES} "
+    "codebook entries (seed subvectors — a stand-in for per-subspace "
+    "k-means trained offline), so a 64-float vector compresses to "
+    f"{PQ_SUB} small codes; queries score candidates via a per-query "
+    f"distance TABLE ({PQ_SUB}x{PQ_CODES} lookups, never touching the "
+    "original floats) and the output audits approx-vs-exact top-10 with "
+    "a hit flag per neighbor.  Everything runs on a fixed integer grid "
+    "(floor(x*200+0.5)) so every distance, ranking, and SUM is exact "
+    "integer arithmetic — order-free, hash-safe by construction.  Scale "
+    "shape: the codebook and distance tables are tiny and BROADCAST; "
+    "encoding is a crossJoin with 16 broadcast codes reduced by map-side "
+    "min-aggregation (one row per vector reaches the shuffle); ADC is a "
+    "broadcast lookup-join + integer sum — the corpus is never shuffled "
+    "by anything wider than (query_id, vec_id).  Ref parity: extends the "
+    "reference's similarity surface the same way s02/s03 do.",
+)
+def s11_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", _pq_quant(F.col("embedding")).alias("vq"))
+    seeds = F.broadcast(
+        emb.filter(F.col("vec_id") < PQ_CODES).select(
+            F.col("vec_id").alias("code"), F.col("vq").alias("cq")
+        )
+    )
+    qs = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("vq").alias("qq")
+        )
+    )
+    # encode: argmin code per (vector, subspace) via min(d2*16+code) % 16 —
+    # a single groupBy(vec_id) with 8 agg columns gets map-side partials,
+    # so one row per vector reaches the exchange (not 16)
+    scored = emb.crossJoin(seeds).select(
+        "vec_id",
+        "code",
+        *[
+            _pq_sub_d2(F.col("vq"), F.col("cq"), s).alias(f"d2_{s}")
+            for s in range(PQ_SUB)
+        ],
+    )
+    enc = scored.groupBy("vec_id").agg(
+        *[
+            (F.min(F.col(f"d2_{s}") * PQ_CODES + F.col("code")) % PQ_CODES)
+            .cast("bigint")
+            .alias(f"c{s}")
+            for s in range(PQ_SUB)
+        ]
+    )
+    stack = ", ".join(f"{s}L, c{s}" for s in range(PQ_SUB))
+    enc_long = enc.select(
+        "vec_id", F.expr(f"stack({PQ_SUB}, {stack}) as (s, code)")
+    )
+    # per-query distance table: 5 queries x 16 codes x 8 subspaces = 640
+    # integer cells — broadcast to the lookup join
+    dtable = (
+        qs.crossJoin(seeds)
+        .select(
+            "query_id",
+            "code",
+            *[
+                _pq_sub_d2(F.col("qq"), F.col("cq"), s).alias(f"d2_{s}")
+                for s in range(PQ_SUB)
+            ],
+        )
+        .select(
+            "query_id",
+            "code",
+            F.expr(
+                "stack({n}, {cols}) as (s, d2)".format(
+                    n=PQ_SUB,
+                    cols=", ".join(f"{s}L, d2_{s}" for s in range(PQ_SUB)),
+                )
+            ),
+        )
+    )
+    approx = (
+        enc_long.join(F.broadcast(dtable), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").cast("bigint").alias("approx_d2"))
+    )
+    exact = (
+        emb.crossJoin(qs)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("vq"), F.col("qq"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("exact_d2"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy("approx_d2", "vec_id")
+    we = Window.partitionBy("query_id").orderBy("exact_d2", "vec_id")
+    approx_rk = approx.withColumn("rk", F.row_number().over(wa).cast("bigint"))
+    exact_rk = exact.withColumn("erk", F.row_number().over(we))
+    # the approx side is N_QUERIES x TOP_K rows after the rank filter —
+    # broadcast it so the full exact ranking never shuffles for the join
+    return (
+        F.broadcast(approx_rk.filter(F.col("rk") <= PQ_TOP_K))
+        .join(exact_rk, ["query_id", "vec_id"])
+        .select(
+            "query_id",
+            "rk",
+            F.col("vec_id").alias("neighbor_id"),
+            "approx_d2",
+            F.col("exact_d2").cast("bigint").alias("exact_d2"),
+            (F.col("erk") <= PQ_TOP_K).cast("bigint").alias("hit"),
+        )
+        .orderBy("query_id", "rk")
+    )

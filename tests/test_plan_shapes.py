@@ -192,3 +192,15 @@ def test_t18_chunker_is_shuffle_free_before_sort(spark, sf_smoke):
     tree = body.split("(1) Scan")[0]
     n_exchanges = sum("Exchange" in ln for ln in tree.splitlines())
     assert n_exchanges == 1 and "rangepartitioning" in body, body
+
+
+def test_s11_pq_encode_is_aggregate_codebook_broadcast(spark, sf_smoke):
+    """s11's scale claims: the codebook / distance-table sides of every
+    join BROADCAST (the corpus never shuffles against them), and the
+    per-subspace argmin encoding is a min AGGREGATE with map-side
+    partials — one encoded row per vector reaches the exchange, not 16
+    scored candidates."""
+    plan = _formatted_plan(load_all()["s11_pq_adc"].fn(spark, sf_smoke))
+    assert "partial_min" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -57,3 +57,26 @@ def test_d11_estimate_tracks_exact(sketch_rows):
     injected = [r for r in sketch_rows if r.id2 == r.id1 + 1_000_000]
     assert injected, "no injected near-dup candidates"
     assert all(r.est_milli >= 500 for r in injected)
+
+
+def test_s11_pq_recall_beats_random(spark):
+    """PQ with an untrained 16-entry codebook is lossy, but ADC ranking
+    must still land well above chance (random recall@10 over a ~500-vec
+    corpus is ~0.02): require >= 0.2, and exactly TOP_K rows per query
+    with 0/1 hit flags."""
+    from collections import Counter
+
+    from agentic_etl_poc_spark.queries.similarity import (
+        N_QUERIES,
+        PQ_TOP_K,
+        s11_pq_adc,
+    )
+
+    rows = s11_pq_adc(spark, SF_SMOKE).collect()
+    per_query = Counter(r.query_id for r in rows)
+    assert len(per_query) == N_QUERIES
+    assert all(v == PQ_TOP_K for v in per_query.values())
+    assert all(r.hit in (0, 1) for r in rows)
+    assert all(r.approx_d2 >= 0 and r.exact_d2 >= 0 for r in rows)
+    recall = sum(r.hit for r in rows) / len(rows)
+    assert recall >= 0.2, f"ADC recall {recall} at chance level"
