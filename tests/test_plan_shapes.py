@@ -204,3 +204,27 @@ def test_s11_pq_encode_is_aggregate_codebook_broadcast(spark, sf_smoke):
     assert "partial_min" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_t19_vocab_broadcast_back_onto_tokens(spark, sf_smoke):
+    """t19's scale claim: the Heaps-law-bounded term-frequency table
+    BROADCASTS back onto the exploded token stream — the corpus tokens
+    never shuffle on term for the re-join."""
+    plan = _formatted_plan(load_all()["t19_token_rarity"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_t21_shuffle_orders_within_shard_not_globally(spark, sf_smoke):
+    """t21's scale claim: exactly one Window (the per-shard position),
+    partitioned on the shard key — plus the output presentation sort.
+    No window over an unpartitioned frame (that would serialize the
+    corpus through one task)."""
+    import re
+
+    plan = _formatted_plan(
+        load_all()["t21_training_shuffle"].fn(spark, sf_smoke)
+    )
+    windows = re.findall(r"\(\d+\) Window\b", plan)
+    assert len(windows) == 1, plan[:2000]
+    assert "partitionBy" not in plan or "hashpartitioning" in plan
