@@ -149,6 +149,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     # oracle
     "p02_plan_csv_pipeline",
     "p03_plan_incremental",
+    # new in round 5 (never driver-sampled): the JSON-source plan path
+    "p04_plan_json_pipeline",
     "v03_stream_dedup_exact",
     "v04_stream_stream_join",
     # new in round 5 (never driver-sampled): multi-batch watermark
@@ -188,9 +190,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q26_sliding_window",
     "u04_arrow_scalar_udf",
     "q44_arg_extremes",
-    "q31_date_spine_gapfill",
     # -- band 2: r03-era spillovers that did not fit the 50-slot window
-    # -- (it absorbed the eleven new round-5 entries) — these lead round 6
+    # -- (it absorbed the twelve new round-5 entries) — these lead round 6
+    "q31_date_spine_gapfill",
     "q49_latest_record_dedup",
     "d10_cluster_survivors",
     "q28_array_map_agg",

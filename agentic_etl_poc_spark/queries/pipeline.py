@@ -572,3 +572,111 @@ incremental:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "p04_plan_json_pipeline",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS VARCHAR) AS total_value,
+       MIN(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS first_ts,
+       MAX(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS last_ts
+FROM events
+WHERE user_id % 20 = 0
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="The reference's JSON-source plan path end-to-end under "
+    "the oracle (reference: etl_agent/tools.py:36-49 load_json with "
+    "selector + json_normalize flattening; templates.py:87-95 declares "
+    "it broken-as-shipped — this is the per-declared-semantics rebuild): "
+    "an NDJSON topic with NESTED objects is staged from the events "
+    "table, the plan's json source reads it through the safe selector / "
+    "flatten layer (nested `who` object -> dotted `who.user_id`, "
+    "`who.event_type` columns — no eval()), the transform aggregates "
+    "over the flattened names, and the result flows through the DQ "
+    "gate -> single-file CSV sink -> verify gate.  The hash covers the "
+    "whole loop: JSON serialization round-trip (timestamps as formatted "
+    "strings, doubles re-parsed), struct flattening, backticked dotted "
+    "identifiers through the SQL transform, decimal-string totals, and "
+    "the sink/verify/re-read cycle.  Scale: NDJSON line splitting is "
+    "parallel (one task per split); flattening is pure projection; the "
+    "aggregate is map-side combinable.",
+)
+def p04_plan_json_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agentic_etl_poc_spark.runtime import run_from_plan
+    from agentic_etl_poc_spark.sources.csv_source import read_csv
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_p04",
+        sf_dir.strip(os.sep).replace(os.sep, "_"),
+    )
+    topic = os.path.join(root, "events_topic.ndjson")
+    out_path = os.path.join(root, "type_totals.csv")
+    marker = os.path.join(root, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        events = table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+        (
+            events.select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+                F.struct("user_id", "event_type").alias("who"),
+                "value",
+            )
+            .write.mode("overwrite")
+            .json(topic)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    plan = f"""
+limits:
+  max_input_bytes: 1073741824
+source:
+  kind: json
+  json:
+    path: {topic}
+transform:
+  sql: |
+    SELECT `who.event_type` AS event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT `who.user_id`) AS n_users,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                AS STRING) AS total_value,
+           MIN(ts_s) AS first_ts,
+           MAX(ts_s) AS last_ts
+    FROM input_df
+    GROUP BY `who.event_type`
+    ORDER BY event_type
+load:
+  to: csv
+  file_path: {out_path}
+  include_header: true
+checks:
+  min_rows: 1
+  nonnull_cols: [event_type, total_value]
+verify:
+  min_rows: 1
+alerts:
+  on_fail: "slack://#data-alerts"
+"""
+    result = run_from_plan(spark, plan)
+    if result.get("status") != "ok":
+        raise RuntimeError(f"p04 plan pipeline failed: {result}")
+    artifact = read_csv(spark, out_path, infer_schema=False)
+    return artifact.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        "total_value",
+        "first_ts",
+        "last_ts",
+    ).orderBy("event_type")
