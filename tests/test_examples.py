@@ -63,3 +63,19 @@ def test_nl_prompt_example_runs(spark, tmp_path, monkeypatch):
         assert f.readline().strip().split(",") == [
             "o_orderpriority", "n_orders", "revenue",
         ]
+
+
+def test_json_events_example_runs(spark, tmp_path):
+    """The JSON example exercises the nested-object flatten path against
+    the bundled NDJSON fixture."""
+    text = open(os.path.join(EXAMPLES, "json_events.yaml")).read()
+    out = str(tmp_path / "json_out.csv")
+    text = text.replace("/tmp/json_events_summary.csv", out).replace(
+        "examples/data/events_sample.ndjson",
+        os.path.join(EXAMPLES, "data", "events_sample.ndjson"),
+    )
+    result = run_from_plan(spark, text)
+    assert result["status"] == "ok", result
+    got = spark.read.option("header", True).csv(out)
+    assert got.count() >= 1
+    assert set(got.columns) == {"event_type", "n", "n_users", "total_value"}
