@@ -130,6 +130,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s09_matryoshka_recall",
     # new in round 5 (never driver-sampled): metadata-filtered kNN
     "s10_filtered_knn",
+    # new in round 5 (never driver-sampled): resize-kernel round-trip
+    "m05_image_resize",
     "m03_audio_decode",
     "t17_chunk_dedup",
     # new in round 5 (never driver-sampled): overlapping RAG chunking,
@@ -189,9 +191,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "t13_vocab_by_source",
     "q26_sliding_window",
     "u04_arrow_scalar_udf",
-    "q44_arg_extremes",
     # -- band 2: r03-era spillovers that did not fit the 50-slot window
-    # -- (it absorbed the twelve new round-5 entries) — these lead round 6
+    # -- (it absorbed the thirteen new round-5 entries) — these lead round 6
+    "q44_arg_extremes",
     "q31_date_spine_gapfill",
     "q49_latest_record_dedup",
     "d10_cluster_survivors",

@@ -1393,3 +1393,111 @@ def t21_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+@register(
+    "m05_image_resize",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         4 + CAST(doc_id % 13 AS INT) AS w0,
+         3 + CAST(doc_id % 7 AS INT) AS h0
+  FROM documents WHERE doc_id % 5 = 0
+),
+px AS (
+  SELECT doc_id, w0, h0,
+         CAST(floor((y + 0.5) * h0 / 4) AS BIGINT) AS sy,
+         CAST(floor((x + 0.5) * w0 / 6) AS BIGINT) AS sx
+  FROM g
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS y)
+  CROSS JOIN (SELECT unnest(range(0, 6)) AS x)
+)
+SELECT doc_id AS item_id,
+       CAST(6 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST(9 + length(CAST(w0 AS VARCHAR)) + length(CAST(h0 AS VARCHAR))
+            + w0 * h0 AS BIGINT) AS src_bytes,
+       CAST(35 AS BIGINT) AS dst_bytes,
+       CAST(SUM((doc_id * 31 + sy * 7 + sx * 3) % 256) AS BIGINT) AS checksum
+FROM px
+GROUP BY doc_id, w0, h0
+ORDER BY item_id
+""",
+    description="Real resize-kernel round-trip, hash-verified: Spark "
+    "synthesizes a P5 image per item whose pixel (y,x) carries the "
+    "integer value (doc_id*31 + y*7 + x*3) % 256, pushes it through the "
+    "REAL nearest-neighbor resize (operators/multimodal.py::image_resize "
+    "— numpy index arithmetic, P5 re-encode) to 6x4, then re-decodes the "
+    "RESIZED payload and reports its raster checksum; the oracle computes "
+    "the same checksum arithmetically by replaying the NN index map "
+    "(src = floor((dst + 0.5) * src_dim / dst_dim), the identical "
+    "multiply-then-divide double expression, exact for these magnitudes). "
+    "This pins the resize kernel's actual pixel selection and re-encode "
+    "byte layout (dst_bytes = 11-byte header + 24 raster bytes), not "
+    "just its plumbing.  Map-only both ways: synth -> resize -> "
+    "checksum are three mapInPandas stages, zero shuffles before the "
+    "output sort.",
+)
+def m05_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from agentic_etl_poc_spark.operators.multimodal import (
+        _pnm_header,
+        image_resize,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 4 + i % 13
+                h = 3 + i % 7
+                yy, xx = np.mgrid[0:h, 0:w]
+                raster = ((i * 31 + yy * 7 + xx * 3) % 256).astype(np.uint8)
+                payload = b"P5\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["item_id", "payload"])
+
+    payloads = d.mapInPandas(synth, schema="item_id bigint, payload binary")
+    resized = image_resize(payloads, width=6, height=4, fake=False)
+
+    def checksum(batches):
+        for pdf in batches:
+            rows = []
+            for item_id, payload, width, height, sb, db in zip(
+                pdf["item_id"], pdf["payload"], pdf["width"], pdf["height"],
+                pdf["src_bytes"], pdf["dst_bytes"],
+            ):
+                data = bytes(payload)
+                _, w, h, _, off = _pnm_header(data)
+                raster = np.frombuffer(data, np.uint8, count=w * h, offset=off)
+                rows.append(
+                    (
+                        int(item_id), int(width), int(height),
+                        int(sb), int(db),
+                        int(raster.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "item_id", "width", "height",
+                    "src_bytes", "dst_bytes", "checksum",
+                ],
+            )
+
+    out = resized.mapInPandas(
+        checksum,
+        schema=(
+            "item_id bigint, width int, height int, "
+            "src_bytes bigint, dst_bytes bigint, checksum bigint"
+        ),
+    )
+    return out.orderBy("item_id")
