@@ -321,12 +321,32 @@ def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_verified_pairs(spark, sf_dir).orderBy("id1", "id2")
 
 
+def minhash_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate sketch + exact-overlap statistics for EVERY LSH
+    band candidate pair (pre-threshold): (id1, id2, n_match, shared,
+    union_sz).  This is the expensive part of the whole MinHash family —
+    computed once per (session, dir), persisted, and fanned out to d04
+    (threshold -> verified pairs), d11 (sketch-error eval), and through
+    the verified pairs to d07/d09/d10.  Compute-once-fan-out is the
+    shape a production dedup run has at 100 TB: candidates and their
+    verification stats are materialized a single time, every downstream
+    decision (threshold choice, sketch audit, clustering) reads them."""
+    return _shared(
+        spark,
+        sf_dir,
+        "minhash_cand_stats",
+        lambda: _build_candidate_stats(spark, sf_dir),
+    )
+
+
 def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified MinHash near-dup pairs (id1 < id2, jaccard >= 0.5) —
     shared by d04 (reporting), d07 (clustering), and d09 (containment);
-    computed once per (session, dir) and persisted (_shared)."""
-    return _shared(
-        spark, sf_dir, "minhash_pairs", lambda: _build_minhash_pairs(spark, sf_dir)
+    a cheap projection over the persisted candidate stats."""
+    stats = minhash_candidate_stats(spark, sf_dir)
+    jac = F.col("shared").cast("double") / F.col("union_sz")
+    return stats.select("id1", "id2", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.5
     )
 
 
@@ -382,11 +402,29 @@ def _band_candidates(minhash: DataFrame) -> DataFrame:
     )
 
 
-def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single explicit shuffle on doc_id, reused by the signature agg, the
     # doc-size agg, and both verification joins (all keyed on doc_id).
     toks = shared_toks(spark, sf_dir)
-    cand = _band_candidates(_minhash_wide(toks))
+    minhash = _minhash_wide(toks)
+    cand = _band_candidates(minhash)
+    # sketch agreement: join the 1-row-per-doc wide signatures to each
+    # side of the candidate pair and count matching minima
+    w1 = minhash.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i, _, _ in MINHASH_PERMS],
+    )
+    w2 = minhash.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i, _, _ in MINHASH_PERMS],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("bigint")
+        for i, _, _ in MINHASH_PERMS
+    )
+    est = cand.join(w1, "id1").join(w2, "id2").select(
+        "id1", "id2", n_match.alias("n_match")
+    )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     t1 = toks.alias("t1")
     t2 = toks.alias("t2")
@@ -402,14 +440,20 @@ def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
-    jac = F.col("shared").cast("double") / (
-        F.col("s1.sz") + F.col("s2.sz") - F.col("shared")
-    )
+    shared = F.coalesce(F.col("shared"), F.lit(0)).cast("bigint")
     return (
-        inter.join(s1, F.col("id1") == F.col("s1.doc_id"))
+        est.join(inter, ["id1", "id2"], "left")
+        .join(s1, F.col("id1") == F.col("s1.doc_id"))
         .join(s2, F.col("id2") == F.col("s2.doc_id"))
-        .select("id1", "id2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            "id1",
+            "id2",
+            "n_match",
+            shared.alias("shared"),
+            (F.col("s1.sz") + F.col("s2.sz") - shared)
+            .cast("bigint")
+            .alias("union_sz"),
+        )
     )
 
 
@@ -863,54 +907,10 @@ ORDER BY id1, id2
     "ONLY for candidates (never all pairs).",
 )
 def d11_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = shared_toks(spark, sf_dir)
-    minhash = _minhash_wide(toks)
-    cand = _band_candidates(minhash)
-    w1 = minhash.select(
-        F.col("doc_id").alias("id1"),
-        *[F.col(f"m{i}").alias(f"a{i}") for i, _, _ in MINHASH_PERMS],
-    )
-    w2 = minhash.select(
-        F.col("doc_id").alias("id2"),
-        *[F.col(f"m{i}").alias(f"b{i}") for i, _, _ in MINHASH_PERMS],
-    )
-    n_match = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("bigint")
-        for i, _, _ in MINHASH_PERMS
-    )
-    est = cand.join(w1, "id1").join(w2, "id2").select(
-        "id1", "id2", n_match.alias("n_match")
-    )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    t1 = toks.alias("t1")
-    t2 = toks.alias("t2")
-    inter = (
-        cand.join(t1, F.col("id1") == F.col("t1.doc_id"))
-        .join(
-            t2,
-            (F.col("id2") == F.col("t2.doc_id"))
-            & (F.col("t1.gram") == F.col("t2.gram")),
-        )
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
-    merged = (
-        est.join(inter, ["id1", "id2"], "left")
-        .join(s1, F.col("id1") == F.col("s1.doc_id"))
-        .join(s2, F.col("id2") == F.col("s2.doc_id"))
-        .select(
-            "id1",
-            "id2",
-            "n_match",
-            F.coalesce(F.col("shared"), F.lit(0)).cast("bigint").alias("shared"),
-            (F.col("s1.sz") + F.col("s2.sz") - F.coalesce(F.col("shared"), F.lit(0)))
-            .cast("bigint")
-            .alias("union_sz"),
-        )
-    )
-    return merged.select(
+    # pure projection over the persisted candidate stats (built once,
+    # shared with d04/d07/d09/d10 — see minhash_candidate_stats)
+    stats = minhash_candidate_stats(spark, sf_dir)
+    return stats.select(
         "id1",
         "id2",
         "n_match",
