@@ -126,6 +126,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     # -- sampled (replica-green since r04), cheap-first, streaming last
     # -- so v03/v04 share the staged-topic cache back-to-back ---------
     "u05_arrow_map_batches",
+    # new in round 5 (never driver-sampled): Python DataSource API
+    "u06_python_datasource",
     "m04_image_decode",
     "s09_matryoshka_recall",
     # new in round 5 (never driver-sampled): metadata-filtered kNN
@@ -190,9 +192,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q07_conditional_agg",
     "t13_vocab_by_source",
     "q26_sliding_window",
-    "u04_arrow_scalar_udf",
     # -- band 2: r03-era spillovers that did not fit the 50-slot window
-    # -- (it absorbed the thirteen new round-5 entries) — these lead round 6
+    # -- (it absorbed the fourteen new round-5 entries) — these lead round 6
+    "u04_arrow_scalar_udf",
     "q44_arg_extremes",
     "q31_date_spine_gapfill",
     "q49_latest_record_dedup",

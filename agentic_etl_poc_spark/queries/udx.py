@@ -253,3 +253,56 @@ def u05_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         arrow_fn, schema="doc_id bigint, n_chars bigint, head_upper string"
     ).orderBy("doc_id")
+
+
+@register(
+    "u06_python_datasource",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents
+WHERE lang = 'en'
+GROUP BY source
+ORDER BY source
+""",
+    description="Custom Python Data Source (the Spark 4 DataSource API — "
+    "a source implemented entirely in Python yet planned and distributed "
+    "by the engine): documents.parquet is read through "
+    "sources/py_datasource.py::DocsPyDataSource, which plans one "
+    "InputPartition per parquet row group, ACCEPTS the lang='en' filter "
+    "via pushFilters (rows are dropped inside the reader by pyarrow "
+    "compute — the Python-source equivalent of PushedFilters), and "
+    "yields Arrow record batches zero-copy into the scan.  The oracle is "
+    "plain SQL over the same file, so the hash proves the whole custom-"
+    "source loop: schema declaration, partition planning, pushdown, "
+    "Arrow hand-off.  Scale shape: row-group-per-task is exactly how a "
+    "100 TB directory fans out; the aggregate on top is one map-side-"
+    "combinable shuffle on source.",
+)
+def u06_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from agentic_etl_poc_spark.sources.py_datasource import register as reg
+
+    reg(spark)
+    # opt-in (Spark 4.1 default-off): without it, a reader that merely
+    # IMPLEMENTS pushFilters fails analysis with
+    # DATA_SOURCE_PUSHDOWN_DISABLED
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    docs = (
+        spark.read.format("pydocs")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .load()
+    )
+    return (
+        docs.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("source")
+    )

@@ -97,3 +97,50 @@ def test_t21_shuffle_is_balanced_and_a_permutation(spark):
     for shard, n in per_shard.items():
         got = sorted(r.pos for r in rows if r.shard == shard)
         assert got == list(range(1, n + 1)), f"shard {shard} positions {got}"
+
+
+def test_u06_reader_pushdown_contract():
+    """pushFilters must CONSUME EqualTo on declared columns and return
+    everything else for Spark to evaluate post-scan."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from agentic_etl_poc_spark.sources.py_datasource import DocsPyReader
+
+    r = DocsPyReader({"path": "/nonexistent"})
+    leftover = list(
+        r.pushFilters(
+            [
+                EqualTo(("lang",), "en"),
+                EqualTo(("nope",), 1),
+                GreaterThan(("n_chars",), 10),
+            ]
+        )
+    )
+    assert r._pushed == [("lang", "en")]
+    assert len(leftover) == 2
+
+
+def test_u06_source_matches_parquet_scan(spark):
+    """Reading through the custom Python source equals the native parquet
+    read, filter applied inside the reader."""
+    import os
+
+    from agentic_etl_poc_spark.sources.py_datasource import register
+
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    path = os.path.join(SF_SMOKE, "documents.parquet")
+    custom = (
+        spark.read.format("pydocs").option("path", path).load()
+        .filter("lang = 'en'")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    native = (
+        spark.read.parquet(path)
+        .filter("lang = 'en'")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    assert sorted(custom) == sorted(native)
+    assert len(custom) > 0
