@@ -162,6 +162,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     # cache with v01-v04 above
     "v05_stream_watermark_eviction",
     "v06_stream_static_enrich",
+    # new in round 5 (never driver-sampled): Python streaming source
+    "v07_stream_python_source",
     # -- then the cheapest entries whose latest driver-green row is
     # -- r03 (cheap-first by builder per-query bench) -----------------
     "q08_topk_orders",
@@ -191,9 +193,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q29_range_frame_interval",
     "q07_conditional_agg",
     "t13_vocab_by_source",
-    "q26_sliding_window",
     # -- band 2: r03-era spillovers that did not fit the 50-slot window
-    # -- (it absorbed the fourteen new round-5 entries) — these lead round 6
+    # -- (it absorbed the fifteen new round-5 entries) — these lead round 6
+    "q26_sliding_window",
     "u04_arrow_scalar_udf",
     "q44_arg_extremes",
     "q31_date_spine_gapfill",

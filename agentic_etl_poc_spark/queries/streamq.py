@@ -566,3 +566,53 @@ def v06_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "v07_stream_python_source",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    description="Custom Python STREAMING data source under the oracle "
+    "(Spark 4 SimpleDataSourceStreamReader): documents.parquet streams "
+    "through sources/py_datasource.py::DocsStreamDataSource — offsets "
+    "are row-group indices (one micro-batch per row group), replay "
+    "between offsets is exact, the cursor is checkpointable — into a "
+    "complete-mode aggregation drained with AvailableNow; the final "
+    "memory table must equal batch SQL over the same file.  This is the "
+    "connector shape for any Python-only external system (queue, ledger, "
+    "API cursor) made Spark-native: the engine plans, retries, and "
+    "checkpoints; the Python class only answers 'what is at offset X'. "
+    "Scale: each micro-batch is one row group; state is the tiny "
+    "per-source aggregate.",
+)
+def v07_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.sources.py_datasource import register_stream
+
+    register_stream(spark)
+    name = f"v07_pysrc_{next(_MEM_SEQ)}"
+    path = os.path.join(sf_dir, "documents.parquet")
+    with _drain_partitions(spark, STREAM_DRAIN_PARTITIONS):
+        stream = (
+            spark.readStream.format("pydocs_stream").option("path", path).load()
+        )
+        agg = stream.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).orderBy("source")

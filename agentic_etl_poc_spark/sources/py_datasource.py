@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 #: Columns the source declares (text is deliberately excluded: a custom
@@ -84,3 +85,64 @@ class DocsPyReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent per session: re-registering overwrites the format."""
     spark.dataSource.register(DocsPyDataSource)
+
+
+# -- streaming sibling: the same file read as a micro-batch STREAM ------
+
+class DocsStreamDataSource(DataSource):
+    """Custom Python STREAMING source (Spark 4 SimpleDataSourceStreamReader):
+    offsets are parquet row-group indices, so each micro-batch replays one
+    row group — a deterministic, checkpointable cursor over the file.  The
+    shape a Python connector to an external system (queue, ledger, API
+    cursor) takes when rebuilt Spark-native: offsets are plain dicts,
+    replay between offsets is exact, commit is the ack hook."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pydocs_stream"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def simpleStreamReader(self, schema) -> "DocsSimpleStreamReader":
+        return DocsSimpleStreamReader(self.options)
+
+
+class DocsSimpleStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self._path = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"rg": 0}
+
+    def _rows(self, rg: int):
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self._path)
+        if rg >= pf.metadata.num_row_groups:
+            return None
+        tbl = pf.read_row_group(rg, columns=_COLUMNS)
+        return list(
+            zip(*(tbl[c].to_pylist() for c in _COLUMNS))
+        )
+
+    def read(self, start: dict):
+        rows = self._rows(start["rg"])
+        if rows is None:  # caught up: same offset back, no rows
+            return iter([]), {"rg": start["rg"]}
+        return iter(rows), {"rg": start["rg"] + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        out = []
+        for rg in range(start["rg"], end["rg"]):
+            rows = self._rows(rg)
+            if rows:
+                out.extend(rows)
+        return iter(out)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to ack
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(DocsStreamDataSource)
