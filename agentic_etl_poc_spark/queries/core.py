@@ -126,8 +126,10 @@ SWEEP_ORDER: tuple[str, ...] = (
     # -- sampled (replica-green since r04), cheap-first, streaming last
     # -- so v03/v04 share the staged-topic cache back-to-back ---------
     "u05_arrow_map_batches",
-    # new in round 5 (never driver-sampled): Python DataSource API
+    # new in round 5 (never driver-sampled): Python DataSource API,
+    # read and write paths
     "u06_python_datasource",
+    "u07_python_writer",
     "m04_image_decode",
     "s09_matryoshka_recall",
     # new in round 5 (never driver-sampled): metadata-filtered kNN
@@ -192,9 +194,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q35_not_in_null_trap",
     "q29_range_frame_interval",
     "q07_conditional_agg",
-    "t13_vocab_by_source",
     # -- band 2: r03-era spillovers that did not fit the 50-slot window
-    # -- (it absorbed the fifteen new round-5 entries) — these lead round 6
+    # -- (it absorbed the sixteen new round-5 entries) — these lead round 6
+    "t13_vocab_by_source",
     "q26_sliding_window",
     "u04_arrow_scalar_udf",
     "q44_arg_extremes",

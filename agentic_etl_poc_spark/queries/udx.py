@@ -306,3 +306,62 @@ def u06_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "u07_python_writer",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    description="Custom Python SINK with a two-phase commit protocol "
+    "(Spark 4 DataSourceWriter — the write-path sibling of u06/v07): a "
+    "per-language aggregate is written through sources/py_datasource.py::"
+    "LedgerWriteDataSource, where every task stages an uncommitted NDJSON "
+    "part and the driver-side commit() promotes exactly the acknowledged "
+    "parts into a manifest; the battery result is the MANIFEST-LISTED "
+    "files read back, so the hash proves the full exactly-once loop "
+    "(stage -> ack -> commit -> manifest-scoped read; an aborted task's "
+    "orphan file would be invisible).  Scale: one stage file per "
+    "partition, commit is O(tasks) driver work — the same protocol shape "
+    "as Spark's own FileCommitProtocol, expressed in pure Python.",
+)
+def u07_python_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from agentic_etl_poc_spark.sources.py_datasource import (
+        read_ledger,
+        register_writer,
+    )
+
+    register_writer(spark)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_u07",
+        sf_dir.strip(os.sep).replace(os.sep, "_"),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    agg = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    agg.write.format("pyledger").option("path", out).mode("append").save()
+    back = read_ledger(spark, out)
+    return back.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+    ).orderBy("lang")

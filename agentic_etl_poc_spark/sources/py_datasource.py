@@ -23,12 +23,16 @@ against a plain-SQL oracle over the same file.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: Columns the source declares (text is deliberately excluded: a custom
@@ -146,3 +150,88 @@ class DocsSimpleStreamReader(SimpleDataSourceStreamReader):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(DocsStreamDataSource)
+
+
+# -- write path: a custom Python sink with a real commit protocol -------
+
+class LedgerWriteDataSource(DataSource):
+    """Custom Python SINK (Spark 4 DataSourceWriter): each task stages its
+    partition as an uncommitted NDJSON part file and returns a commit
+    message naming it; the driver-side ``commit()`` promotes exactly the
+    acknowledged parts into a MANIFEST — readers trust only manifest-listed
+    files, so a failed/speculative task's orphan stage file is invisible.
+    That is the two-phase exactly-once contract every distributed sink
+    needs (the reference's CSV writer has no such protocol — its
+    single-file write is the degenerate case)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyledger"
+
+    def writer(self, schema, overwrite: bool) -> "LedgerWriter":
+        return LedgerWriter(self.options, [f.name for f in schema.fields])
+
+
+@dataclass
+class LedgerCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class LedgerWriter(DataSourceWriter):
+    def __init__(self, options, columns):
+        self._dir = options["path"]
+        self._columns = columns
+
+    def write(self, iterator) -> "LedgerCommit":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self._dir, exist_ok=True)
+        part = TaskContext.get().partitionId()
+        name = f"stage-{part}-{uuid.uuid4().hex}.ndjson"
+        n = 0
+        with open(os.path.join(self._dir, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self._columns, row))) + "\n")
+                n += 1
+        return LedgerCommit(filename=name, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.filename for m in messages if m is not None),
+            "rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self._dir, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self._dir, m.filename))
+                except OSError:
+                    pass
+
+
+def read_ledger(spark, path: str):
+    """Read back ONLY manifest-committed part files."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, name) for name in manifest["files"]]
+    return spark.read.json(files)
+
+
+def register_writer(spark) -> None:
+    spark.dataSource.register(LedgerWriteDataSource)

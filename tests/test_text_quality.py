@@ -144,3 +144,31 @@ def test_u06_source_matches_parquet_scan(spark):
     )
     assert sorted(custom) == sorted(native)
     assert len(custom) > 0
+
+
+def test_u07_manifest_scopes_reads(spark, tmp_path):
+    """The ledger sink's exactly-once contract: a stage file NOT listed in
+    the manifest (an aborted/speculative task's orphan) is invisible to
+    manifest-scoped reads."""
+    import json
+    import os
+
+    from agentic_etl_poc_spark.sources.py_datasource import (
+        read_ledger,
+        register_writer,
+    )
+
+    register_writer(spark)
+    out = str(tmp_path / "ledger")
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    df.coalesce(2).write.format("pyledger").option("path", out).mode(
+        "append"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["rows"] == 10 and len(manifest["files"]) == 2
+    # plant an orphan stage file: it must NOT appear in the read
+    with open(os.path.join(out, "stage-9-deadbeef.ndjson"), "w") as f:
+        f.write('{"id": 999, "v": 999}\n')
+    back = read_ledger(spark, out)
+    assert back.count() == 10
+    assert back.filter("id = 999").count() == 0
