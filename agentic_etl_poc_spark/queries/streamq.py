@@ -589,8 +589,13 @@ ORDER BY source
     "connector shape for any Python-only external system (queue, ledger, "
     "API cursor) made Spark-native: the engine plans, retries, and "
     "checkpoints; the Python class only answers 'what is at offset X'. "
-    "Scale: each micro-batch is one row group; state is the tiny "
-    "per-source aggregate.",
+    "Scale, stated honestly: the SIMPLE reader variant prefetches each "
+    "batch driver-side (Spark's documented design for low-throughput "
+    "sources; replay via readBetweenOffsets runs from the checkpoint); "
+    "a high-throughput source implements the partition-planned "
+    "DataSourceStreamReader, the shape u06's row-group partitioning "
+    "demonstrates on the batch path.  State is the tiny per-source "
+    "aggregate.",
 )
 def v07_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_etl_poc_spark.sources.py_datasource import register_stream
