@@ -1,0 +1,105 @@
+"""Battery-wide physical-plan lint: mechanical enforcement of the scale
+rules every entry claims in prose.
+
+Three anti-patterns are scanned for in every LAZY entry's formatted plan
+(eager entries — the p/v families and u07 — execute pipelines/streams at
+build time and are covered by their own plan-shape tests instead):
+
+- ``CartesianProduct``: a non-broadcast cross join — quadratic shuffle,
+  never acceptable.  (BroadcastNestedLoopJoin with a provably-small
+  broadcast side is the sanctioned cross-join shape.)
+- ``BatchEvalPython``: a pickled row-at-a-time Python UDF in the plan —
+  the slow path the battery's UDF ranking forbids outside the one entry
+  that exists to demonstrate it.
+- ``SinglePartition`` exchange: every occurrence must be a consciously
+  bounded global step (scalar aggregate, decile labeling over one row
+  per doc, prefix-sum over block totals).  The allowlist below IS that
+  consciousness: adding an entry here requires stating why the
+  single-partition data is bounded at 100 TB.
+
+A new entry that trips a rule either fixes its plan or adds itself to
+the allowlist with a justification — silent scale regressions can't
+land.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from agentic_etl_poc_spark.queries import load_all
+
+ALL = load_all()
+
+#: Entries whose fn() executes work eagerly (plan pipelines, streaming
+#: drains, the custom-sink write): linting their RESULT frame's plan
+#: would miss the executed part anyway; their physical behavior is
+#: pinned by dedicated tests.
+EAGER = sorted(
+    n for n in ALL if n.startswith(("p0", "v0")) or n == "u07_python_writer"
+)
+
+LAZY = sorted(n for n in ALL if n not in set(EAGER))
+
+#: name -> why its single-partition exchange is bounded at scale.
+SINGLE_PARTITION_OK: dict[str, str] = {
+    "q27_correlated_subquery": "scalar subquery aggregate (one row)",
+    "q31_date_spine_gapfill": "min/max scalar agg seeds the date sequence",
+    "q35_not_in_null_trap": "NOT IN's null-check is a scalar aggregate",
+    "q36_explode_outer": "scalar count for the coverage ratio",
+    "q52_funnel": "funnel totals are a scalar aggregate row",
+    "t09_corpus_stats": "corpus-level stats ARE one global row",
+    "t12_length_deciles": "NTILE decile labels over one row per doc; "
+    "scale path swaps to approx-quantile thresholds (documented)",
+    "t14_tfidf_keywords": "corpus doc-count scalar broadcast into tf-idf",
+    "t16_sequence_packing": "phase-2 prefix sum runs over tiny per-block "
+    "totals only (documented two-phase design)",
+    "t19_token_rarity": "NTILE rarity labels over one row per doc; scale "
+    "path swaps to approx-quantile thresholds (documented)",
+}
+
+#: Entries allowed to carry a pickled row-at-a-time Python eval.
+PICKLED_UDF_OK = {
+    "u02_python_udtf": "UDTFs are row-at-a-time by design; the entry "
+    "exists to demonstrate the API on a 1-in-20 sample",
+}
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.mark.parametrize("name", LAZY)
+def test_no_scale_antipatterns(spark, sf_smoke, name):
+    plan = _formatted_plan(ALL[name].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, (
+        f"{name}: non-broadcast cross join — broadcast the small side or "
+        f"restructure"
+    )
+    if name not in PICKLED_UDF_OK:
+        assert "BatchEvalPython" not in plan, (
+            f"{name}: pickled row-at-a-time Python UDF in the hot path — "
+            f"use built-ins, pandas UDFs, or Arrow"
+        )
+    if name not in SINGLE_PARTITION_OK:
+        assert "SinglePartition" not in plan, (
+            f"{name}: single-partition exchange — if the data there is "
+            f"provably bounded, add the entry to SINGLE_PARTITION_OK with "
+            f"the reason; otherwise repartition"
+        )
+
+
+def test_lint_lists_track_registry():
+    """The allowlists must not rot: every allowlisted name must still be
+    a registered LAZY entry."""
+    for n in SINGLE_PARTITION_OK:
+        assert n in ALL and n in set(LAZY), n
+    for n in PICKLED_UDF_OK:
+        assert n in ALL and n in set(LAZY), n
+    # eager set stays exact: a new eager family must be listed on purpose
+    assert set(EAGER) == {
+        n for n in ALL if n.startswith(("p0", "v0")) or n == "u07_python_writer"
+    }
