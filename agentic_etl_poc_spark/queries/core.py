@@ -147,8 +147,10 @@ SWEEP_ORDER: tuple[str, ...] = (
     # and product-quantization ADC recall
     "d11_sketch_error",
     "s11_pq_adc",
-    # new in round 5 (never driver-sampled): deterministic training shuffle
+    # new in round 5 (never driver-sampled): deterministic training
+    # shuffle and BPE tokenizer training
     "t21_training_shuffle",
+    "t22_bpe_merges",
     "p01_curation_pipeline",
     # new in round 5 (never driver-sampled): the reference's CSV-triplet
     # plan path and the incremental-watermark runs, end-to-end under the
@@ -193,9 +195,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s01_knn_bruteforce",
     "q35_not_in_null_trap",
     "q29_range_frame_interval",
-    "q07_conditional_agg",
     # -- band 2: r03-era spillovers that did not fit the 50-slot window
-    # -- (it absorbed the sixteen new round-5 entries) — these lead round 6
+    # -- (it absorbed the seventeen new round-5 entries) — these lead round 6
+    "q07_conditional_agg",
     "t13_vocab_by_source",
     "q26_sliding_window",
     "u04_arrow_scalar_udf",

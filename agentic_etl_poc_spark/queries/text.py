@@ -1501,3 +1501,121 @@ def m05_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("item_id")
+
+
+def _duck_bpe_round(prev_state: str, n: int) -> str:
+    """One unrolled BPE round: pair frequencies over ``prev_state``
+    (seq, c), the top merge, and the merged next state."""
+    return f"""
+pairs{n} AS (
+  SELECT pr AS pair, CAST(SUM(c) AS BIGINT) AS freq
+  FROM (
+    SELECT c,
+           unnest(list_transform(range(1, len(string_split(trim(seq), ' '))),
+                  i -> string_split(trim(seq), ' ')[i] || ' ' ||
+                       string_split(trim(seq), ' ')[i + 1])) AS pr
+    FROM {prev_state}
+  )
+  GROUP BY pr
+),
+top{n} AS (SELECT pair, freq FROM pairs{n} ORDER BY freq DESC, pair LIMIT 1),
+s{n} AS (
+  SELECT replace(replace(replace(seq,
+           ' ' || t.pair || ' ', ' ' || replace(t.pair, ' ', '') || ' '),
+           ' ' || t.pair || ' ', ' ' || replace(t.pair, ' ', '') || ' '),
+           ' ' || t.pair || ' ', ' ' || replace(t.pair, ' ', '') || ' ')
+           AS seq, c
+  FROM {prev_state} CROSS JOIN top{n} t
+)"""
+
+
+@register(
+    "t22_bpe_merges",
+    oracle=f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+vocab AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+s0 AS (
+  SELECT ' ' || array_to_string(
+           list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
+         || ' ' AS seq, c
+  FROM vocab
+),
+{_duck_bpe_round('s0', 1)},
+{_duck_bpe_round('s1', 2)},
+{_duck_bpe_round('s2', 3)}
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS round, pair,
+         replace(pair, ' ', '') AS merged, freq FROM top1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''), freq FROM top2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), pair, replace(pair, ' ', ''), freq FROM top3
+)
+ORDER BY round
+""",
+    description="BPE tokenizer training, distributed (the first 3 merge "
+    "rounds of byte-pair encoding over the corpus vocabulary): word "
+    "TYPES with counts form the training set (Heaps-law bounded — the "
+    "classic BPE formulation, so corpus size only enters through the "
+    "counts); each round counts adjacent-symbol pairs weighted by word "
+    "frequency (map-side-combinable agg over the small vocab frame), "
+    "takes the global argmax (freq desc, pair asc — a bounded top-1, "
+    "broadcast back), and applies the merge with three fixed "
+    "replace-all passes whose left-to-right skip semantics are "
+    "byte-identical in both engines (greedy-approximate BPE, "
+    "deterministic by construction; both engines run the SAME three "
+    "passes).  The whole 3-round chain is one lazy Catalyst DAG — no "
+    "driver-side loop state; the only driver data is the plan itself. "
+    "Output: (round, pair, merged, freq).  At 100 TB: the vocab agg is "
+    "the only corpus-sized shuffle; every round after it works on the "
+    "vocabulary table.",
+)
+def t22_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    state = vocab.select(
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")
+        ).alias("seq"),
+        "c",
+    )
+    tops = []
+    for rnd in (1, 2, 3):
+        syms = F.split(F.trim(F.col("seq")), " ")
+        n = F.size(syms)
+        prs = F.zip_with(
+            F.slice(syms, 1, n - 1),
+            F.slice(syms, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        freq = (
+            state.select("c", F.explode(prs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("c").cast("bigint").alias("freq"))
+        )
+        top = freq.orderBy(F.desc("freq"), F.asc("pair")).limit(1)
+        tops.append(
+            top.select(
+                F.lit(rnd).cast("bigint").alias("round"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "freq",
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        rep = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+            F.lit(" "),
+        )
+        merged_seq = F.col("seq")
+        for _ in range(3):
+            merged_seq = F.replace(merged_seq, pat, rep)
+        state = state.crossJoin(F.broadcast(top.select("pair"))).select(
+            merged_seq.alias("seq"), "c"
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("round")

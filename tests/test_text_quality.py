@@ -172,3 +172,22 @@ def test_u07_manifest_scopes_reads(spark, tmp_path):
     back = read_ledger(spark, out)
     assert back.count() == 10
     assert back.filter("id = 999").count() == 0
+
+
+def test_t22_bpe_merges_are_wellformed(spark):
+    """Each learned merge is a valid adjacent-symbol pair: exactly one
+    separator space, merged symbol is its concatenation, frequencies are
+    positive, the three merges are distinct, and later-round pairs may
+    reference earlier merged symbols (that's the point of BPE)."""
+    from agentic_etl_poc_spark.queries.text import t22_bpe_merges
+
+    rows = t22_bpe_merges(spark, SF_SMOKE).collect()
+    assert [r.round for r in rows] == [1, 2, 3]
+    seen = set()
+    for r in rows:
+        left, sep, right = r.pair.partition(" ")
+        assert sep == " " and left and right and " " not in right
+        assert r.merged == left + right
+        assert r.freq > 0
+        seen.add(r.pair)
+    assert len(seen) == 3
