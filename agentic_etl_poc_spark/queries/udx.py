@@ -287,9 +287,12 @@ def u06_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_etl_poc_spark.sources.py_datasource import register as reg
 
     reg(spark)
-    # opt-in (Spark 4.1 default-off): without it, a reader that merely
-    # IMPLEMENTS pushFilters fails analysis with
-    # DATA_SOURCE_PUSHDOWN_DISABLED
+    # session-semantic conf (also in session.SEMANTIC_CONF): default-off
+    # in Spark 4.1, and a reader that merely IMPLEMENTS pushFilters fails
+    # analysis without it.  Set here too because this entry does not go
+    # through io_tables.table/ensure_semantics; deliberately NOT restored
+    # — the pushdown rule runs lazily at first action, so a set-then-
+    # restore around plan creation would break the query it was set for.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     docs = (
         spark.read.format("pydocs")

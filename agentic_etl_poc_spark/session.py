@@ -55,6 +55,12 @@ SEMANTIC_CONF: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+    # Python DataSource filter pushdown (Spark 4.1 default-off): a reader
+    # that implements pushFilters() FAILS analysis without it.  Session
+    # semantics, not a per-query side effect: the pushdown rule runs
+    # lazily at first action, so a set-then-restore around plan creation
+    # would break the query it was set for.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -20,10 +20,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def check_size(path: str, max_bytes: int | None) -> None:
+    """Admission control: reject inputs above ``max_bytes``.  A directory
+    input (e.g. a Spark-written multi-part dataset) is measured as the
+    SUM of its files — ``getsize`` on the directory inode itself would
+    silently make the limit a no-op."""
     if not os.path.exists(path):
         raise FileNotFoundError(path)
-    if max_bytes is not None and os.path.getsize(path) > max_bytes:
-        raise ValueError(f"input too large: {os.path.getsize(path)} > {max_bytes}")
+    if max_bytes is None:
+        return
+    if os.path.isdir(path):
+        size = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    else:
+        size = os.path.getsize(path)
+    if size > max_bytes:
+        raise ValueError(f"input too large: {size} > {max_bytes}")
 
 
 def read_csv(

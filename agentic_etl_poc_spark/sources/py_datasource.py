@@ -80,6 +80,10 @@ class DocsPyReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(self._path)
+        if partition.value >= pf.metadata.num_row_groups:
+            # partitions() fabricates one partition for a zero-row-group
+            # file so the scan plans; it must read as EMPTY, not crash
+            return
         tbl = pf.read_row_group(partition.value, columns=_COLUMNS)
         for col, val in self._pushed:
             tbl = tbl.filter(pc.equal(tbl[col], val))

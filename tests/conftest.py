@@ -31,3 +31,13 @@ def sf_smoke() -> str:
 @pytest.fixture(scope="session")
 def sf_oracle() -> str:
     return SF_ORACLE
+
+
+def formatted_plan(df) -> str:
+    """Formatted physical plan of a DataFrame (shared by the plan-shape
+    and plan-lint suites — keep ONE copy of the ExplainMode reflection)."""
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )

@@ -64,12 +64,7 @@ PICKLED_UDF_OK = {
 }
 
 
-def _formatted_plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+from tests.conftest import formatted_plan as _formatted_plan
 
 
 @pytest.mark.parametrize("name", LAZY)

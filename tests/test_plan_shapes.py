@@ -12,12 +12,7 @@ from __future__ import annotations
 from agentic_etl_poc_spark.queries import load_all
 
 
-def _formatted_plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+from tests.conftest import formatted_plan as _formatted_plan
 
 
 def test_q01_pushdown_and_pruning(spark, sf_smoke):
@@ -227,4 +222,9 @@ def test_t21_shuffle_orders_within_shard_not_globally(spark, sf_smoke):
     )
     windows = re.findall(r"\(\d+\) Window\b", plan)
     assert len(windows) == 1, plan[:2000]
-    assert "partitionBy" not in plan or "hashpartitioning" in plan
+    # the window's exchange must be a hash partitioning (Catalyst
+    # pre-projects the shard expression as a _w0 column, so match the
+    # partitioning KIND) — an unpartitioned window would plan
+    # SinglePartition instead, serializing the corpus through one task
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "hashpartitioning(" in plan, plan[:2000]

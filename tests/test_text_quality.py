@@ -191,3 +191,44 @@ def test_t22_bpe_merges_are_wellformed(spark):
         assert r.freq > 0
         seen.add(r.pair)
     assert len(seen) == 3
+
+
+def test_check_size_sums_directory_contents(tmp_path):
+    """Admission control must measure a DIRECTORY input as the sum of its
+    files, not the directory inode (which silently passes any limit)."""
+    import pytest as _pytest
+
+    from agentic_etl_poc_spark.sources.csv_source import check_size
+
+    d = tmp_path / "topic.ndjson"
+    d.mkdir()
+    (d / "part-0.json").write_text("x" * 600)
+    (d / "part-1.json").write_text("y" * 600)
+    check_size(str(d), 2000)  # under the limit: fine
+    with _pytest.raises(ValueError, match="input too large"):
+        check_size(str(d), 1000)  # 1200 bytes of parts must trip it
+
+
+def test_u06_source_reads_empty_parquet_as_empty(spark, tmp_path):
+    """A zero-row-group parquet file must scan as EMPTY through the custom
+    Python source, not crash the fabricated partition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agentic_etl_poc_spark.sources.py_datasource import register
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    path = str(tmp_path / "empty.parquet")
+    with pq.ParquetWriter(path, schema):
+        pass  # no row groups written
+    assert pq.ParquetFile(path).metadata.num_row_groups == 0
+    register(spark)
+    got = spark.read.format("pydocs").option("path", path).load().collect()
+    assert got == []
