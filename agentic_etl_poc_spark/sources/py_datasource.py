@@ -41,6 +41,32 @@ _SCHEMA = "doc_id bigint, lang string, source string, n_chars bigint"
 _COLUMNS = ["doc_id", "lang", "source", "n_chars"]
 
 
+def _parquet_pieces(path: str) -> list[str]:
+    """A parquet dataset is a FILE or a DIRECTORY of part files (the
+    directory form is what every engine writes at scale) — return the
+    ordered physical files either way."""
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return [path]
+
+
+def _piece_row_groups(path: str) -> list[tuple[str, int]]:
+    """Flattened (file, row_group) work units across the dataset."""
+    import pyarrow.parquet as pq
+
+    units: list[tuple[str, int]] = []
+    for piece in _parquet_pieces(path):
+        n = pq.ParquetFile(piece).metadata.num_row_groups
+        units.extend((piece, rg) for rg in range(n))
+    return units
+
+
 class DocsPyDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -70,21 +96,21 @@ class DocsPyReader(DataSourceReader):
                 yield f
 
     def partitions(self):
-        import pyarrow.parquet as pq
-
-        n = pq.ParquetFile(self._path).metadata.num_row_groups
-        return [InputPartition(i) for i in range(max(n, 1))]
+        units = _piece_row_groups(self._path)
+        if not units:
+            # zero-row-group dataset: one fabricated partition that reads
+            # as EMPTY so the scan still plans
+            return [InputPartition(None)]
+        return [InputPartition(u) for u in units]
 
     def read(self, partition):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(self._path)
-        if partition.value >= pf.metadata.num_row_groups:
-            # partitions() fabricates one partition for a zero-row-group
-            # file so the scan plans; it must read as EMPTY, not crash
+        if partition.value is None:
             return
-        tbl = pf.read_row_group(partition.value, columns=_COLUMNS)
+        piece, rg = partition.value
+        tbl = pq.ParquetFile(piece).read_row_group(rg, columns=_COLUMNS)
         for col, val in self._pushed:
             tbl = tbl.filter(pc.equal(tbl[col], val))
         yield from tbl.to_batches()
@@ -119,17 +145,26 @@ class DocsStreamDataSource(DataSource):
 class DocsSimpleStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self._path = options["path"]
+        self._units: list[tuple[str, int]] | None = None
 
     def initialOffset(self) -> dict:
         return {"rg": 0}
 
+    def _all_units(self) -> list[tuple[str, int]]:
+        # (file, row_group) units across the dataset — file or directory;
+        # computed once per reader (the dataset is immutable input)
+        if self._units is None:
+            self._units = _piece_row_groups(self._path)
+        return self._units
+
     def _rows(self, rg: int):
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(self._path)
-        if rg >= pf.metadata.num_row_groups:
+        units = self._all_units()
+        if rg >= len(units):
             return None
-        tbl = pf.read_row_group(rg, columns=_COLUMNS)
+        piece, piece_rg = units[rg]
+        tbl = pq.ParquetFile(piece).read_row_group(piece_rg, columns=_COLUMNS)
         return list(
             zip(*(tbl[c].to_pylist() for c in _COLUMNS))
         )
