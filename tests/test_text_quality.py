@@ -232,3 +232,43 @@ def test_u06_source_reads_empty_parquet_as_empty(spark, tmp_path):
     register(spark)
     got = spark.read.format("pydocs").option("path", path).load().collect()
     assert got == []
+
+
+def test_u06_source_reads_directory_datasets(spark, tmp_path):
+    """A parquet DIRECTORY (multi-part, as every engine writes at scale)
+    must scan through the custom source as the union of its part files —
+    this is the sf1-audit regression (single-file readers crash on the
+    tiler's directory output)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agentic_etl_poc_spark.sources.py_datasource import register
+
+    d = tmp_path / "docs.parquet"
+    d.mkdir()
+    for i in (0, 1):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([i * 10, i * 10 + 1], pa.int64()),
+                    "lang": pa.array(["en", "fr"]),
+                    "source": pa.array(["s0", "s1"]),
+                    "n_chars": pa.array([5, 7], pa.int64()),
+                }
+            ),
+            str(d / f"part-{i}.parquet"),
+        )
+    register(spark)
+    got = (
+        spark.read.format("pydocs").option("path", str(d)).load()
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.doc_id for r in got] == [0, 1, 10, 11]
+    # pushdown still applies inside the reader on the directory path
+    en = (
+        spark.read.format("pydocs").option("path", str(d)).load()
+        .filter("lang = 'en'")
+        .collect()
+    )
+    assert sorted(r.doc_id for r in en) == [0, 10]
