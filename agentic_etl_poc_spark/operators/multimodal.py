@@ -359,3 +359,103 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.select("item_id", "payload").mapInPandas(
         run, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+RESAMPLE_SCHEMA = (
+    "item_id bigint, payload binary, src_rate int, dst_rate int, "
+    "n_src bigint, n_out bigint"
+)
+
+
+def _wav_pcm16(samples: "np.ndarray", rate: int) -> bytes:
+    """Minimal mono PCM16 WAV encoder (RIFF + fmt + data)."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def audio_resample(df: DataFrame, out_rate: int, fake: bool = False) -> DataFrame:
+    """Sample-rate conversion kernel: WAV payload in, resampled WAV out —
+    the audio twin of ``image_resize`` (decode → nearest-neighbor
+    resample via numpy index arithmetic → re-encode, no native deps).
+
+    Real kernel scope: mono PCM16 (the uncompressed open format);
+    anything else raises a ValueError naming the needed lib.  Output
+    length is ``n_src * out_rate // src_rate`` (integer floor) and the
+    NN index map is ``src = floor((dst + 0.5) * n_src / n_out)`` — the
+    same multiply-then-divide double expression an arithmetic oracle can
+    replay exactly.  Map-only at scale: Arrow batches both directions,
+    no shuffle.
+    """
+
+    def resample_real(data: bytes) -> tuple[bytes, int, int, int]:
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError(
+                "unsupported audio format (not RIFF/WAVE); real resample "
+                "supports mono PCM16 WAV — compressed codecs need ffmpeg"
+            )
+        pos, n = 12, len(data)
+        fmt = None
+        body = None
+        while pos + 8 <= n:
+            cid = data[pos : pos + 4]
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            chunk = data[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+            elif cid == b"data":
+                body = chunk
+            pos += 8 + size + (size & 1)
+        if fmt is None or body is None:
+            raise ValueError("malformed WAV: missing fmt/data chunk")
+        audio_format, channels, src_rate, _, _, bits = fmt
+        if not (audio_format == 1 and bits == 16 and channels == 1):
+            raise ValueError(
+                f"unsupported WAV encoding for resample (format="
+                f"{audio_format}, bits={bits}, channels={channels}); "
+                "real resample supports mono PCM16"
+            )
+        samples = np.frombuffer(body, dtype="<i2")
+        n_src = len(samples)
+        n_out = n_src * out_rate // src_rate
+        idx = ((np.arange(n_out) + 0.5) * n_src / n_out).astype(np.int64)
+        resampled = samples[idx]
+        return _wav_pcm16(resampled, out_rate), src_rate, n_src, n_out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                data = bytes(payload)
+                if fake:
+                    crc = zlib.crc32(data)
+                    n_src = max(len(data) // 2, 1)
+                    n_out = n_src * out_rate // max((8000, 16000)[crc % 2], 1)
+                    resampled = (hashlib.md5(data).digest() + data)[
+                        : max(n_out, 16)
+                    ]
+                    rec = (int(item_id), resampled, 8000, out_rate, n_src, n_out)
+                else:
+                    payload_out, src_rate, n_src, n_out = resample_real(data)
+                    rec = (
+                        int(item_id), payload_out, src_rate, out_rate,
+                        n_src, n_out,
+                    )
+                out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "payload", "src_rate", "dst_rate",
+                    "n_src", "n_out",
+                ],
+            )
+
+    return df.select("item_id", "payload").mapInPandas(run, schema=RESAMPLE_SCHEMA)

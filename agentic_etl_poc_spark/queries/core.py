@@ -134,8 +134,10 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s09_matryoshka_recall",
     # new in round 5 (never driver-sampled): metadata-filtered kNN
     "s10_filtered_knn",
-    # new in round 5 (never driver-sampled): resize-kernel round-trip
+    # new in round 5 (never driver-sampled): resize / resample kernel
+    # round-trips
     "m05_image_resize",
+    "m06_audio_resample",
     "m03_audio_decode",
     "t17_chunk_dedup",
     # new in round 5 (never driver-sampled): overlapping RAG chunking,
@@ -194,9 +196,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q36_explode_outer",
     "s01_knn_bruteforce",
     "q35_not_in_null_trap",
-    "q29_range_frame_interval",
     # -- band 2: r03-era spillovers that did not fit the 50-slot window
-    # -- (it absorbed the seventeen new round-5 entries) — these lead round 6
+    # -- (it absorbed the eighteen new round-5 entries) — these lead round 6
+    "q29_range_frame_interval",
     "q07_conditional_agg",
     "t13_vocab_by_source",
     "q26_sliding_window",

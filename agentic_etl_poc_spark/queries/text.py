@@ -1619,3 +1619,114 @@ def t22_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tops[1:]:
         out = out.unionByName(t)
     return out.orderBy("round")
+
+
+#: m06 synth bounds: n_src in [16, 48] -> n_out = n_src*3//2 in [24, 72].
+#: The oracle's range() bound is DERIVED from these constants (not a magic
+#: cap that silently truncates if the construction changes — the t17
+#: lesson).
+_M06_MAX_OUT = (16 + 32) * 3 // 2
+
+
+@register(
+    "m06_audio_resample",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         16 + CAST(doc_id % 33 AS BIGINT) AS n_src
+  FROM documents WHERE doc_id % 5 = 0
+),
+k AS (SELECT doc_id, n_src, n_src * 3 // 2 AS n_out FROM g),
+px AS (
+  SELECT doc_id, n_src, n_out,
+         CAST(floor((t + 0.5) * n_src / n_out) AS BIGINT) AS src_idx
+  FROM k CROSS JOIN (SELECT unnest(range(0, {_M06_MAX_OUT} + 1)) AS t)
+  WHERE t < n_out
+)
+SELECT doc_id AS item_id,
+       CAST(8000 AS INT) AS src_rate,
+       CAST(12000 AS INT) AS dst_rate,
+       n_src,
+       MAX(n_out) AS n_out,
+       CAST(44 + MAX(n_out) * 2 AS BIGINT) AS dst_bytes,
+       CAST(SUM((doc_id * 7 + src_idx * 13) % 2048 - 1024) AS BIGINT)
+         AS checksum
+FROM px
+GROUP BY doc_id, n_src
+ORDER BY item_id
+""",
+    description="Real audio resample round-trip, hash-verified (the audio "
+    "twin of m05): Spark synthesizes a mono PCM16 WAV per item — sample "
+    "k carries (doc_id*7 + k*13) % 2048 - 1024 — pushes it through the "
+    "REAL sample-rate converter (operators/multimodal.py::audio_resample "
+    "— RIFF chunk walk, NN index resample 8000→12000 Hz, PCM16 "
+    "re-encode) and re-decodes the RESAMPLED payload to report its "
+    "sample checksum and byte size; the oracle replays the index map "
+    "floor((t+0.5)*n_src/n_out) arithmetically.  Pins the converter's "
+    "actual sample selection and container byte layout (44-byte header "
+    "+ 2 bytes/sample).  Map-only: three mapInPandas stages, zero "
+    "shuffles before the output sort.",
+)
+def m06_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    import numpy as np
+
+    from agentic_etl_poc_spark.operators.multimodal import (
+        _wav_pcm16,
+        audio_resample,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n_src = 16 + i % 33
+                k = np.arange(n_src, dtype=np.int64)
+                samples = (i * 7 + k * 13) % 2048 - 1024
+                rows.append((i, _wav_pcm16(samples, 8000)))
+            yield pd.DataFrame(rows, columns=["item_id", "payload"])
+
+    payloads = d.mapInPandas(synth, schema="item_id bigint, payload binary")
+    resampled = audio_resample(payloads, out_rate=12000, fake=False)
+
+    def checksum(batches):
+        for pdf in batches:
+            rows = []
+            for item_id, payload, src_rate, dst_rate, n_src, n_out in zip(
+                pdf["item_id"], pdf["payload"], pdf["src_rate"],
+                pdf["dst_rate"], pdf["n_src"], pdf["n_out"],
+            ):
+                data = bytes(payload)
+                n = struct.unpack_from("<I", data, 40)[0] // 2
+                samples = np.frombuffer(data, "<i2", count=n, offset=44)
+                rows.append(
+                    (
+                        int(item_id), int(src_rate), int(dst_rate),
+                        int(n_src), int(n_out), len(data),
+                        int(samples.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "item_id", "src_rate", "dst_rate",
+                    "n_src", "n_out", "dst_bytes", "checksum",
+                ],
+            )
+
+    out = resampled.mapInPandas(
+        checksum,
+        schema=(
+            "item_id bigint, src_rate int, dst_rate int, n_src bigint, "
+            "n_out bigint, dst_bytes bigint, checksum bigint"
+        ),
+    )
+    return out.orderBy("item_id")
