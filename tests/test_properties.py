@@ -285,3 +285,63 @@ def test_sessionize_state_closes_when_batch_is_far():
     closed, carried = _run([(0, 1.0)], state_tuple=prior)
     assert len(closed) == 1 and closed.iloc[0]["n_events"] == 2
     assert carried[2] == 1  # new open session = the batch row
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64),
+    st.sampled_from([8000, 12000, 16000, 44100]),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_encoder_decoder_roundtrip(samples, rate):
+    """The m06 WAV encoder round-trips through the real decoder: the
+    reported rate matches, the duration is n/rate, and the RMS equals the
+    normalized samples' RMS (numpy double arithmetic both ways)."""
+    import numpy as np
+
+    from agentic_etl_poc_spark.operators.multimodal import (
+        _decode_audio_real,
+        _wav_pcm16,
+    )
+
+    payload = _wav_pcm16(np.array(samples, dtype=np.int64), rate)
+    duration, got_rate, rms = _decode_audio_real(payload)
+    assert got_rate == rate
+    assert duration == len(samples) / float(rate)
+    expect = float(
+        np.sqrt(np.mean((np.array(samples, dtype=np.float64) / 32768.0) ** 2))
+    )
+    assert rms == expect
+
+
+@given(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=2))
+@settings(max_examples=20, deadline=None)
+def test_parquet_pieces_enumerates_files_and_row_groups(tmp_path_factory, n_files, rgs_per_file):
+    """_piece_row_groups flattens (file, row_group) units across a
+    directory dataset in sorted-file order; a single file degenerates to
+    its own row groups; zero-row-group files contribute nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agentic_etl_poc_spark.sources.py_datasource import (
+        _parquet_pieces,
+        _piece_row_groups,
+    )
+
+    d = tmp_path_factory.mktemp("ds")
+    for i in range(n_files):
+        path = str(d / f"part-{i}.parquet")
+        schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                            ("source", pa.string()), ("n_chars", pa.int64())])
+        with pq.ParquetWriter(path, schema) as w:
+            for _ in range(rgs_per_file):
+                w.write_table(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                        "lang": pa.array(["en"]),
+                                        "source": pa.array(["s"]),
+                                        "n_chars": pa.array([1], pa.int64())}))
+    pieces = _parquet_pieces(str(d))
+    assert pieces == sorted(pieces) and len(pieces) == n_files
+    units = _piece_row_groups(str(d))
+    assert len(units) == n_files * rgs_per_file
+    assert [u for u in units] == [
+        (p, rg) for p in pieces for rg in range(rgs_per_file)
+    ]
