@@ -101,18 +101,18 @@ def register(name: str, oracle: str | None, description: str = ""):
 
 
 #: Explicit registry order.  The external correctness sweep walks this
-#: order and records only the FIRST ~50 entries per round (rounds 1-4
-#: each recorded exactly 50).  Round-5 rotation, three bands:
+#: order and records only the FIRST ~50 entries per round (rounds 1-5
+#: each recorded exactly 50).  Round-6 rotation, three bands:
 #:
-#: 1. Slots 1-50 (the sweep window) — every never-driver-sampled entry
-#:    first (the 8 round-4 additions, replica-green in REPLICA_r04.json,
-#:    plus the six new round-5 entries v05/v06/p02/p03/t18/s10 — all 14
-#:    replica-green in REPLICA_r05.json), then the 36 cheapest of the 48
-#:    entries whose latest driver-green row is r03.  Streaming entries
-#:    sit adjacent so the staged-topic cache is shared.
-#: 2. The 12 r03-era spillovers that did not fit — they lead round 6's
-#:    window (with anything new in round 6).
-#: 3. Entries green in the r04 sweep, cheap-first.
+#: 1. Slots 1-50 (the sweep window) — new round-6 entries first (never
+#:    driver-sampled entries must sit inside the window), then the 24
+#:    entries whose latest driver-green row is r03 (they have waited
+#:    longest), cheap-first with streaming adjacent at the block tail so
+#:    v01/v02 share the staged-topic cache, then the cheapest r04-era
+#:    entries until the window is full.
+#: 2. The r04-era spillovers that did not fit — they lead round 7's
+#:    window (with anything new in round 7).
+#: 3. Entries green in the r05 sweep, cheap-first.
 #:
 #: tests/test_battery_contract.py::test_sweep_priority_block_leads
 #: recomputes this invariant from the CORRECTNESS_r*.json files and goes
@@ -122,99 +122,26 @@ def register(name: str, oracle: str | None, description: str = ""):
 #: bench.py iterates sorted(battery), so this order never skews
 #: per-query bench attribution.
 SWEEP_ORDER: tuple[str, ...] = (
-    # -- band 1 (sweep window, 50): first the 8 entries never driver-
-    # -- sampled (replica-green since r04), cheap-first, streaming last
-    # -- so v03/v04 share the staged-topic cache back-to-back ---------
-    "u05_arrow_map_batches",
-    # new in round 5 (never driver-sampled): Python DataSource API,
-    # read and write paths
-    "u06_python_datasource",
-    "u07_python_writer",
-    "m04_image_decode",
-    "s09_matryoshka_recall",
-    # new in round 5 (never driver-sampled): metadata-filtered kNN
-    "s10_filtered_knn",
-    # new in round 5 (never driver-sampled): resize / resample kernel
-    # round-trips
-    "m05_image_resize",
-    "m06_audio_resample",
-    "m03_audio_decode",
-    "t17_chunk_dedup",
-    # new in round 5 (never driver-sampled): overlapping RAG chunking,
-    # the unigram-LM rarity proxy, and epoch-weighted upsampling
-    "t18_sliding_chunks",
-    "t19_token_rarity",
-    "t20_quality_upsample",
-    # new in round 5 (never driver-sampled): MinHash sketch-error eval
-    # and product-quantization ADC recall
-    "d11_sketch_error",
-    "s11_pq_adc",
-    # new in round 5 (never driver-sampled): deterministic training
-    # shuffle and BPE tokenizer training
-    "t21_training_shuffle",
-    "t22_bpe_merges",
-    "p01_curation_pipeline",
-    # new in round 5 (never driver-sampled): the reference's CSV-triplet
-    # plan path and the incremental-watermark runs, end-to-end under the
-    # oracle
-    "p02_plan_csv_pipeline",
-    "p03_plan_incremental",
-    # new in round 5 (never driver-sampled): the JSON-source plan path
-    "p04_plan_json_pipeline",
-    "v03_stream_dedup_exact",
-    "v04_stream_stream_join",
-    # new in round 5 (never driver-sampled): multi-batch watermark
-    # eviction and stream-static enrichment — share the staged-topic
-    # cache with v01-v04 above
-    "v05_stream_watermark_eviction",
-    "v06_stream_static_enrich",
-    # new in round 5 (never driver-sampled): Python streaming source
-    "v07_stream_python_source",
-    # -- then the cheapest entries whose latest driver-green row is
-    # -- r03 (cheap-first by builder per-query bench) -----------------
-    "q08_topk_orders",
-    "q39_regexp_groups",
-    "q37_map_functions",
-    "t12_length_deciles",
-    "q16_math_funcs",
-    "q02_cast_coalesce_project",
-    "t10_source_mixture",
-    "q40_union_by_name",
-    "q30_null_semantics",
-    "q43_rank_family",
-    "t08_train_test_split",
-    "q47_bitwise_agg",
-    "t09_corpus_stats",
-    "q38_string_agg",
-    "q46_ignore_nulls_fill",
-    "q15_string_funcs",
-    "q42_json_struct_parse",
-    "q33_scd2_versions",
-    "m01_multimodal_metadata",
-    "q32_histogram",
-    "q52_funnel",
-    "q36_explode_outer",
-    "s01_knn_bruteforce",
-    "q35_not_in_null_trap",
-    # -- band 2: r03-era spillovers that did not fit the 50-slot window
-    # -- (it absorbed the eighteen new round-5 entries) — these lead round 6
+    # -- band 1 (sweep window, 50): the 24 entries whose latest driver-
+    # -- green row is r03, cheap-first (builder per-query bench), with
+    # -- the two streaming entries adjacent at the tail ---------------
     "q29_range_frame_interval",
     "q07_conditional_agg",
-    "t13_vocab_by_source",
-    "q26_sliding_window",
     "u04_arrow_scalar_udf",
     "q44_arg_extremes",
+    "s07_int8_quantization",
+    "t13_vocab_by_source",
     "q31_date_spine_gapfill",
+    "q28_array_map_agg",
     "q49_latest_record_dedup",
     "d10_cluster_survivors",
-    "q28_array_map_agg",
-    "s07_int8_quantization",
-    "q50_higher_order_funcs",
-    "s06_knn_join",
-    "q51_salted_skew_agg",
-    "q48_shipping_priority",
-    "t16_sequence_packing",
+    "q26_sliding_window",
     "q55_lateral_topn",
+    "q51_salted_skew_agg",
+    "q50_higher_order_funcs",
+    "t16_sequence_packing",
+    "s06_knn_join",
+    "q48_shipping_priority",
     "q54_recursive_year_ladder",
     "q56_local_supplier_volume",
     "q45_grouping_sets",
@@ -222,57 +149,111 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s08_kmeans_refine",
     "v01_stream_tumbling_agg",
     "v02_stream_sessionize",
-    # -- band 3: green in r04, cheap-first ----------------------------
-    "q20_tumbling_window",
+    # -- then the 26 cheapest entries whose latest driver-green row is
+    # -- r04, cheap-first ---------------------------------------------
     "q04_weekly_rollup",
-    "u02_python_udtf",
-    "q13_semi_anti_join",
-    "q22_percentiles",
     "q06_join_cast_key_broadcast",
-    "u01_grouped_pandas_agg",
-    "t01_token_stats",
     "q12_set_ops",
-    "q34_full_outer_reconcile",
-    "t14_tfidf_keywords",
-    "d09_containment",
-    "s05_ann_multiprobe",
-    "d08_fuzzy_levenshtein",
-    "q05_left_join_multikey",
-    "s04_ann_recall",
+    "q13_semi_anti_join",
+    "q20_tumbling_window",
+    "q22_percentiles",
     "q14_rollup",
-    "q53_retention_cohorts",
+    "d09_containment",
+    "s04_ann_recall",
+    "q34_full_outer_reconcile",
+    "s05_ann_multiprobe",
+    "u02_python_udtf",
+    "t01_token_stats",
     "q18_asof_join",
-    "t07_pii_scan_redact",
-    "q41_set_ops_all",
-    "q25_pivot_unpivot",
-    "q10_window_rank",
-    "t05_pandas_tokens",
-    "t02_quality_score",
+    "q05_left_join_multikey",
+    "t14_tfidf_keywords",
     "q27_correlated_subquery",
+    "d08_fuzzy_levenshtein",
+    "q25_pivot_unpivot",
+    "t07_pii_scan_redact",
+    "u01_grouped_pandas_agg",
+    "q41_set_ops_all",
     "q09_distinct_agg",
-    "q17_hourly_json",
+    "t02_quality_score",
+    "q53_retention_cohorts",
+    "t05_pandas_tokens",
+    # -- band 2: r04-era spillovers that did not fit the 50-slot window
+    # -- — these lead round 7 (with anything new in round 7) ----------
+    "q10_window_rank",
     "q21_cube_grouping",
-    "q11_running_window",
-    "s02_ann_lsh",
-    "t03_langid",
     "q19_range_join",
-    "t11_repetition_score",
-    "q23_approx_distinct",
-    "q24_sessionize_batch",
-    "s03_ann_ivf",
+    "q17_hourly_json",
+    "q11_running_window",
     "t06_boilerplate_ratio",
+    "t03_langid",
+    "s02_ann_lsh",
+    "q23_approx_distinct",
     "d01_dedup_exact",
+    "t11_repetition_score",
+    "q24_sessionize_batch",
     "q03_try_dateparse",
-    "q01_pricing_summary",
-    "d06_embedding_neardup",
+    "s03_ann_ivf",
     "u03_pandas_udaf_weighted",
+    "q01_pricing_summary",
     "t04_fingerprint",
-    "d07_dedup_clusters",
     "d02_dedup_fingerprint",
+    "d06_embedding_neardup",
     "m02_frame_fingerprints",
-    "d05_simhash",
+    "d07_dedup_clusters",
     "d03_ngram_jaccard",
+    "d05_simhash",
     "d04_minhash_lsh",
+    # -- band 3: green in the r05 sweep, cheap-first ------------------
+    "q16_math_funcs",
+    "q08_topk_orders",
+    "q02_cast_coalesce_project",
+    "q30_null_semantics",
+    "q37_map_functions",
+    "q39_regexp_groups",
+    "t12_length_deciles",
+    "m01_multimodal_metadata",
+    "t09_corpus_stats",
+    "q47_bitwise_agg",
+    "q32_histogram",
+    "q40_union_by_name",
+    "q46_ignore_nulls_fill",
+    "t10_source_mixture",
+    "q42_json_struct_parse",
+    "q33_scd2_versions",
+    "q15_string_funcs",
+    "t08_train_test_split",
+    "t20_quality_upsample",
+    "q36_explode_outer",
+    "t21_training_shuffle",
+    "q38_string_agg",
+    "q43_rank_family",
+    "s01_knn_bruteforce",
+    "q52_funnel",
+    "u05_arrow_map_batches",
+    "d11_sketch_error",
+    "q35_not_in_null_trap",
+    "s10_filtered_knn",
+    "m06_audio_resample",
+    "m04_image_decode",
+    "t19_token_rarity",
+    "t18_sliding_chunks",
+    "m05_image_resize",
+    "s09_matryoshka_recall",
+    "m03_audio_decode",
+    "t22_bpe_merges",
+    "p04_plan_json_pipeline",
+    "v06_stream_static_enrich",
+    "v03_stream_dedup_exact",
+    "p01_curation_pipeline",
+    "t17_chunk_dedup",
+    "s11_pq_adc",
+    "v05_stream_watermark_eviction",
+    "u07_python_writer",
+    "v04_stream_stream_join",
+    "p03_plan_incremental",
+    "v07_stream_python_source",
+    "u06_python_datasource",
+    "p02_plan_csv_pipeline",
 )
 
 
