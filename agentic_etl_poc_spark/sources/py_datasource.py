@@ -44,16 +44,29 @@ _COLUMNS = ["doc_id", "lang", "source", "n_chars"]
 def _parquet_pieces(path: str) -> list[str]:
     """A parquet dataset is a FILE or a DIRECTORY of part files (the
     directory form is what every engine writes at scale) — return the
-    ordered physical files either way."""
+    ordered physical files either way.  Directories are walked
+    RECURSIVELY (partitioned layouts nest key=value subdirs), engine
+    sidecars (_SUCCESS, _metadata, .crc, hidden files) are ignored, and
+    any OTHER entry raises — a dataset that silently scans as missing
+    data is the one failure mode a source must never have."""
     import os
 
-    if os.path.isdir(path):
-        return sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-    return [path]
+    if not os.path.isdir(path):
+        return [path]
+    pieces: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                pieces.append(os.path.join(root, f))
+            elif f.startswith(("_", ".")) or f.endswith(".crc"):
+                continue  # engine sidecars / checksums / manifests
+            else:
+                raise ValueError(
+                    f"unexpected non-parquet entry {os.path.join(root, f)!r} "
+                    f"in dataset {path!r}; refusing to scan a dataset whose "
+                    f"contents I do not understand"
+                )
+    return sorted(pieces)
 
 
 def _piece_row_groups(path: str) -> list[tuple[str, int]]:
@@ -208,7 +221,9 @@ class LedgerWriteDataSource(DataSource):
         return "pyledger"
 
     def writer(self, schema, overwrite: bool) -> "LedgerWriter":
-        return LedgerWriter(self.options, [f.name for f in schema.fields])
+        return LedgerWriter(
+            self.options, [f.name for f in schema.fields], overwrite
+        )
 
 
 @dataclass
@@ -218,9 +233,10 @@ class LedgerCommit(WriterCommitMessage):
 
 
 class LedgerWriter(DataSourceWriter):
-    def __init__(self, options, columns):
+    def __init__(self, options, columns, overwrite: bool = True):
         self._dir = options["path"]
         self._columns = columns
+        self._overwrite = overwrite
 
     def write(self, iterator) -> "LedgerCommit":
         import json
@@ -240,15 +256,31 @@ class LedgerWriter(DataSourceWriter):
         return LedgerCommit(filename=name, n_rows=n)
 
     def commit(self, messages) -> None:
+        """Promote acknowledged parts into the manifest ATOMICALLY: the
+        manifest is written to a temp name and os.replace'd, so a crash
+        mid-commit leaves either the old manifest or the new one, never a
+        truncated file.  mode('append') MERGES with an existing manifest
+        instead of overwriting it — otherwise previously committed parts
+        would be silently orphaned despite the exactly-once claim."""
         import json
         import os
+        import uuid
 
-        manifest = {
-            "files": sorted(m.filename for m in messages if m is not None),
-            "rows": sum(m.n_rows for m in messages if m is not None),
-        }
-        with open(os.path.join(self._dir, "_MANIFEST.json"), "w") as f:
+        files = sorted(m.filename for m in messages if m is not None)
+        rows = sum(m.n_rows for m in messages if m is not None)
+        manifest_path = os.path.join(self._dir, "_MANIFEST.json")
+        if not self._overwrite and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                prior = json.load(f)
+            files = sorted(set(prior["files"]) | set(files))
+            rows += prior["rows"]
+        manifest = {"files": files, "rows": rows}
+        tmp = manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
             json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, manifest_path)
 
     def abort(self, messages) -> None:
         import os

@@ -174,6 +174,67 @@ def test_u07_manifest_scopes_reads(spark, tmp_path):
     assert back.filter("id = 999").count() == 0
 
 
+def test_u07_append_merges_manifest_overwrite_replaces(spark, tmp_path):
+    """mode('append') must MERGE with an existing manifest (a second save
+    used to overwrite it wholesale, silently orphaning the first commit's
+    parts); mode('overwrite') replaces the manifest so only the new parts
+    are visible."""
+    import json
+    import os
+
+    from agentic_etl_poc_spark.sources.py_datasource import (
+        read_ledger,
+        register_writer,
+    )
+
+    register_writer(spark)
+    out = str(tmp_path / "ledger")
+    df1 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    df1.coalesce(2).write.format("pyledger").option("path", out).mode(
+        "append"
+    ).save()
+    df2 = spark.range(100, 105).selectExpr("id", "id * 2 AS v")
+    df2.coalesce(1).write.format("pyledger").option("path", out).mode(
+        "append"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["rows"] == 15 and len(manifest["files"]) == 3
+    assert read_ledger(spark, out).count() == 15
+    # overwrite: manifest lists ONLY the new commit's parts
+    df2.coalesce(1).write.format("pyledger").option("path", out).mode(
+        "overwrite"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["rows"] == 5 and len(manifest["files"]) == 1
+    assert read_ledger(spark, out).count() == 5
+
+
+def test_parquet_pieces_recurses_and_rejects_strangers(tmp_path):
+    """Partitioned (key=value subdir) datasets enumerate recursively;
+    engine sidecars are ignored; an unrecognized entry raises instead of
+    silently scanning as missing data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from agentic_etl_poc_spark.sources.py_datasource import _parquet_pieces
+
+    d = tmp_path / "ds"
+    (d / "lang=en").mkdir(parents=True)
+    (d / "lang=fr").mkdir()
+    tbl = pa.table({"doc_id": pa.array([1], pa.int64())})
+    pq.write_table(tbl, str(d / "lang=en" / "part-0.parquet"))
+    pq.write_table(tbl, str(d / "lang=fr" / "part-0.parquet"))
+    (d / "_SUCCESS").write_text("")
+    (d / "lang=en" / ".part-0.parquet.crc").write_text("")
+    pieces = _parquet_pieces(str(d))
+    assert len(pieces) == 2 and all(p.endswith(".parquet") for p in pieces)
+    assert pieces == sorted(pieces)
+    (d / "lang=fr" / "stray.txt").write_text("not parquet")
+    with pytest.raises(ValueError, match="stray.txt"):
+        _parquet_pieces(str(d))
+
+
 def test_t22_bpe_merges_are_wellformed(spark):
     """Each learned merge is a valid adjacent-symbol pair: exactly one
     separator space, merged symbol is its concatenation, frequencies are
