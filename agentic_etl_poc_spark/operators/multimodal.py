@@ -283,6 +283,39 @@ def image_resize(
     return df.select("item_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+def _walk_riff(payload: bytes) -> tuple[tuple, bytes]:
+    """Strict RIFF/WAVE chunk walk shared by the decode and resample
+    kernels: returns (fmt tuple, data bytes).  Every malformation raises
+    ValueError — a declared chunk size overrunning the buffer, a fmt
+    chunk under the 16-byte PCM minimum, or a missing fmt/data chunk —
+    instead of silently truncating via slicing or surfacing a raw
+    struct.error from deeper in."""
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > n:
+            raise ValueError(
+                f"malformed WAV: chunk {cid!r} declares {size} bytes but "
+                f"only {n - pos - 8} remain"
+            )
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(
+                    f"malformed WAV: fmt chunk is {size} bytes, PCM needs 16"
+                )
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    return fmt, data
+
+
 def _decode_audio_real(payload: bytes) -> tuple[float, int, float]:
     """Real RIFF/WAV decode: chunk-walk the container, read the fmt
     block, decode PCM samples, return (duration_sec, sample_rate, rms in
@@ -293,20 +326,13 @@ def _decode_audio_real(payload: bytes) -> tuple[float, int, float]:
             "unsupported audio format (not RIFF/WAVE); real decode supports "
             "PCM WAV — MP3/AAC need ffmpeg, out of scope here"
         )
-    pos, n = 12, len(payload)
-    fmt = None
-    data = None
-    while pos + 8 <= n:
-        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
-        body = payload[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
-        elif cid == b"data":
-            data = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt is None or data is None:
-        raise ValueError("malformed WAV: missing fmt/data chunk")
+    fmt, data = _walk_riff(payload)
     audio_format, channels, sample_rate, _, _, bits = fmt
+    if len(data) % max(bits // 8, 1):
+        raise ValueError(
+            f"malformed WAV: data chunk length {len(data)} is not a "
+            f"multiple of the {bits}-bit sample width"
+        )
     if audio_format == 1 and bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif audio_format == 1 and bits == 8:
@@ -402,26 +428,17 @@ def audio_resample(df: DataFrame, out_rate: int, fake: bool = False) -> DataFram
                 "unsupported audio format (not RIFF/WAVE); real resample "
                 "supports mono PCM16 WAV — compressed codecs need ffmpeg"
             )
-        pos, n = 12, len(data)
-        fmt = None
-        body = None
-        while pos + 8 <= n:
-            cid = data[pos : pos + 4]
-            size = struct.unpack_from("<I", data, pos + 4)[0]
-            chunk = data[pos + 8 : pos + 8 + size]
-            if cid == b"fmt ":
-                fmt = struct.unpack_from("<HHIIHH", chunk, 0)
-            elif cid == b"data":
-                body = chunk
-            pos += 8 + size + (size & 1)
-        if fmt is None or body is None:
-            raise ValueError("malformed WAV: missing fmt/data chunk")
+        fmt, body = _walk_riff(data)
         audio_format, channels, src_rate, _, _, bits = fmt
         if not (audio_format == 1 and bits == 16 and channels == 1):
             raise ValueError(
                 f"unsupported WAV encoding for resample (format="
                 f"{audio_format}, bits={bits}, channels={channels}); "
                 "real resample supports mono PCM16"
+            )
+        if len(body) % 2:
+            raise ValueError(
+                f"malformed WAV: PCM16 data chunk has odd length {len(body)}"
             )
         samples = np.frombuffer(body, dtype="<i2")
         n_src = len(samples)

@@ -163,6 +163,63 @@ def test_real_wav_decode_exact(spark):
     assert r["rms"] == 16384 / 32768.0
 
 
+def test_walk_riff_rejects_malformed_containers():
+    """Every malformation is a ValueError, never a silent truncation or a
+    raw struct/buffer error: chunk size overrunning the buffer, fmt chunk
+    under 16 bytes, odd-length PCM16 data, data length not a multiple of
+    the sample width."""
+    import struct
+
+    import numpy as np
+
+    from agentic_etl_poc_spark.operators.multimodal import (
+        _decode_audio_real,
+        _walk_riff,
+        _wav_pcm16,
+    )
+
+    def riff(*chunks: bytes) -> bytes:
+        body = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    fmt16 = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+    )
+    # declared data size overruns the remaining buffer
+    overrun = riff(fmt16, b"data" + struct.pack("<I", 1_000_000) + b"\x00\x00")
+    with pytest.raises(ValueError, match="remain"):
+        _walk_riff(overrun)
+    # fmt chunk below the 16-byte PCM minimum (used to raise struct.error)
+    tiny_fmt = riff(
+        b"fmt " + struct.pack("<I", 8) + b"\x00" * 8,
+        b"data" + struct.pack("<I", 2) + b"\x00\x00",
+    )
+    with pytest.raises(ValueError, match="fmt chunk"):
+        _walk_riff(tiny_fmt)
+    # odd-length PCM16 data chunk (used to be a generic numpy buffer error)
+    odd = riff(fmt16, b"data" + struct.pack("<I", 3) + b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="sample width"):
+        _decode_audio_real(odd)
+    # a well-formed encoder payload still walks clean
+    good = _wav_pcm16(np.array([1, -2, 3], dtype=np.int64), 8000)
+    fmt, data = _walk_riff(good)
+    assert fmt[0] == 1 and fmt[5] == 16 and len(data) == 6
+
+
+def test_audio_resample_rejects_odd_pcm16_data(spark):
+    import struct
+
+    from agentic_etl_poc_spark.operators.multimodal import audio_resample
+
+    fmt16 = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+    )
+    body = b"WAVE" + fmt16 + b"data" + struct.pack("<I", 3) + b"\x00" * 4
+    odd = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(Exception, match="odd length"):
+        audio_resample(_payload_df(spark, [odd]), 16000, fake=False).collect()
+
+
 def test_real_frame_sample_ppm_stream(spark):
     # 5 concatenated frames; sample 2 evenly -> frames 0 and 2 (floor(j*5/2))
     frames = [
