@@ -40,6 +40,9 @@ class CsvSource:
 class JsonSource:
     path: str = ""
     json_path: str = ""
+    #: 'auto' (suffix for files, content sniff for directories), 'ndjson',
+    #: or 'multiline' — explicit override for layouts the sniff can't see.
+    mode: str = "auto"
 
 
 @dataclass
@@ -168,6 +171,7 @@ def plan_from_dict(doc: dict[str, Any]) -> Plan:
         json=JsonSource(
             path=_get(_get(src_d, "json", {}), "path", ""),
             json_path=_get(_get(src_d, "json", {}), "json_path", ""),
+            mode=str(_get(_get(src_d, "json", {}), "mode", "auto")),
         )
         if "json" in src_d
         else None,

@@ -71,7 +71,13 @@ def extract(spark: SparkSession, plan: Plan) -> DataFrame | None:
                 "CSV source requires either csv.path or csv.paths{...}"
             )
     elif kind == "json":
-        df = read_json(spark, src.json.path, src.json.json_path, max_bytes=max_bytes)
+        df = read_json(
+            spark,
+            src.json.path,
+            src.json.json_path,
+            max_bytes=max_bytes,
+            mode=src.json.mode,
+        )
     elif kind == "db":
         from agentic_etl_poc_spark.sources.jdbc_source import fetch_db
 

@@ -79,17 +79,70 @@ def select_rows(df: DataFrame, selector: str) -> DataFrame:
     return _flatten(df)
 
 
+_NDJSON_SUFFIXES = (".ndjson", ".jsonl")
+
+
+def _infer_ndjson(path: str) -> bool:
+    """True → read as line-delimited (NDJSON), False → multiLine document.
+
+    Files keep the suffix rule (.ndjson/.jsonl → lines).  DIRECTORIES are
+    sniffed by their CONTENTS, not their name: a directory of NDJSON part
+    files not named '*.ndjson' used to be read multiLine — one record per
+    file, silently wrong rows.  Sniff order: any contained data file with
+    an NDJSON suffix wins; otherwise the first line of the first data
+    file is parsed — a complete JSON value on line one means
+    line-delimited (engines write NDJSON parts as 'part-*.json', so the
+    suffix alone cannot decide)."""
+    import json as _json
+    import os
+
+    if not os.path.isdir(path):
+        return path.lower().endswith(_NDJSON_SUFFIXES)
+    data_files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if not f.startswith(("_", ".")) and not f.endswith(".crc")
+    )
+    if any(f.lower().endswith(_NDJSON_SUFFIXES) for f in data_files):
+        return True
+    for f in data_files:
+        with open(f, "rb") as fh:
+            for raw in fh:
+                line = raw.strip()
+                if not line:
+                    continue
+                try:
+                    _json.loads(line)
+                    return True  # line 1 is a complete JSON value
+                except ValueError:
+                    return False  # pretty-printed document
+        break  # first data file decides; an empty file falls through
+    return False
+
+
 def read_json(
     spark: SparkSession,
     path: str,
     json_path: str = "",
     max_bytes: int | None = 1_000_000_000,
+    mode: str = "auto",
 ) -> DataFrame:
-    """Read a JSON document (.json → multiLine) or NDJSON (.ndjson → lines)
-    and apply the row selector + flattening."""
+    """Read a JSON document (multiLine) or NDJSON (line-delimited) and
+    apply the row selector + flattening.  ``mode`` is 'auto' (suffix for
+    files, content sniff for directories — see ``_infer_ndjson``),
+    'ndjson', or 'multiline'; plans set it via ``source.json.mode``."""
     from agentic_etl_poc_spark.sources.csv_source import check_size
 
     check_size(path, max_bytes)
-    multiline = not path.lower().endswith(".ndjson")
-    df = spark.read.option("multiLine", multiline).json(path)
+    if mode == "auto":
+        ndjson = _infer_ndjson(path)
+    elif mode in ("ndjson", "jsonl", "lines"):
+        ndjson = True
+    elif mode in ("multiline", "document"):
+        ndjson = False
+    else:
+        raise ValueError(
+            f"unknown JSON mode {mode!r}; expected auto|ndjson|multiline"
+        )
+    df = spark.read.option("multiLine", not ndjson).json(path)
     return select_rows(df, json_path)

@@ -253,6 +253,40 @@ def test_json_source_roundtrip(spark, tmp_path):
     assert rows[1234567]["manufacturer.name"] == "acme"
 
 
+def test_json_directory_of_ndjson_parts_sniffed(spark, tmp_path):
+    """A directory of NDJSON part files NOT named '*.ndjson' (engines
+    write 'part-*.json') must be read line-delimited: the old
+    suffix-of-the-directory rule read it multiLine — one record per file,
+    silently wrong rows."""
+    from agentic_etl_poc_spark.sources.json_source import read_json
+
+    d = tmp_path / "events_topic"  # no .ndjson suffix anywhere
+    d.mkdir()
+    (d / "part-0.json").write_text(
+        '{"id": 1, "v": "a"}\n{"id": 2, "v": "b"}\n'
+    )
+    (d / "part-1.json").write_text('{"id": 3, "v": "c"}\n')
+    (d / "_SUCCESS").write_text("")
+    df = read_json(spark, str(d))
+    assert df.count() == 3  # used to be 2 (one doc per file)
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+    # explicit mode override beats the sniff
+    assert read_json(spark, str(d), mode="ndjson").count() == 3
+
+
+def test_json_directory_of_documents_sniffed(spark, tmp_path):
+    """A directory of pretty-printed one-document files reads multiLine:
+    line 1 of a pretty document is not a complete JSON value."""
+    from agentic_etl_poc_spark.sources.json_source import read_json
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.json").write_text('{\n  "id": 1,\n  "v": "a"\n}\n')
+    (d / "b.json").write_text('{\n  "id": 2,\n  "v": "b"\n}\n')
+    df = read_json(spark, str(d))
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+
+
 def test_verify_csv_missing_file(spark):
     from agentic_etl_poc_spark.operators.verify import verify_csv
 
