@@ -47,7 +47,11 @@ def dq_check(
     if check_fresh:
         aggs.append(F.max(F.col(timestamp_col).cast("timestamp")).alias("__max_ts"))
 
-    row = df.agg(*aggs).collect()[0].asDict()
+    from agentic_etl_poc_spark import plan_capture
+
+    agg_df = df.agg(*aggs)
+    plan_capture.note("dq_agg", agg_df)
+    row = agg_df.collect()[0].asDict()
     rows = int(row["__rows"])
 
     ok, err = True, None

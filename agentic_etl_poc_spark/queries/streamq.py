@@ -46,7 +46,9 @@ from pyspark.sql import functions as F
 from agentic_etl_poc_spark.io_tables import table
 from agentic_etl_poc_spark.queries.core import register
 from agentic_etl_poc_spark.streaming.events import (
+    _note_executed_stream_plan,
     dedup_stream,
+    noop_state,
     run_to_memory,
     sessionize,
     stream_events,
@@ -164,6 +166,27 @@ def events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
             ev.unpersist()
     _STAGED[sf_dir] = out
     return out
+
+
+def state_harness_floor(spark: SparkSession, sf_dir: str) -> float:
+    """Measured applyInPandasWithState harness floor: drain a NOOP state
+    fn over the same staged topic, watermark, and state-partition pin v02
+    uses and return the wall seconds.  Two jobs in one: (a) the number is
+    the Arrow/state-machinery cost any stateful-Python operator pays, so
+    ``(v02 - floor) / v01`` measures the sessionize PLAN rather than API
+    startup; (b) running it before a timed region pre-warms the Python
+    state-worker pool and the staged-topic cache, so the timed v02
+    reflects marginal cost.  bench.py records it as ``state_floor_sec``."""
+    import time
+
+    src = events_stream_dir(spark, sf_dir)
+    name = f"v00_floor_{next(_MEM_SEQ)}"
+    parts = _drain_parts_for(spark, [src], STREAM_STATEFUL_PY_PARTITIONS)
+    t0 = time.perf_counter()
+    with _drain_partitions(spark, parts):
+        stream = stream_events(spark, src, watermark="3650 days")
+        run_to_memory(noop_state(stream), name)
+    return round(time.perf_counter() - t0, 3)
 
 
 @register(
@@ -620,4 +643,5 @@ def v07_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        _note_executed_stream_plan(q)
     return spark.table(name).orderBy("source")

@@ -360,6 +360,9 @@ def u07_python_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+    from agentic_etl_poc_spark import plan_capture
+
+    plan_capture.note("ledger_sink_input", agg)
     agg.write.format("pyledger").option("path", out).mode("append").save()
     back = read_ledger(spark, out)
     return back.select(

@@ -175,11 +175,15 @@ def run_from_plan(
         # cast above parses under the SESSION timezone (UTC) — on a
         # non-UTC driver the watermark would shift by the UTC offset and
         # silently skip or reprocess rows.
-        max_row = src_df.agg(
+        from agentic_etl_poc_spark import plan_capture
+
+        max_df = src_df.agg(
             _F.date_format(
                 _F.max(inc.ts_col), "yyyy-MM-dd HH:mm:ss.SSSSSS"
             ).alias("m")
-        ).collect()[0]
+        )
+        plan_capture.note("incremental_max", max_df)
+        max_row = max_df.collect()[0]
         if max_row["m"] is not None:
             new_watermark = max_row["m"]
 
@@ -213,6 +217,9 @@ def run_from_plan(
             return {"status": "failed", "dq": dq}
 
         # 4) load
+        from agentic_etl_poc_spark import plan_capture
+
+        plan_capture.note("sink_input", out)
         ld = plan.load
         if ld.to == "csv":
             if not ld.file_path:

@@ -195,6 +195,53 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+_NOOP_STATE_OUT = StructType(
+    [StructField("user_id", LongType()), StructField("n", LongType())]
+)
+
+
+def noop_state(events: DataFrame) -> DataFrame:
+    """NOOP stateful operator: identical grouping / Arrow transfer /
+    state-store plumbing to ``sessionize`` with trivial per-group work
+    (count rows, store one value).  Its drain wall time is the
+    applyInPandasWithState HARNESS FLOOR — the Arrow round-trip,
+    per-group Python invocation, and state commits that any operator on
+    this API pays before doing real work.  bench.py times it outside the
+    battery region so v02's number can be read net of the machinery."""
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n = sum(len(p) for p in pdfs)
+        prior = state.get[2] if state.exists else 0
+        state.update((None, None, n + prior, 0.0))
+        yield pd.DataFrame([[key[0], n]], columns=["user_id", "n"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_NOOP_STATE_OUT,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _note_executed_stream_plan(q) -> None:
+    """Hand the drained query's LAST EXECUTED micro-batch plan to the
+    plan-capture hook (tests/test_plan_lint.py lints eager streaming
+    entries through this).  No-op outside a capture block; a drain that
+    never executed a batch (empty source) has no plan to note."""
+    from agentic_etl_poc_spark import plan_capture
+
+    try:
+        plan_capture.note_text("stream_exec", q._jsq.explainInternal(False))
+    except Exception:
+        pass  # no executed batch — nothing to lint
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, output_dir: str
 ) -> None:
@@ -209,6 +256,7 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+    _note_executed_stream_plan(q)
 
 
 def run_to_memory(
@@ -223,6 +271,7 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    _note_executed_stream_plan(q)
     return q
 
 
@@ -250,6 +299,7 @@ def run_foreach_batch(
         .start()
     )
     q.awaitTermination()
+    _note_executed_stream_plan(q)
 
 
 def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:

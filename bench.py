@@ -41,6 +41,69 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _warm_python_sources(spark) -> float:
+    """One-time Python DataSource planner/worker spin-up, billed ONCE here
+    (as ``py_source_warmup_sec``) instead of to whichever custom-source
+    query runs first in the timed region — u06/u07/v07 otherwise read
+    3-4x their warm cost (r05: u06 4.09 s recorded vs 0.95 s warm).
+    Exercises all three API paths (batch read, writer commit, stream
+    drain) on a tiny throwaway dataset."""
+    import shutil
+    import tempfile
+    import time
+
+    from agentic_etl_poc_spark.sources.py_datasource import (
+        register,
+        register_stream,
+        register_writer,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agentic_etl_poc_spark.session import ensure_semantics
+
+    t0 = time.perf_counter()
+    ensure_semantics(spark)  # pushFilters needs python.filterPushdown on
+    register(spark)
+    register_stream(spark)
+    register_writer(spark)
+    base = tempfile.mkdtemp(prefix="bench_pysrc_warm_")
+    try:
+        tiny = os.path.join(base, "tiny.parquet")
+        # pyarrow-direct tiny file: a Spark parquet write here would bill
+        # ~7 s of first-use Hadoop committer init to this metric
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], pa.int64()),
+                    "lang": pa.array(["en"]),
+                    "source": pa.array(["web"]),
+                    "n_chars": pa.array([10], pa.int64()),
+                }
+            ),
+            tiny,
+        )
+        spark.read.format("pydocs").option("path", tiny).load().collect()
+        spark.range(2).selectExpr("id", "id AS v").coalesce(1).write.format(
+            "pyledger"
+        ).option("path", os.path.join(base, "ledger")).mode("append").save()
+        q = (
+            spark.readStream.format("pydocs_stream")
+            .option("path", tiny)
+            .load()
+            .writeStream.format("memory")
+            .queryName("bench_pysrc_warm")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return round(time.perf_counter() - t0, 3)
+
+
 def _calibrate(spark) -> float:
     """Fixed, data-independent CPU/JVM kernel: 50M-row range fold across
     32 partitions.  Same work every round on every machine — its wall
@@ -72,6 +135,21 @@ def main() -> None:
     # billed to the first timed reading (measured: 0.64 s cold vs 0.29 s
     # warm for identical work).
     _force(battery["q01_pricing_summary"].fn(spark, sf_dir).limit(1))
+    # Fixed per-session costs, measured and billed OUTSIDE the timed
+    # region so per-query numbers reflect marginal cost: the Python
+    # data-source spin-up (see _warm_python_sources) and the
+    # applyInPandasWithState harness floor (a noop state drain on v02's
+    # exact topic/partitioning — it both warms the Python state-worker
+    # pool and yields the yardstick for the recorded v02 criterion
+    # (v02 - floor) / v01 <= 2).
+    py_source_warmup = _warm_python_sources(spark)
+    from agentic_etl_poc_spark.queries.streamq import state_harness_floor
+
+    # First call warms (topic staging + Python state-worker spin-up land
+    # here, not in the timed region); the SECOND reading is the recorded
+    # floor — the steady-state machinery cost v02 pays on every drain.
+    state_harness_floor(spark, sf_dir)
+    state_floor = state_harness_floor(spark, sf_dir)
     _calibrate(spark)
     calib_first = _calibrate(spark)
 
@@ -93,8 +171,20 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "calib_sec": [calib_first, calib_last],
+        "py_source_warmup_sec": py_source_warmup,
+        "state_floor_sec": state_floor,
     }
     full = dict(headline, queries=timings)
+    v01 = timings.get("v01_stream_tumbling_agg")
+    v02 = timings.get("v02_stream_sessionize")
+    if v01 and v02:
+        # The recorded v02 target: the sessionize PLAN (net of the
+        # measured applyInPandasWithState machinery floor) must cost no
+        # more than 2x the built-in windowed aggregation.
+        full["v02_criterion"] = {
+            "net_ratio": round(max(v02 - state_floor, 0.0) / v01, 3),
+            "target": "(v02 - state_floor_sec) / v01 <= 2",
+        }
     print(json.dumps(headline), flush=True)
     print(json.dumps(full), flush=True)
     print(json.dumps(headline), flush=True)

@@ -1,9 +1,14 @@
 """Battery-wide physical-plan lint: mechanical enforcement of the scale
 rules every entry claims in prose.
 
-Three anti-patterns are scanned for in every LAZY entry's formatted plan
-(eager entries — the p/v families and u07 — execute pipelines/streams at
-build time and are covered by their own plan-shape tests instead):
+Three anti-patterns are scanned for in every entry.  LAZY entries are
+linted on their formatted plan before any action.  EAGER entries — the
+p/v families and u07, which execute pipelines/streams at build time —
+are linted through the plan-capture hook (agentic_etl_poc_spark/
+plan_capture.py): their action sites note each executed frame's plan
+(DQ scalar aggregate, sink input, incremental high-water, the drained
+stream's last micro-batch execution), and the same three rules run over
+every captured plan plus the returned result frame:
 
 - ``CartesianProduct``: a non-broadcast cross join — quadratic shuffle,
   never acceptable.  (BroadcastNestedLoopJoin with a provably-small
@@ -31,11 +36,15 @@ from agentic_etl_poc_spark.queries import load_all
 ALL = load_all()
 
 #: Entries whose fn() executes work eagerly (plan pipelines, streaming
-#: drains, the custom-sink write): linting their RESULT frame's plan
-#: would miss the executed part anyway; their physical behavior is
-#: pinned by dedicated tests.
+#: drains, the custom-sink write): linted via the plan-capture hook in
+#: test_no_scale_antipatterns_eager below.  p01 is NOT here: despite the
+#: family prefix it builds one lazy DataFrame (the old blanket "p0"
+#: exemption silently skipped it from the lazy lint).
 EAGER = sorted(
-    n for n in ALL if n.startswith(("p0", "v0")) or n == "u07_python_writer"
+    n
+    for n in ALL
+    if (n.startswith(("p0", "v0")) and n != "p01_curation_pipeline")
+    or n == "u07_python_writer"
 )
 
 LAZY = sorted(n for n in ALL if n not in set(EAGER))
@@ -51,6 +60,9 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "t12_length_deciles": "NTILE decile labels over one row per doc; "
     "scale path swaps to approx-quantile thresholds (documented)",
     "t14_tfidf_keywords": "corpus doc-count scalar broadcast into tf-idf",
+    "p01_curation_pipeline": "packing phase-2 prefix sum runs over tiny "
+    "per-block totals only (same two-phase design as t16; surfaced when "
+    "the blanket p0-family eager exemption was lifted)",
     "t16_sequence_packing": "phase-2 prefix sum runs over tiny per-block "
     "totals only (documented two-phase design)",
     "t19_token_rarity": "NTILE rarity labels over one row per doc; scale "
@@ -87,6 +99,47 @@ def test_no_scale_antipatterns(spark, sf_smoke, name):
         )
 
 
+#: Captured-plan label -> why a single-partition exchange there is a
+#: consciously bounded step at 100 TB.
+EAGER_SINGLE_PARTITION_OK: dict[str, str] = {
+    "dq_agg": "one-pass DQ gate is a scalar aggregate (one output row)",
+    "incremental_max": "watermark high-water mark is a scalar aggregate",
+    "result_frame": "eager entries' returned frame is a presentation "
+    "sort over an already-drained memory table / re-read artifact — "
+    "bounded by the entry's (small) result set, not the input",
+}
+
+
+@pytest.mark.parametrize("name", EAGER)
+def test_no_scale_antipatterns_eager(spark, sf_smoke, name):
+    """Run the eager entry once under the plan-capture hook and apply the
+    same three rules to every plan its actions executed (including the
+    drained stream's last micro-batch execution) plus the returned
+    result frame."""
+    from agentic_etl_poc_spark.plan_capture import capture
+
+    with capture() as plans:
+        result = ALL[name].fn(spark, sf_smoke)
+    assert plans, (
+        f"{name}: eager entry executed no captured action — a new action "
+        f"site needs a plan_capture.note() call"
+    )
+    checked = list(plans) + [("result_frame", _formatted_plan(result))]
+    for label, plan in checked:
+        assert "CartesianProduct" not in plan, (
+            f"{name}[{label}]: non-broadcast cross join in an executed plan"
+        )
+        assert "BatchEvalPython" not in plan, (
+            f"{name}[{label}]: pickled row-at-a-time Python UDF in an "
+            f"executed plan"
+        )
+        if label not in EAGER_SINGLE_PARTITION_OK:
+            assert "SinglePartition" not in plan, (
+                f"{name}[{label}]: single-partition exchange in an executed "
+                f"plan — justify in EAGER_SINGLE_PARTITION_OK or repartition"
+            )
+
+
 def test_lint_lists_track_registry():
     """The allowlists must not rot: every allowlisted name must still be
     a registered LAZY entry."""
@@ -96,5 +149,8 @@ def test_lint_lists_track_registry():
         assert n in ALL and n in set(LAZY), n
     # eager set stays exact: a new eager family must be listed on purpose
     assert set(EAGER) == {
-        n for n in ALL if n.startswith(("p0", "v0")) or n == "u07_python_writer"
+        n
+        for n in ALL
+        if (n.startswith(("p0", "v0")) and n != "p01_curation_pipeline")
+        or n == "u07_python_writer"
     }
