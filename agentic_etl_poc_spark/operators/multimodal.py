@@ -30,12 +30,69 @@ from __future__ import annotations
 import hashlib
 import struct
 import zlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Pluggable-codec registry.  A deployment that has PIL/ffmpeg available
+#: registers decoders for the compressed formats the built-in pure-numpy
+#: parsers reject; the Arrow-batched ``mapInPandas`` kernels are
+#: untouched — each kernel consults the registry and the registered
+#: codec runs only as the FALLBACK when the verified built-in raises
+#: ValueError (so PNM/WAV keep the tested path, JPEG/MP3 route to the
+#: plugin).  Contracts (same signatures as the built-ins they back up):
+#:
+#: - ``image_decode``:   fn(payload) -> (width, height, channels, mean_luma)
+#: - ``audio_decode``:   fn(payload) -> (duration_sec, sample_rate, rms)
+#: - ``image_resize``:   fn(payload, width, height) -> resized payload bytes
+#: - ``audio_resample``: fn(payload, out_rate) -> (payload_out, src_rate,
+#:                       n_src, n_out)
+#: - ``frame_rasters``:  fn(payload) -> list of per-frame RASTER bytes
+_CODECS: dict[str, Callable] = {}
+
+CODEC_KINDS = (
+    "image_decode",
+    "audio_decode",
+    "image_resize",
+    "audio_resample",
+    "frame_rasters",
+)
+
+
+def register_codec(kind: str, fn: Callable) -> Callable | None:
+    """Install a fallback codec for ``kind``; returns the previously
+    registered one (or None) so callers can restore it."""
+    if kind not in CODEC_KINDS:
+        raise ValueError(f"unknown codec kind {kind!r}; expected one of {CODEC_KINDS}")
+    prev = _CODECS.get(kind)
+    _CODECS[kind] = fn
+    return prev
+
+
+def unregister_codec(kind: str) -> None:
+    _CODECS.pop(kind, None)
+
+
+def _with_codec(kind: str, builtin: Callable) -> Callable:
+    """Builtin-first dispatch: the verified parser handles everything it
+    understands; a registered codec catches only the payloads the builtin
+    rejects with ValueError.  Resolved at call time ON THE EXECUTOR, so
+    the registered fn must be importable/picklable (a module-level fn or
+    closure shipped with the task, same rule as any mapInPandas body)."""
+    ext = _CODECS.get(kind)
+    if ext is None:
+        return builtin
+
+    def decode(payload, *args):
+        try:
+            return builtin(payload, *args)
+        except ValueError:
+            return ext(payload, *args)
+
+    return decode
 
 IMAGE_FEATURES_SCHEMA = (
     "item_id bigint, payload_bytes bigint, width int, height int, "
@@ -131,7 +188,11 @@ def image_features(
 ) -> DataFrame:
     """Extract image features per item via Arrow-batched mapInPandas.
     ``df`` must have columns (item_id, payload)."""
-    decode = _decode_image_fake if fake else _decode_image_real
+    decode = (
+        _decode_image_fake
+        if fake
+        else _with_codec("image_decode", _decode_image_real)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -177,6 +238,16 @@ def _iter_ppm_frames(payload: bytes) -> Iterator[bytes]:
         pos += frame_len
 
 
+def _ppm_frame_rasters(payload: bytes) -> list[bytes]:
+    """Decode a concatenated-PPM stream to one RASTER bytes object per
+    frame (headers stripped, so fingerprints are header-invariant)."""
+    rasters = []
+    for frame in _iter_ppm_frames(payload):
+        off = _pnm_header(frame)[4]
+        rasters.append(frame[off:])
+    return rasters
+
+
 def frame_sample(df: DataFrame, n_frames: int = 4, fake: bool = False) -> DataFrame:
     """Video frame sampling: one output row per sampled frame (the
     row-explosion plumbing, 1 item → N frames, is the contract).
@@ -186,6 +257,7 @@ def frame_sample(df: DataFrame, n_frames: int = 4, fake: bool = False) -> DataFr
     n_frames sampled evenly across the stream, each fingerprinted by its
     decoded RASTER bytes (header-invariant).  Fake kernel: fixed-size
     payload slices, runnable on any bytes."""
+    rasterize = _with_codec("frame_rasters", _ppm_frame_rasters)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -200,18 +272,16 @@ def frame_sample(df: DataFrame, n_frames: int = 4, fake: bool = False) -> DataFr
                             (int(item_id), idx, hashlib.md5(chunk).hexdigest())
                         )
                 else:
-                    frames = list(_iter_ppm_frames(data))
-                    k = len(frames)
+                    rasters = rasterize(data)
+                    k = len(rasters)
                     take = min(n_frames, k)
                     # even sampling: frame floor(j*k/take) for j in 0..take-1
                     for j in range(take):
-                        frame = frames[(j * k) // take]
-                        _, w, h, maxval, off = _pnm_header(frame)
                         out.append(
                             (
                                 int(item_id),
                                 j,
-                                hashlib.md5(frame[off:]).hexdigest(),
+                                hashlib.md5(rasters[(j * k) // take]).hexdigest(),
                             )
                         )
             yield pd.DataFrame(out, columns=["item_id", "frame_idx", "frame_md5"])
@@ -256,6 +326,8 @@ def image_resize(
         header = b"%s\n%d %d\n%d\n" % (magic, width, height, maxval)
         return header + resized.tobytes()
 
+    resizer = _with_codec("image_resize", lambda data, w, h: resize_real(data))
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -268,7 +340,7 @@ def image_resize(
                     header = hashlib.md5(data).digest()
                     resized = (header + data)[:dst_len]
                 else:
-                    resized = resize_real(data)
+                    resized = resizer(data, width, height)
                 out.append(
                     (int(item_id), resized, width, height, len(data), len(resized))
                 )
@@ -365,7 +437,11 @@ def _decode_audio_fake(payload: bytes) -> tuple[float, int, float]:
 def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Extract audio features per item via Arrow-batched mapInPandas.
     ``df`` must have columns (item_id, payload)."""
-    decode = _decode_audio_fake if fake else _decode_audio_real
+    decode = (
+        _decode_audio_fake
+        if fake
+        else _with_codec("audio_decode", _decode_audio_real)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -447,6 +523,10 @@ def audio_resample(df: DataFrame, out_rate: int, fake: bool = False) -> DataFram
         resampled = samples[idx]
         return _wav_pcm16(resampled, out_rate), src_rate, n_src, n_out
 
+    resampler = _with_codec(
+        "audio_resample", lambda data, rate: resample_real(data)
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -461,7 +541,9 @@ def audio_resample(df: DataFrame, out_rate: int, fake: bool = False) -> DataFram
                     ]
                     rec = (int(item_id), resampled, 8000, out_rate, n_src, n_out)
                 else:
-                    payload_out, src_rate, n_src, n_out = resample_real(data)
+                    payload_out, src_rate, n_src, n_out = resampler(
+                        data, out_rate
+                    )
                     rec = (
                         int(item_id), payload_out, src_rate, out_rate,
                         n_src, n_out,

@@ -248,6 +248,44 @@ def test_real_frame_sample_rejects_p5_stream(spark):
     assert "unsupported frame magic" in str(exc_info.value)
 
 
+def test_pluggable_codec_hook(spark):
+    """A deployment with PIL/ffmpeg registers a codec and compressed
+    payloads decode through it — while PNM payloads STILL go through the
+    verified built-in parser (the plugin is only the ValueError
+    fallback), and unregistering restores the clear rejection."""
+    from agentic_etl_poc_spark.operators.multimodal import (
+        image_features,
+        register_codec,
+        unregister_codec,
+    )
+
+    def fake_jpeg_codec(payload):
+        # stands in for PIL: any payload "decodes" to fixed dims
+        return 320, 240, 3, 0.25
+
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32  # JPEG magic, no PNM parser
+    ppm = _ppm_bytes(2, 2, lambda x, y: (10, 20, 30))
+    df = _payload_df(spark, [jpeg, ppm])
+    prev = register_codec("image_decode", fake_jpeg_codec)
+    try:
+        rows = {r["payload_bytes"]: r for r in image_features(df, fake=False).collect()}
+        assert rows[len(jpeg)]["width"] == 320  # plugin handled the JPEG
+        # PNM still decodes through the verified builtin, not the plugin
+        expect = (0.299 * 10 + 0.587 * 20 + 0.114 * 30) / 255.0
+        assert abs(rows[len(ppm)]["mean_luma"] - expect) < 1e-12
+        assert rows[len(ppm)]["width"] == 2
+    finally:
+        if prev is None:
+            unregister_codec("image_decode")
+        else:
+            register_codec("image_decode", prev)
+    with pytest.raises(Exception) as exc_info:
+        image_features(_payload_df(spark, [jpeg]), fake=False).collect()
+    assert "unsupported image format" in str(exc_info.value)
+    with pytest.raises(ValueError, match="unknown codec kind"):
+        register_codec("video_transcode", fake_jpeg_codec)
+
+
 def test_real_image_resize_roundtrip(spark):
     from agentic_etl_poc_spark.operators.multimodal import image_resize
 
