@@ -80,6 +80,12 @@ class Source:
     api: ApiSource | None = None
     db: DbSource | None = None
     parquet: ParquetSource | None = None
+    #: Heterogeneous multi-source (engine extension the reference declares
+    #: but cannot run — templates.py:87-95 hardcodes one kind per plan):
+    #: each named sub-source loads independently and registers a temp view
+    #: under its name; the transform SQL joins them.  Sub-sources must be
+    #: single-frame kinds (no nesting, no csv triplet).
+    multi: "dict[str, Source] | None" = None
 
 
 @dataclass
@@ -156,11 +162,9 @@ def _get(d: Any, key: str, default: Any = None) -> Any:
     return d.get(key, default) if isinstance(d, dict) else default
 
 
-def plan_from_dict(doc: dict[str, Any]) -> Plan:
-    """Build a typed Plan from a parsed YAML mapping, tolerating missing
-    sections the way the reference executor does."""
-    src_d = doc.get("source", {}) or {}
-    source = Source(
+def _source_from_dict(src_d: Any) -> Source:
+    multi_d = _get(src_d, "multi")
+    return Source(
         kind=str(_get(src_d, "kind", "auto")),
         csv=CsvSource(
             path=_get(_get(src_d, "csv", {}), "path"),
@@ -197,7 +201,20 @@ def plan_from_dict(doc: dict[str, Any]) -> Plan:
         )
         if "parquet" in src_d
         else None,
+        multi={
+            str(name): _source_from_dict(sub or {})
+            for name, sub in multi_d.items()
+        }
+        if isinstance(multi_d, dict)
+        else None,
     )
+
+
+def plan_from_dict(doc: dict[str, Any]) -> Plan:
+    """Build a typed Plan from a parsed YAML mapping, tolerating missing
+    sections the way the reference executor does."""
+    src_d = doc.get("source", {}) or {}
+    source = _source_from_dict(src_d)
 
     tr_d = doc.get("transform", {}) or {}
     steps = [

@@ -81,6 +81,8 @@ def infer_kind(src: Source) -> str:
     """``kind: auto`` source-type heuristics."""
     if src.kind != "auto":
         return src.kind
+    if src.multi:
+        return "multi"
     if src.db and src.db.conn_str:
         return "db"
     if src.api and src.api.url.startswith(("http://", "https://")):

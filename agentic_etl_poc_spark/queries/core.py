@@ -122,9 +122,12 @@ def register(name: str, oracle: str | None, description: str = ""):
 #: bench.py iterates sorted(battery), so this order never skews
 #: per-query bench attribution.
 SWEEP_ORDER: tuple[str, ...] = (
-    # -- band 1 (sweep window, 50): the 24 entries whose latest driver-
-    # -- green row is r03, cheap-first (builder per-query bench), with
-    # -- the two streaming entries adjacent at the tail ---------------
+    # -- band 1 (sweep window, 50): new round-6 entries first (never
+    # -- driver-sampled must sit inside the window) -------------------
+    "p05_plan_multi_source",
+    # -- then the 24 entries whose latest driver-green row is r03,
+    # -- cheap-first (builder per-query bench), with the two streaming
+    # -- entries adjacent at the tail ---------------------------------
     "q29_range_frame_interval",
     "q07_conditional_agg",
     "u04_arrow_scalar_udf",
@@ -149,7 +152,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s08_kmeans_refine",
     "v01_stream_tumbling_agg",
     "v02_stream_sessionize",
-    # -- then the 26 cheapest entries whose latest driver-green row is
+    # -- then the 25 cheapest entries whose latest driver-green row is
     # -- r04, cheap-first ---------------------------------------------
     "q04_weekly_rollup",
     "q06_join_cast_key_broadcast",
@@ -176,8 +179,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q09_distinct_agg",
     "t02_quality_score",
     "q53_retention_cohorts",
-    "t05_pandas_tokens",
     # -- band 2: r04-era spillovers that did not fit the 50-slot window
+    # -- (t05 slipped out when p05 took a window slot)
+    "t05_pandas_tokens",
     # -- — these lead round 7 (with anything new in round 7) ----------
     "q10_window_rank",
     "q21_cube_grouping",

@@ -680,3 +680,117 @@ alerts:
         "first_ts",
         "last_ts",
     ).orderBy("event_type")
+
+
+@register(
+    "p05_plan_multi_source",
+    oracle="""
+SELECT TRIM(r.r_name) AS region,
+       TRIM(n.n_name) AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS VARCHAR) AS total_acctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1, 2
+ORDER BY region, nation
+""",
+    description="Heterogeneous multi-source plan end-to-end under the "
+    "oracle: one plan whose source mixes PARQUET (customer — the scale "
+    "fact, read natively), JSON (nation — staged as NDJSON part files in "
+    "a directory with NO .ndjson suffix, so the content sniff decides "
+    "the mode), and API (region — a file:// JSON document through the "
+    "safe selector, the offline transport for a REST feed), each "
+    "registered as a named temp view and joined by one SQL transform, "
+    "then DQ gate -> parquet sink -> verify gate.  The reference "
+    "DECLARES heterogeneous sources (etl_agent/templates.py:87-95) but "
+    "hardcodes one kind per plan and its json/api loaders are broken as "
+    "shipped; this entry runs the declared shape for real.  Scale: the "
+    "fact table arrives through the native parquet scan (pushdown, "
+    "pruning); the JSON/API feeds are the small dims — Catalyst "
+    "broadcasts both joins, so the fact never shuffles.",
+)
+def p05_plan_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import tempfile
+
+    from agentic_etl_poc_spark.runtime import run_from_plan
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_p05",
+        sf_dir.strip(os.sep).replace(os.sep, "_"),
+    )
+    nation_feed = os.path.join(root, "nation_feed")  # deliberately suffix-free
+    region_api = os.path.join(root, "regions_api.json")
+    out_path = os.path.join(root, "acctbal_by_nation")
+    marker = os.path.join(root, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        table(spark, sf_dir, "nation").write.mode("overwrite").json(nation_feed)
+        regions = [
+            {"r_regionkey": r["r_regionkey"], "r_name": r["r_name"]}
+            for r in table(spark, sf_dir, "region").collect()
+        ]
+        # selector convention: in "data['regions']", `data` IS the document
+        # root (reference binds the loaded doc to a variable named `data`)
+        with open(region_api, "w") as f:
+            _json.dump({"regions": regions}, f)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    plan = f"""
+limits:
+  max_input_bytes: 1073741824
+source:
+  kind: multi
+  multi:
+    customer_pq:
+      kind: parquet
+      parquet:
+        path: {sf_dir}/customer.parquet
+    nation_feed:
+      kind: json
+      json:
+        path: {nation_feed}
+    region_api:
+      kind: api
+      api:
+        url: file://{region_api}
+        json_path: data['regions']
+transform:
+  sql: |
+    SELECT TRIM(r.r_name) AS region,
+           TRIM(n.n_name) AS nation,
+           COUNT(*) AS n_customers,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6)))
+                AS DECIMAL(28,6)) AS STRING) AS total_acctbal
+    FROM customer_pq c
+    JOIN nation_feed n ON n.n_nationkey = c.c_nationkey
+    JOIN region_api r ON r.r_regionkey = n.n_regionkey
+    GROUP BY TRIM(r.r_name), TRIM(n.n_name)
+    ORDER BY region, nation
+load:
+  to: parquet
+  file_path: {out_path}
+  mode: overwrite
+checks:
+  min_rows: 1
+  nonnull_cols: [region, nation, total_acctbal]
+verify:
+  min_rows: 1
+alerts:
+  on_fail: "slack://#data-alerts"
+"""
+    result = run_from_plan(spark, plan)
+    if result.get("status") != "ok":
+        raise RuntimeError(f"p05 plan pipeline failed: {result}")
+    artifact = spark.read.parquet(out_path)
+    return artifact.select(
+        "region",
+        "nation",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        "total_acctbal",
+    ).orderBy("region", "nation")

@@ -49,12 +49,43 @@ def default_report_status(step: str, detail: str) -> str:
 
 def extract(spark: SparkSession, plan: Plan) -> DataFrame | None:
     """Extract stage: load source(s) and register temp views.  Named
-    multi-CSV sources register one view per name; single sources register
-    ``input_df`` (the name the reference's transform SQL expects)."""
+    multi-CSV sources register one view per name; a ``multi`` source
+    registers one view per named sub-source (each loaded by its own
+    kind — the heterogeneous shape the reference declares but cannot
+    run, templates.py:87-95); single sources register ``input_df`` (the
+    name the reference's transform SQL expects)."""
     src = plan.source
     kind = infer_kind(src)
     max_bytes = plan.max_input_bytes
 
+    if kind == "multi":
+        if not src.multi:
+            raise ValueError("multi source requires source.multi{name: {...}}")
+        for name, sub in src.multi.items():
+            sub_kind = infer_kind(sub)
+            if sub_kind == "multi":
+                raise ValueError(f"multi source {name!r}: nesting not allowed")
+            df = _extract_frame(spark, sub, sub_kind, max_bytes)
+            if df is None:
+                raise ValueError(
+                    f"multi source {name!r} must be a single-frame source "
+                    f"(csv.paths / parquet.tables register their own views)"
+                )
+            df.createOrReplaceTempView(name)
+        return None  # transform SQL names the views
+
+    df = _extract_frame(spark, src, kind, max_bytes)
+    if df is None:
+        return None  # multi-table: transform SQL names the views
+    df.createOrReplaceTempView("input_df")
+    return df
+
+
+def _extract_frame(
+    spark: SparkSession, src, kind: str, max_bytes: int | None
+) -> DataFrame | None:
+    """Load ONE source of the given kind; returns None for source shapes
+    that register their own named views (csv triplet, parquet.tables)."""
     if kind == "csv":
         csvspec = src.csv
         if csvspec is None:
@@ -128,7 +159,6 @@ def extract(spark: SparkSession, plan: Plan) -> DataFrame | None:
     else:
         raise ValueError(f"unknown source kind: {kind!r}")
 
-    df.createOrReplaceTempView("input_df")
     return df
 
 

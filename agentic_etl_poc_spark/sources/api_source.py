@@ -37,16 +37,29 @@ def fetch_api(
     params: dict | str | None = None,
     json_path: str = "",
 ) -> DataFrame:
-    try:
-        import requests
-    except ImportError as e:  # pragma: no cover - requests is commonly present
-        raise RuntimeError("api source requires the 'requests' package") from e
+    """Fetch a JSON document and project rows via the selector.
 
+    ``file://`` URLs read a local JSON document instead of the network —
+    the offline transport for fixtures, air-gapped runs, and
+    deterministic tests (params are ignored for file URLs)."""
     if isinstance(params, str):
         params = _json.loads(params) if params else {}
-    r = requests.get(url, params=params or {}, timeout=API_TIMEOUT_SECONDS)
-    r.raise_for_status()
-    rows = _select_path(r.json(), json_path)
+    if url.startswith("file://"):
+        from urllib.parse import urlparse
+        from urllib.request import url2pathname
+
+        with open(url2pathname(urlparse(url).path)) as f:
+            doc = _json.load(f)
+    else:
+        try:
+            import requests
+        except ImportError as e:  # pragma: no cover - requests is present
+            raise RuntimeError("api source requires the 'requests' package") from e
+
+        r = requests.get(url, params=params or {}, timeout=API_TIMEOUT_SECONDS)
+        r.raise_for_status()
+        doc = r.json()
+    rows = _select_path(doc, json_path)
     if isinstance(rows, dict):
         rows = [rows]
     pdf = pd.json_normalize(rows)

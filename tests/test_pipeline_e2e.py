@@ -287,6 +287,79 @@ def test_json_directory_of_documents_sniffed(spark, tmp_path):
     assert sorted(r["id"] for r in df.collect()) == [1, 2]
 
 
+def test_multi_source_plan_parses_and_infers():
+    from agentic_etl_poc_spark.plans.parser import infer_kind, parse_plan
+
+    plan = parse_plan(
+        """
+source:
+  multi:
+    facts:
+      kind: parquet
+      parquet: {path: /data/facts.parquet}
+    dims:
+      kind: json
+      json: {path: /data/dims}
+    rates:
+      kind: api
+      api: {url: file:///data/rates.json, json_path: "data['rates']"}
+transform:
+  sql: SELECT 1
+"""
+    )
+    assert infer_kind(plan.source) == "multi"
+    assert set(plan.source.multi) == {"facts", "dims", "rates"}
+    assert plan.source.multi["facts"].parquet.path == "/data/facts.parquet"
+    assert plan.source.multi["rates"].api.url == "file:///data/rates.json"
+
+
+def test_multi_source_rejects_nesting_and_triplets(spark, tmp_path):
+    from agentic_etl_poc_spark.plans.parser import parse_plan
+    from agentic_etl_poc_spark.runtime import extract
+
+    nested = parse_plan(
+        """
+source:
+  multi:
+    inner:
+      multi:
+        x:
+          kind: parquet
+          parquet: {path: /x.parquet}
+"""
+    )
+    with pytest.raises(ValueError, match="nesting"):
+        extract(spark, nested)
+    triplet = parse_plan(
+        f"""
+source:
+  multi:
+    trip:
+      kind: csv
+      csv:
+        paths:
+          sales: {tmp_path}/a.csv
+          features: {tmp_path}/b.csv
+          stores: {tmp_path}/c.csv
+"""
+    )
+    for name in ("a", "b", "c"):
+        (tmp_path / f"{name}.csv").write_text("x\n1\n")
+    with pytest.raises(ValueError, match="single-frame"):
+        extract(spark, triplet)
+
+
+def test_fetch_api_file_url(spark, tmp_path):
+    from agentic_etl_poc_spark.sources.api_source import fetch_api
+
+    doc = tmp_path / "feed.json"
+    doc.write_text(json.dumps({"rates": [{"ccy": "EUR", "rate": 1.1},
+                                         {"ccy": "GBP", "rate": 1.3}]}))
+    df = fetch_api(spark, f"file://{doc}", json_path="data['rates']")
+    rows = {r["ccy"]: r["rate"] for r in df.collect()}
+    assert rows == {"EUR": 1.1, "GBP": 1.3}
+
+
 def test_verify_csv_missing_file(spark):
     from agentic_etl_poc_spark.operators.verify import verify_csv
 
