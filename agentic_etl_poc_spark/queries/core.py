@@ -125,6 +125,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     # -- band 1 (sweep window, 50): new round-6 entries first (never
     # -- driver-sampled must sit inside the window) -------------------
     "p05_plan_multi_source",
+    "v08_stream_session_window",
     # -- then the 24 entries whose latest driver-green row is r03,
     # -- cheap-first (builder per-query bench), with the two streaming
     # -- entries adjacent at the tail ---------------------------------
@@ -152,7 +153,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s08_kmeans_refine",
     "v01_stream_tumbling_agg",
     "v02_stream_sessionize",
-    # -- then the 25 cheapest entries whose latest driver-green row is
+    # -- then the 24 cheapest entries whose latest driver-green row is
     # -- r04, cheap-first ---------------------------------------------
     "q04_weekly_rollup",
     "q06_join_cast_key_broadcast",
@@ -178,9 +179,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q41_set_ops_all",
     "q09_distinct_agg",
     "t02_quality_score",
-    "q53_retention_cohorts",
     # -- band 2: r04-era spillovers that did not fit the 50-slot window
-    # -- (t05 slipped out when p05 took a window slot)
+    # -- (q53/t05 slipped out when p05/v08 took window slots)
+    "q53_retention_cohorts",
     "t05_pandas_tokens",
     # -- — these lead round 7 (with anything new in round 7) ----------
     "q10_window_rank",

@@ -292,6 +292,81 @@ def v02_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "v08_stream_session_window",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}')
+         AS session_end_gap,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS VARCHAR) AS total_value
+FROM numbered
+GROUP BY user_id, sess_no
+ORDER BY user_id, session_start
+""",
+    description="Spark's BUILT-IN session_window streaming aggregation "
+    "(the declarative sibling of v02's custom applyInPandasWithState "
+    "operator) drained with AvailableNow in complete mode and "
+    "oracle-checked against batch gaps-and-islands SQL over ALL "
+    "sessions — including each user's last, which v02's append-mode "
+    "contract excludes.  Boundary semantics pinned: session_window "
+    "spans [first, last + gap) and merges an event iff it lands "
+    "STRICTLY inside the window, so a gap of exactly 30 minutes starts "
+    "a NEW session (the oracle's new-session condition is >= 1800 s, "
+    "not > — the off-by-one the hash would catch).  State here is "
+    "JVM-side (no Python workers): merging session state per user key, "
+    "evicted by the watermark in production append mode; the decimal "
+    "partial sums live in the state store so the streamed totals are "
+    "exact.  Scale: state tracks ACTIVE sessions only; complete mode is "
+    "the drain-for-parity harness, append+watermark is the unbounded "
+    "deployment shape (v05 proves that eviction path).",
+)
+def v08_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = events_stream_dir(spark, sf_dir)
+    name = f"v08_sw_{next(_MEM_SEQ)}"
+    parts = _drain_parts_for(spark, [src], STREAM_DRAIN_PARTITIONS)
+    with _drain_partitions(spark, parts):
+        stream = stream_events(spark, src, watermark="10 minutes")
+        agg = stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .alias("total_value"),
+        )
+        run_to_memory(agg, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias("session_end_gap"),
+            "n_events",
+            F.col("total_value").cast("string").alias("total_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def _doubled_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events NDJSON TWICE (two identical files) — a stream
     with every record duplicated, the input that makes exact streaming
