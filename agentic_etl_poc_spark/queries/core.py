@@ -126,6 +126,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     # -- driver-sampled must sit inside the window) -------------------
     "p05_plan_multi_source",
     "v08_stream_session_window",
+    "q57_returned_items",
+    "q58_forecast_revenue",
     # -- then the 24 entries whose latest driver-green row is r03,
     # -- cheap-first (builder per-query bench), with the two streaming
     # -- entries adjacent at the tail ---------------------------------
@@ -153,7 +155,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s08_kmeans_refine",
     "v01_stream_tumbling_agg",
     "v02_stream_sessionize",
-    # -- then the 24 cheapest entries whose latest driver-green row is
+    # -- then the 22 cheapest entries whose latest driver-green row is
     # -- r04, cheap-first ---------------------------------------------
     "q04_weekly_rollup",
     "q06_join_cast_key_broadcast",
@@ -177,10 +179,11 @@ SWEEP_ORDER: tuple[str, ...] = (
     "t07_pii_scan_redact",
     "u01_grouped_pandas_agg",
     "q41_set_ops_all",
+    # -- band 2: r04-era spillovers that did not fit the 50-slot window
+    # -- (q09/t02/q53/t05 slipped out when the four round-6 entries
+    # -- took window slots)
     "q09_distinct_agg",
     "t02_quality_score",
-    # -- band 2: r04-era spillovers that did not fit the 50-slot window
-    # -- (q53/t05 slipped out when p05/v08 took window slots)
     "q53_retention_cohorts",
     "t05_pandas_tokens",
     # -- — these lead round 7 (with anything new in round 7) ----------

@@ -1773,3 +1773,92 @@ def q56_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(revenue.alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+@register(
+    "q57_returned_items",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1997-01-01'
+  AND o_orderdate <  DATE '1997-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    description="TPC-H Q10 (returned-item reporting, adapted to the "
+    "fixture schema): one quarter of orders x returned lineitems x "
+    "customer x nation, decimal-exact lost-revenue per customer, "
+    "top-20.  Scale shape: the returnflag and date predicates push "
+    "into both fact scans BEFORE the join (the quarter prunes orders "
+    "to ~4% of rows), nation broadcasts, and the top-k is "
+    "TakeOrderedAndProject — never a global sort of the aggregate "
+    "(reference: transform.sql pass-through surface, SURVEY §2.3 — "
+    "DuckDB would plan this the same way; Spark must not do worse).",
+)
+def q57_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    revenue = _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, 12)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            revenue.alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q58_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+            AS DOUBLE) AS promo_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01'
+  AND l_shipdate <  DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    description="TPC-H Q6 (forecasting revenue change): pure scan-side "
+    "selection — a year of shipments, a discount band, a quantity cap — "
+    "then one decimal-exact scalar aggregate.  The per-row product is "
+    "IEEE double (bit-identical in both engines) cast to decimal before "
+    "summing, so the global sum is order-independent.  Scale shape: "
+    "ALL three predicates reach the parquet reader (PushedFilters + "
+    "min/max row-group pruning on l_shipdate); the aggregate is "
+    "map-side partial + one scalar exchange — the canonical "
+    "full-scan-to-one-number query.",
+)
+def q58_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount"), 6, 12).alias(
+            "promo_revenue"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
