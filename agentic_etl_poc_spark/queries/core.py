@@ -128,6 +128,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     "v08_stream_session_window",
     "q57_returned_items",
     "q58_forecast_revenue",
+    "q59_salted_skew_join",
+    "u08_polymorphic_udtf",
     # -- then the 24 entries whose latest driver-green row is r03,
     # -- cheap-first (builder per-query bench), with the two streaming
     # -- entries adjacent at the tail ---------------------------------
@@ -155,7 +157,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s08_kmeans_refine",
     "v01_stream_tumbling_agg",
     "v02_stream_sessionize",
-    # -- then the 22 cheapest entries whose latest driver-green row is
+    # -- then the 20 cheapest entries whose latest driver-green row is
     # -- r04, cheap-first ---------------------------------------------
     "q04_weekly_rollup",
     "q06_join_cast_key_broadcast",
@@ -177,11 +179,11 @@ SWEEP_ORDER: tuple[str, ...] = (
     "d08_fuzzy_levenshtein",
     "q25_pivot_unpivot",
     "t07_pii_scan_redact",
+    # -- band 2: r04-era spillovers that did not fit the 50-slot window
+    # -- (u01/q41/q09/t02/q53/t05 slipped out as round-6 entries took
+    # -- window slots)
     "u01_grouped_pandas_agg",
     "q41_set_ops_all",
-    # -- band 2: r04-era spillovers that did not fit the 50-slot window
-    # -- (q09/t02/q53/t05 slipped out when the four round-6 entries
-    # -- took window slots)
     "q09_distinct_agg",
     "t02_quality_score",
     "q53_retention_cohorts",

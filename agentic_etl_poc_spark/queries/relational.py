@@ -1862,3 +1862,63 @@ def q58_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
     )
+
+
+@register(
+    "q59_salted_skew_join",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT l_returnflag AS flag,
+         'class_' || l_returnflag AS flag_class
+  FROM lineitem
+)
+SELECT d.flag_class,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l
+JOIN dim d ON d.flag = l.l_returnflag
+GROUP BY d.flag_class
+ORDER BY d.flag_class
+""",
+    description="Skew-safe SALTED JOIN (the join twin of q51's salted "
+    "aggregation): the fact side carries a deterministic hash salt, the "
+    "dim side is replicated once per salt value (explode over "
+    "sequence), and the join key becomes (key, salt) — 3 hot returnflag "
+    "values spread over 3x16 shuffle groups instead of 3.  A "
+    "SHUFFLE_HASH hint forces the shuffle path (broadcasting a 3-row "
+    "dim would of course win here; the entry exists for the regime "
+    "where BOTH sides are too big to broadcast and one key exceeds an "
+    "executor — AQE skew-split handles moderate skew, explicit salting "
+    "is the escape hatch).  The oracle is the PLAIN join: the salted "
+    "decomposition must be semantically invisible.",
+)
+def q59_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.operators.scale import salt_column
+
+    PARTS = 16
+    li = table(spark, sf_dir, "lineitem")
+    dim = (
+        li.select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+        .withColumn("flag_class", F.concat(F.lit("class_"), F.col("flag")))
+    )
+    salted = li.withColumn(
+        "__salt",
+        salt_column(F.col("l_orderkey"), F.col("l_linenumber"), parts=PARTS),
+    )
+    dim_rep = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(PARTS - 1)))
+    )
+    joined = salted.join(
+        dim_rep.hint("shuffle_hash"),
+        (salted["l_returnflag"] == dim_rep["flag"])
+        & (salted["__salt"] == dim_rep["__salt"]),
+    )
+    return (
+        joined.groupBy("flag_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _dsum("l_quantity", 2, 4).alias("sum_qty"),
+        )
+        .orderBy("flag_class")
+    )

@@ -371,3 +371,57 @@ def u07_python_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sources").cast("bigint").alias("n_sources"),
         F.col("total_chars").cast("bigint").alias("total_chars"),
     ).orderBy("lang")
+
+
+@register(
+    "u08_polymorphic_udtf",
+    oracle="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE doc_id % 20 = 0)
+SELECT doc_id, w[1] AS w0, w[2] AS w1, w[3] AS w2
+FROM s
+ORDER BY doc_id
+""",
+    description="POLYMORPHIC Python UDTF (Spark 4 analyze() API — the "
+    "dynamic sibling of u02's static UDTF): the output schema is not "
+    "declared up front but computed at plan time by a static analyze() "
+    "from the call's literal arguments — split_fixed(doc_id, text, 3) "
+    "resolves to columns (doc_id, w0, w1, w2), split_fixed(..., 5) "
+    "would resolve to seven.  This is the table-function shape for "
+    "schema-bearing generators (parse-to-N-columns, pivoting "
+    "connectors) where the width is a call-site parameter.  Same "
+    "1-in-20 sample + row-at-a-time caveat as u02: the point is the "
+    "API surface, proven equal to the pure-SQL projection.",
+)
+def u08_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitFixed:
+        @staticmethod
+        def analyze(
+            doc_id: AnalyzeArgument, text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            schema = StructType().add("doc_id", LongType())
+            for i in range(int(n.value)):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id: int, text: str, n: int):
+            words = text.split(" ")
+            yield (doc_id,) + tuple(
+                words[i] if i < len(words) else None for i in range(n)
+            )
+
+    spark.udtf.register("split_fixed", udtf(SplitFixed))
+    table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    ).createOrReplaceTempView("u08_docs")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.w0, s.w1, s.w2
+        FROM u08_docs d, LATERAL split_fixed(d.doc_id, d.text, 3) s
+        ORDER BY s.doc_id
+        """
+    )

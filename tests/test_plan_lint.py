@@ -74,6 +74,9 @@ SINGLE_PARTITION_OK: dict[str, str] = {
 PICKLED_UDF_OK = {
     "u02_python_udtf": "UDTFs are row-at-a-time by design; the entry "
     "exists to demonstrate the API on a 1-in-20 sample",
+    "u08_polymorphic_udtf": "same row-at-a-time UDTF caveat as u02; the "
+    "entry demonstrates the Spark 4 analyze() dynamic-schema API on a "
+    "1-in-20 sample",
 }
 
 
