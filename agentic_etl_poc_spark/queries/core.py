@@ -130,6 +130,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q58_forecast_revenue",
     "q59_salted_skew_join",
     "u08_polymorphic_udtf",
+    "d12_semantic_dedup",
     # -- then the 24 entries whose latest driver-green row is r03,
     # -- cheap-first (builder per-query bench), with the two streaming
     # -- entries adjacent at the tail ---------------------------------
@@ -157,7 +158,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s08_kmeans_refine",
     "v01_stream_tumbling_agg",
     "v02_stream_sessionize",
-    # -- then the 20 cheapest entries whose latest driver-green row is
+    # -- then the 19 cheapest entries whose latest driver-green row is
     # -- r04, cheap-first ---------------------------------------------
     "q04_weekly_rollup",
     "q06_join_cast_key_broadcast",
@@ -178,10 +179,10 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q27_correlated_subquery",
     "d08_fuzzy_levenshtein",
     "q25_pivot_unpivot",
-    "t07_pii_scan_redact",
     # -- band 2: r04-era spillovers that did not fit the 50-slot window
-    # -- (u01/q41/q09/t02/q53/t05 slipped out as round-6 entries took
-    # -- window slots)
+    # -- (t07/u01/q41/q09/t02/q53/t05 slipped out as round-6 entries
+    # -- took window slots)
+    "t07_pii_scan_redact",
     "u01_grouped_pandas_agg",
     "q41_set_ops_all",
     "q09_distinct_agg",

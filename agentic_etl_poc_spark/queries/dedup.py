@@ -925,3 +925,124 @@ def d11_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_milli"),
     ).orderBy("id1", "id2")
+
+
+D12_CELLS = 10
+D12_TAU = 0.8
+
+
+@register(
+    "d12_semantic_dedup",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+  WHERE vec_id < {D12_CELLS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id, cent_sim FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           {duck_cosine('e.embedding', 'c.cvec', EMB_DIM)} AS cent_sim,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {duck_cosine('e.embedding', 'c.cvec', EMB_DIM)} DESC,
+                      c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM assigned x JOIN assigned y
+    ON x.cell_id = y.cell_id
+   AND (y.cent_sim > x.cent_sim
+        OR (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id))
+  WHERE {duck_cosine('x.embedding', 'y.embedding', EMB_DIM)} > {D12_TAU}
+)
+SELECT a.vec_id,
+       CAST(a.cell_id AS BIGINT) AS cell_id,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+""",
+    description="SemDeDup-style SEMANTIC deduplication: cluster the "
+    "embedding space with a deterministic coarse quantizer (the first "
+    f"{D12_CELLS} vectors as centroids, argmax-cosine assignment — same "
+    "stand-in-for-k-means scheme as s03), then WITHIN each cluster drop "
+    "every vector that has a higher-priority near-twin (pairwise cosine "
+    f"> {D12_TAU}; priority = centroid-similarity DESC then vec_id — the "
+    "most-central copy of each semantic group survives).  One-shot "
+    "priority rule, not sequential greedy: x is a duplicate iff SOME "
+    "higher-priority y in its cluster is τ-close, which SQL states "
+    "exactly (the oracle hash pins every per-vector decision).  Scale "
+    "shape: centroids broadcast, assignment is map-side argmax with "
+    "partial aggregation, and the quadratic pair scan is BOUNDED PER "
+    "CLUSTER (keyed shuffle on cell_id) — the cluster decomposition is "
+    "precisely what makes semantic dedup feasible on a 100 TB corpus "
+    "where all-pairs cosine is impossible.",
+)
+def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.functions.hashing import dot_fold
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
+    )
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < D12_CELLS).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("cvec"),
+            F.col("nsq").alias("cnsq"),
+        )
+    )
+    scored = e.crossJoin(cents).select(
+        "vec_id",
+        "embedding",
+        "nsq",
+        "cell_id",
+        (
+            dot_fold(F.col("embedding"), F.col("cvec"))
+            / F.sqrt(F.col("nsq") * F.col("cnsq"))
+        ).alias("sim"),
+    )
+    # argmax via max_by (map-side partials; see s03's rationale), tie on
+    # lower cell_id via the (sim, -cell_id) ordering struct
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("embedding", "nsq", "cell_id", "sim"),
+                F.struct(F.col("sim"), (-F.col("cell_id")).alias("neg_cell")),
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.nsq").alias("nsq"),
+            F.col("b.cell_id").alias("cell_id"),
+            F.col("b.sim").alias("cent_sim"),
+        )
+    )
+    x = assigned.alias("x")
+    y = assigned.alias("y")
+    pair_cos = dot_fold(F.col("x.embedding"), F.col("y.embedding")) / F.sqrt(
+        F.col("x.nsq") * F.col("y.nsq")
+    )
+    higher_priority = (F.col("y.cent_sim") > F.col("x.cent_sim")) | (
+        (F.col("y.cent_sim") == F.col("x.cent_sim"))
+        & (F.col("y.vec_id") < F.col("x.vec_id"))
+    )
+    dropped = (
+        x.join(y, (F.col("x.cell_id") == F.col("y.cell_id")) & higher_priority)
+        .where(pair_cos > D12_TAU)
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell_id").cast("bigint").alias("cell_id"),
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )
