@@ -1004,7 +1004,14 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sim"),
     )
     # argmax via max_by (map-side partials; see s03's rationale), tie on
-    # lower cell_id via the (sim, -cell_id) ordering struct
+    # lower cell_id via the (sim, -cell_id) ordering struct.  The frame
+    # is consumed THREE times (both sides of the pair self-join + the
+    # final flag join); the explicit repartition on the join key gives
+    # all three consumers one identical exchange subtree so Catalyst's
+    # ReuseExchange computes the 64-dim assignment fold ONCE (without
+    # it: three full cross-join+fold recomputations — measured 4.6 s vs
+    # 2.6 s at sf0.1; the verify-skill gotcha about shared expensive
+    # frames, applied).
     assigned = (
         scored.groupBy("vec_id")
         .agg(
@@ -1020,6 +1027,7 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.cell_id").alias("cell_id"),
             F.col("b.sim").alias("cent_sim"),
         )
+        .repartition("cell_id")
     )
     x = assigned.alias("x")
     y = assigned.alias("y")
