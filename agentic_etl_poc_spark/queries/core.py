@@ -131,6 +131,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q59_salted_skew_join",
     "u08_polymorphic_udtf",
     "d12_semantic_dedup",
+    "q60_dynamic_partition_pruning",
+    "p06_plan_multi_step",
     # -- then the 24 entries whose latest driver-green row is r03,
     # -- cheap-first (builder per-query bench), with the two streaming
     # -- entries adjacent at the tail ---------------------------------
@@ -158,7 +160,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s08_kmeans_refine",
     "v01_stream_tumbling_agg",
     "v02_stream_sessionize",
-    # -- then the 19 cheapest entries whose latest driver-green row is
+    # -- then the 17 cheapest entries whose latest driver-green row is
     # -- r04, cheap-first ---------------------------------------------
     "q04_weekly_rollup",
     "q06_join_cast_key_broadcast",
@@ -177,11 +179,11 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q05_left_join_multikey",
     "t14_tfidf_keywords",
     "q27_correlated_subquery",
+    # -- band 2: r04-era spillovers that did not fit the 50-slot window
+    # -- (d08/q25/t07/u01/q41/q09/t02/q53/t05 slipped out as round-6
+    # -- entries took window slots)
     "d08_fuzzy_levenshtein",
     "q25_pivot_unpivot",
-    # -- band 2: r04-era spillovers that did not fit the 50-slot window
-    # -- (t07/u01/q41/q09/t02/q53/t05 slipped out as round-6 entries
-    # -- took window slots)
     "t07_pii_scan_redact",
     "u01_grouped_pandas_agg",
     "q41_set_ops_all",

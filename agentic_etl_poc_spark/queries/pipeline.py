@@ -794,3 +794,112 @@ alerts:
         F.col("n_customers").cast("bigint").alias("n_customers"),
         "total_acctbal",
     ).orderBy("region", "nation")
+
+
+@register(
+    "p06_plan_multi_step",
+    oracle="""
+WITH clean AS (
+  SELECT o_custkey,
+         CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderstatus = 'F'
+),
+tiers AS (
+  SELECT o_custkey, o_orderpriority,
+         CASE WHEN price >= 200000 THEN 'high'
+              WHEN price >= 50000 THEN 'mid'
+              ELSE 'low' END AS tier,
+         price
+  FROM clean
+)
+SELECT o_orderpriority, tier,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS VARCHAR) AS total_price
+FROM tiers
+GROUP BY o_orderpriority, tier
+ORDER BY o_orderpriority, tier
+""",
+    description="MULTI-STEP transform chaining end-to-end under the "
+    "oracle (reference: etl_agent/templates.py:99-113 — each "
+    "transform.steps[] output registers as a named view later steps "
+    "reference; p02-p05 exercise only the single-SQL back-compat path, "
+    "and the steps path was pytest-only).  Three chained steps (clean -> "
+    "tiers -> summary, each referencing the previous by name) stay ONE "
+    "lazy Catalyst DAG — no per-step materialization, unlike the "
+    "reference's eager .df() round-trip per step — then DQ gate -> "
+    "single-file CSV sink -> verify gate; the battery result is the "
+    "verified artifact re-read, so the hash covers the whole loop "
+    "including the view-chaining semantics.",
+)
+def p06_plan_multi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agentic_etl_poc_spark.runtime import run_from_plan
+    from agentic_etl_poc_spark.sources.csv_source import read_csv
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_p06",
+        sf_dir.strip(os.sep).replace(os.sep, "_"),
+    )
+    os.makedirs(root, exist_ok=True)
+    out_path = os.path.join(root, "order_tiers.csv")
+
+    plan = f"""
+source:
+  kind: parquet
+  parquet:
+    path: {sf_dir}/orders.parquet
+transform:
+  steps:
+    - name: clean
+      sql: |
+        SELECT o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+               o_orderpriority
+        FROM input_df WHERE o_orderstatus = 'F'
+    - name: tiers
+      sql: |
+        SELECT o_custkey, o_orderpriority,
+               CASE WHEN price >= 200000 THEN 'high'
+                    WHEN price >= 50000 THEN 'mid'
+                    ELSE 'low' END AS tier,
+               price
+        FROM clean
+    - name: summary
+      sql: |
+        SELECT o_orderpriority, tier,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               CAST(CAST(SUM(CAST(price AS DECIMAL(28,6)))
+                    AS DECIMAL(28,6)) AS STRING) AS total_price
+        FROM tiers
+        GROUP BY o_orderpriority, tier
+        ORDER BY o_orderpriority, tier
+load:
+  to: csv
+  file_path: {out_path}
+  include_header: true
+checks:
+  min_rows: 1
+  nonnull_cols: [o_orderpriority, tier, total_price]
+verify:
+  min_rows: 1
+alerts:
+  on_fail: "slack://#data-alerts"
+"""
+    result = run_from_plan(spark, plan)
+    if result.get("status") != "ok":
+        raise RuntimeError(f"p06 plan pipeline failed: {result}")
+    artifact = read_csv(spark, out_path, infer_schema=False)
+    return artifact.select(
+        "o_orderpriority",
+        "tier",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        "total_price",
+    ).orderBy("o_orderpriority", "tier")

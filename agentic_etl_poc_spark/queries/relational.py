@@ -1922,3 +1922,70 @@ def q59_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag_class")
     )
+
+
+@register(
+    "q60_dynamic_partition_pruning",
+    oracle="""
+SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM orders
+WHERE year(o_orderdate) = 1997
+GROUP BY 1
+ORDER BY month
+""",
+    description="Dynamic partition pruning made battery-visible: orders "
+    "is staged ONCE per data dir as a parquet table PARTITIONED BY order "
+    "year alongside a tiny year-dimension table; the query joins fact to "
+    "the dim filtered on a dim-side attribute (year_tag = 'Y1997'), so "
+    "the fact's pruning predicate is only known AT RUNTIME — Catalyst "
+    "inserts a dynamicpruningexpression into the fact scan's partition "
+    "filters (asserted by a plan-shape test), reusing the dim's "
+    "broadcast as the subquery, and the scan reads ONE year's partition "
+    "directory instead of all of them.  At 100 TB, date-partitioned "
+    "facts joined through filtered dims are THE warehouse access path; "
+    "DPP is what turns those joins into partition-local scans.  Oracle: "
+    "the same aggregate over the unpartitioned source with the year "
+    "predicate applied statically.",
+)
+def q60_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_q60",
+        sf_dir.strip(os.sep).replace(os.sep, "_"),
+    )
+    fact_dir = os.path.join(root, "orders_by_year")
+    dim_dir = os.path.join(root, "year_dim")
+    marker = os.path.join(root, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        o = table(spark, sf_dir, "orders")
+        o.withColumn("o_year", F.year("o_orderdate")).write.mode(
+            "overwrite"
+        ).partitionBy("o_year").parquet(fact_dir)
+        (
+            o.select(F.year("o_orderdate").alias("year"))
+            .distinct()
+            .withColumn("year_tag", F.concat(F.lit("Y"), F.col("year")))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dim_dir)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("year_tag") == "Y1997")
+    return (
+        fact.join(F.broadcast(dim), fact["o_year"] == dim["year"])
+        .groupBy(F.month("o_orderdate").cast("bigint").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            _dsum("o_totalprice", 6, 12).alias("total"),
+        )
+        .orderBy("month")
+    )

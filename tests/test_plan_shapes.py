@@ -228,3 +228,16 @@ def test_t21_shuffle_orders_within_shard_not_globally(spark, sf_smoke):
     # SinglePartition instead, serializing the corpus through one task
     assert "SinglePartition" not in plan, plan[:2000]
     assert "hashpartitioning(" in plan, plan[:2000]
+
+
+def test_q60_scan_has_dynamic_pruning(spark, sf_smoke):
+    """q60's whole point: the year-partitioned fact scan must carry a
+    runtime dynamicpruning partition filter derived from the filtered
+    dim side (reusing its broadcast), so the scan reads ONE year's
+    partition directory — a static plan without it reads every
+    partition and only filters post-join."""
+    plan = _formatted_plan(
+        load_all()["q60_dynamic_partition_pruning"].fn(spark, sf_smoke)
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    assert "BroadcastHashJoin" in plan
