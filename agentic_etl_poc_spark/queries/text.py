@@ -1730,3 +1730,87 @@ def m06_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("item_id")
+
+
+@register(
+    "t23_bigram_novelty",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words)),
+                  i -> array_to_string(words[i:i+1], ' '))) AS gram
+    FROM w)
+),
+seen AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+novel AS (
+  SELECT t.doc_id, COUNT(*) AS n_novel
+  FROM g t LEFT JOIN seen s ON t.gram = s.gram
+  WHERE t.doc_id % 2 = 1 AND s.gram IS NULL
+  GROUP BY t.doc_id
+),
+totals AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams FROM g
+  WHERE doc_id % 2 = 1 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(COALESCE(n.n_novel, 0) * 1000000 // t.n_bigrams AS BIGINT)
+         AS novelty_ppm
+FROM totals t LEFT JOIN novel n ON t.doc_id = n.doc_id
+ORDER BY t.doc_id
+""",
+    description="Bigram NOVELTY scoring — the freshness complement of "
+    "t15's contamination flag: score each held-out document (odd "
+    "doc_ids) by the fraction of its distinct word bigrams never seen "
+    "in the reference corpus (even doc_ids), as integer ppm.  This is "
+    "the cheap continual-pretraining signal for 'does this new crawl "
+    "slice add anything': near-zero novelty means the slice is "
+    "redundant with what the model already trained on.  Scale shape: "
+    "unlike t15 (whose eval set broadcasts), the reference side here is "
+    "corpus-vocabulary-sized, so the novelty probe is an honest "
+    "gram-keyed shuffle anti-join (the d03 shape) with map-side "
+    "distinct partials; per-doc counts are the only rows that leave "
+    "the gram partitioning.  All-integer output — nothing for a "
+    "canonicalizer to drift on.",
+)
+def t23_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    s0 = F.slice(words, 1, n - 1)
+    s1 = F.slice(words, 2, n - 1)
+    bi = F.zip_with(s0, s1, lambda a, b: F.concat_ws(" ", a, b))
+    grams = (
+        d.where(n >= 2)
+        .select("doc_id", F.explode(F.array_distinct(bi)).alias("gram"))
+    )
+    seen = grams.where(F.col("doc_id") % 2 == 0).select("gram").distinct()
+    target = grams.where(F.col("doc_id") % 2 == 1)
+    novel = (
+        target.join(seen, "gram", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    totals = target.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams")
+    )
+    return (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+            # integer `div`, not double /-then-cast: both engines floor
+            # exactly, no float rounding anywhere near the hash
+            F.expr("coalesce(n_novel, 0L) * 1000000L div n_bigrams")
+            .cast("bigint")
+            .alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
