@@ -45,10 +45,10 @@ def fetch_api(
     if isinstance(params, str):
         params = _json.loads(params) if params else {}
     if url.startswith("file://"):
-        from urllib.parse import urlparse
-        from urllib.request import url2pathname
-
-        with open(url2pathname(urlparse(url).path)) as f:
+        # everything after the scheme is the path: file:///abs/p -> /abs/p,
+        # file://rel/p -> rel/p (plan-relative fixture feeds) — simpler
+        # than RFC authority parsing and right for an offline transport
+        with open(url[len("file://") :]) as f:
             doc = _json.load(f)
     else:
         try:

@@ -82,22 +82,41 @@ def select_rows(df: DataFrame, selector: str) -> DataFrame:
 _NDJSON_SUFFIXES = (".ndjson", ".jsonl")
 
 
+def _first_line_is_json(path: str) -> bool:
+    """Content sniff: a complete JSON value on the first non-blank line
+    means line-delimited; a pretty-printed document's first line ('{')
+    does not parse.  (For a single-line compact document the two read
+    modes produce the same rows, so 'True' is safe there too.)"""
+    import json as _json
+
+    with open(path, "rb") as fh:
+        for raw in fh:
+            line = raw.strip()
+            if not line:
+                continue
+            try:
+                _json.loads(line)
+                return True
+            except ValueError:
+                return False
+    return False
+
+
 def _infer_ndjson(path: str) -> bool:
     """True → read as line-delimited (NDJSON), False → multiLine document.
 
-    Files keep the suffix rule (.ndjson/.jsonl → lines).  DIRECTORIES are
-    sniffed by their CONTENTS, not their name: a directory of NDJSON part
-    files not named '*.ndjson' used to be read multiLine — one record per
-    file, silently wrong rows.  Sniff order: any contained data file with
-    an NDJSON suffix wins; otherwise the first line of the first data
-    file is parsed — a complete JSON value on line one means
-    line-delimited (engines write NDJSON parts as 'part-*.json', so the
-    suffix alone cannot decide)."""
-    import json as _json
+    NDJSON suffixes (.ndjson/.jsonl) win outright; everything else is
+    sniffed by CONTENT, not name — a directory of NDJSON part files not
+    named '*.ndjson' used to be read multiLine (one record per file,
+    silently wrong rows), and a single NDJSON file named '*.json' (what
+    most engines write) silently yielded only its first record.  For
+    directories the first data file decides."""
     import os
 
     if not os.path.isdir(path):
-        return path.lower().endswith(_NDJSON_SUFFIXES)
+        if path.lower().endswith(_NDJSON_SUFFIXES):
+            return True
+        return _first_line_is_json(path)
     data_files = sorted(
         os.path.join(path, f)
         for f in os.listdir(path)
@@ -106,17 +125,7 @@ def _infer_ndjson(path: str) -> bool:
     if any(f.lower().endswith(_NDJSON_SUFFIXES) for f in data_files):
         return True
     for f in data_files:
-        with open(f, "rb") as fh:
-            for raw in fh:
-                line = raw.strip()
-                if not line:
-                    continue
-                try:
-                    _json.loads(line)
-                    return True  # line 1 is a complete JSON value
-                except ValueError:
-                    return False  # pretty-printed document
-        break  # first data file decides; an empty file falls through
+        return _first_line_is_json(f)  # first data file decides
     return False
 
 

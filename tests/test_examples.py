@@ -79,3 +79,21 @@ def test_json_events_example_runs(spark, tmp_path):
     got = spark.read.option("header", True).csv(out)
     assert got.count() >= 1
     assert set(got.columns) == {"event_type", "n", "n_users", "total_value"}
+
+
+def test_multi_source_example_runs(spark, tmp_path, monkeypatch):
+    # the example uses repo-relative paths (parquet fact + NDJSON dim +
+    # file:// rates feed) — run from the repo root like the CLI would
+    monkeypatch.chdir(os.path.join(EXAMPLES, ".."))
+    text = open(os.path.join(EXAMPLES, "multi_source.yaml")).read()
+    out = str(tmp_path / "revenue.csv")
+    text = text.replace("/tmp/multi_source_revenue.csv", out)
+    result = run_from_plan(spark, text)
+    assert result["status"] == "ok", result
+    rows = {
+        r["category"]: float(r["revenue_usd"])
+        for r in spark.read.option("header", True).csv(out).collect()
+    }
+    assert set(rows) == {"hardware", "media", "electronics"}
+    # hand-check one cell: media = ebook 3 qty * 5.0 USD + sticker 5 * 2.5
+    assert abs(rows["media"] - (3 * 5.0 + 5 * 2.5)) < 1e-9
