@@ -927,16 +927,21 @@ def d11_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id1", "id2")
 
 
-D12_CELLS = 10
+D12_MIN_CELLS = 4
 D12_TAU = 0.8
 
 
 @register(
     "d12_semantic_dedup",
     oracle=f"""
-WITH cents AS (
-  SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
-  WHERE vec_id < {D12_CELLS}
+WITH k AS (
+  SELECT GREATEST({D12_MIN_CELLS},
+                  CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS k
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings, k
+  WHERE vec_id < k.k
 ),
 assigned AS (
   SELECT vec_id, embedding, cell_id, cent_sim FROM (
@@ -964,7 +969,7 @@ ORDER BY a.vec_id
 """,
     description="SemDeDup-style SEMANTIC deduplication: cluster the "
     "embedding space with a deterministic coarse quantizer (the first "
-    f"{D12_CELLS} vectors as centroids, argmax-cosine assignment — same "
+    "⌊√n⌋ vectors as centroids, argmax-cosine assignment — same "
     "stand-in-for-k-means scheme as s03), then WITHIN each cluster drop "
     "every vector that has a higher-priority near-twin (pairwise cosine "
     f"> {D12_TAU}; priority = centroid-similarity DESC then vec_id — the "
@@ -974,9 +979,13 @@ ORDER BY a.vec_id
     "exactly (the oracle hash pins every per-vector decision).  Scale "
     "shape: centroids broadcast, assignment is map-side argmax with "
     "partial aggregation, and the quadratic pair scan is BOUNDED PER "
-    "CLUSTER (keyed shuffle on cell_id) — the cluster decomposition is "
-    "precisely what makes semantic dedup feasible on a 100 TB corpus "
-    "where all-pairs cosine is impossible.",
+    "CLUSTER (keyed shuffle on cell_id).  The centroid count SCALES "
+    "with the corpus — k = ⌊√n⌋, computed lazily in-engine on both "
+    "sides — so cell OCCUPANCY stays ~√n and both the assignment "
+    "(n·k) and the pair scan (n·occupancy) grow as n^1.5, never n²: "
+    "the first cut of this entry pinned k=10 and the sf1 audit caught "
+    "it at 16x (61 s) — fixed-cardinality blocking keys make pair "
+    "joins quadratic, the exact lesson d06's tiler taught in round 5.",
 )
 def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_etl_poc_spark.functions.hashing import dot_fold
@@ -986,8 +995,18 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
     )
+    # k = ⌊√n⌋ computed LAZILY in-engine (no driver count() action): the
+    # scalar aggregate broadcasts onto the centroid filter
+    kf = table(spark, sf_dir, "embeddings").agg(
+        F.greatest(
+            F.lit(D12_MIN_CELLS).cast("bigint"),
+            F.floor(F.sqrt(F.count(F.lit(1)))).cast("bigint"),
+        ).alias("k")
+    )
     cents = F.broadcast(
-        e.filter(F.col("vec_id") < D12_CELLS).select(
+        e.crossJoin(F.broadcast(kf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(
             F.col("vec_id").alias("cell_id"),
             F.col("embedding").alias("cvec"),
             F.col("nsq").alias("cnsq"),

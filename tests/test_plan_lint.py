@@ -64,6 +64,8 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "per-block totals only (same two-phase design as t16; surfaced when "
     "the blanket p0-family eager exemption was lifted)",
     "q58_forecast_revenue": "TPC-H Q6 IS one scalar aggregate row",
+    "d12_semantic_dedup": "corpus-count scalar (k = ⌊√n⌋) seeds the "
+    "centroid filter; one row",
     "t16_sequence_packing": "phase-2 prefix sum runs over tiny per-block "
     "totals only (documented two-phase design)",
     "t19_token_rarity": "NTILE rarity labels over one row per doc; scale "
