@@ -134,6 +134,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q60_dynamic_partition_pruning",
     "p06_plan_multi_step",
     "t23_bigram_novelty",
+    "s12_quantized_rerank",
     # -- then the 24 entries whose latest driver-green row is r03,
     # -- cheap-first (builder per-query bench), with the two streaming
     # -- entries adjacent at the tail ---------------------------------
@@ -161,7 +162,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s08_kmeans_refine",
     "v01_stream_tumbling_agg",
     "v02_stream_sessionize",
-    # -- then the 16 cheapest entries whose latest driver-green row is
+    # -- then the 15 cheapest entries whose latest driver-green row is
     # -- r04, cheap-first ---------------------------------------------
     "q04_weekly_rollup",
     "q06_join_cast_key_broadcast",
@@ -178,10 +179,10 @@ SWEEP_ORDER: tuple[str, ...] = (
     "t01_token_stats",
     "q18_asof_join",
     "q05_left_join_multikey",
-    "t14_tfidf_keywords",
     # -- band 2: r04-era spillovers that did not fit the 50-slot window
-    # -- (q27/d08/q25/t07/u01/q41/q09/t02/q53/t05 slipped out as
+    # -- (t14/q27/d08/q25/t07/u01/q41/q09/t02/q53/t05 slipped out as
     # -- round-6 entries took window slots)
+    "t14_tfidf_keywords",
     "q27_correlated_subquery",
     "d08_fuzzy_levenshtein",
     "q25_pivot_unpivot",

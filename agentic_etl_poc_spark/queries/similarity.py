@@ -1176,3 +1176,168 @@ def s11_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+R_CAND = 50  # stage-1 candidate pool per query (int8 scan), reranked to TOP_K
+
+
+@register(
+    "s12_quantized_rerank",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+q8 AS (
+  SELECT vec_id, embedding,
+         list_transform(emb, x -> floor(
+           x / (list_max(list_transform(emb, y -> abs(y))) / 127.0) + 0.5
+         )) AS qvals
+  FROM v
+),
+queries AS (SELECT * FROM q8 WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.embedding AS c_emb, q.embedding AS q_emb,
+         CAST(list_sum(list_transform(range(1, {DIM + 1}),
+              i -> CAST(q.qvals[i] AS BIGINT) * CAST(c.qvals[i] AS BIGINT)))
+           AS BIGINT) AS int_dot
+  FROM queries q JOIN q8 c ON q.vec_id <> c.vec_id
+),
+stage1 AS (
+  SELECT * FROM cand
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY int_dot DESC, neighbor_id ASC) <= {R_CAND}
+),
+rerank AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY {duck_cosine('c_emb', 'q_emb', DIM)} DESC,
+                    neighbor_id ASC) AS rank
+  FROM stage1
+),
+exact AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM queries q JOIN v c ON q.vec_id <> c.vec_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY {duck_cosine('c.embedding', 'q.embedding', DIM)} DESC,
+                     c.vec_id ASC) <= {TOP_K}
+)
+SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.neighbor_id,
+       (e.neighbor_id IS NOT NULL) AS hit_exact
+FROM rerank r
+LEFT JOIN exact e
+  ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+WHERE r.rank <= {TOP_K}
+ORDER BY r.query_id, r.rank
+""",
+    description="TWO-STAGE retrieval — the production ANN serving shape "
+    "(quantized scan, float rerank): stage 1 ranks the whole corpus per "
+    f"query by INT8 dot product (s07's floor(x/scale+0.5) quantization; "
+    "the score is pure integer arithmetic, so cross-engine exact and "
+    "order-independent) and keeps the top-"
+    f"{R_CAND} candidates; stage 2 reranks only those by exact float "
+    f"cosine to the final top-{TOP_K}, each flagged against the exact "
+    "full-scan answer (the recall audit s04 established).  Scale shape: "
+    "the int8 scan is the 4x-bandwidth pass (map-side, queries "
+    "broadcast, TakeOrdered per query); the float pass touches "
+    f"{R_CAND} rows per query instead of the corpus — the two-stage "
+    "split is what makes float-precision retrieval affordable when the "
+    "corpus is 100 TB of vectors.",
+)
+def s12_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.functions.hashing import dot_fold
+
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / F.lit(127.0)
+    q8 = e.select(
+        "vec_id",
+        "embedding",
+        F.transform(emb, lambda x: F.floor(x / scale + F.lit(0.5))).alias(
+            "qvals"
+        ),
+        dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
+    )
+    queries = F.broadcast(
+        q8.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("qvals").alias("q_qvals"),
+            F.col("nsq").alias("q_nsq"),
+        )
+    )
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("q_qvals"),
+            F.col("qvals"),
+            lambda a, b: (a.cast("bigint") * b.cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        q8.crossJoin(queries)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "embedding",
+            "nsq",
+            "q_emb",
+            "q_nsq",
+            int_dot.alias("int_dot"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("int_dot"), F.asc("neighbor_id")
+    )
+    stage1 = cand.withColumn("rn", F.row_number().over(w1)).where(
+        F.col("rn") <= R_CAND
+    )
+    cos = dot_fold(F.col("embedding"), F.col("q_emb")) / F.sqrt(
+        F.col("nsq") * F.col("q_nsq")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    rerank = (
+        stage1.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= TOP_K)
+    )
+    # exact full-scan top-k for the hit flags (the recall reference)
+    exact_cos = dot_fold(F.col("embedding"), F.col("q_emb")) / F.sqrt(
+        F.col("nsq") * F.col("q_nsq")
+    )
+    exact = (
+        q8.crossJoin(queries)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            exact_cos.alias("ecos"),
+        )
+        .withColumn(
+            "ern",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("ecos"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .where(F.col("ern") <= TOP_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit_exact", F.lit(True))
+    )
+    return (
+        rerank.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            F.coalesce(F.col("hit_exact"), F.lit(False)).alias("hit_exact"),
+        )
+        .orderBy("query_id", "rank")
+    )
