@@ -135,6 +135,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "p06_plan_multi_step",
     "t23_bigram_novelty",
     "s12_quantized_rerank",
+    "m07_shot_detection",
     # -- then the 24 entries whose latest driver-green row is r03,
     # -- cheap-first (builder per-query bench), with the two streaming
     # -- entries adjacent at the tail ---------------------------------
@@ -162,7 +163,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s08_kmeans_refine",
     "v01_stream_tumbling_agg",
     "v02_stream_sessionize",
-    # -- then the 15 cheapest entries whose latest driver-green row is
+    # -- then the 14 cheapest entries whose latest driver-green row is
     # -- r04, cheap-first ---------------------------------------------
     "q04_weekly_rollup",
     "q06_join_cast_key_broadcast",
@@ -178,10 +179,10 @@ SWEEP_ORDER: tuple[str, ...] = (
     "u02_python_udtf",
     "t01_token_stats",
     "q18_asof_join",
-    "q05_left_join_multikey",
     # -- band 2: r04-era spillovers that did not fit the 50-slot window
-    # -- (t14/q27/d08/q25/t07/u01/q41/q09/t02/q53/t05 slipped out as
-    # -- round-6 entries took window slots)
+    # -- (q05/t14/q27/d08/q25/t07/u01/q41/q09/t02/q53/t05 slipped out
+    # -- as round-6 entries took window slots)
+    "q05_left_join_multikey",
     "t14_tfidf_keywords",
     "q27_correlated_subquery",
     "d08_fuzzy_levenshtein",

@@ -1814,3 +1814,73 @@ def t23_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+M07_FRAMES = 6
+M07_THRESH = 64.0
+
+
+@register(
+    "m07_shot_detection",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         list_transform(range(0, {M07_FRAMES}),
+           j -> CAST((doc_id * 31 + j * j * 17) % 256 AS DOUBLE)) AS means
+  FROM documents WHERE doc_id % 9 = 0
+),
+c AS (
+  SELECT doc_id,
+         list_filter(range(1, {M07_FRAMES}),
+           j -> abs(means[j + 1] - means[j]) > {M07_THRESH}) AS cuts
+  FROM f
+)
+SELECT doc_id AS item_id,
+       CAST({M07_FRAMES} AS INT) AS n_frames,
+       CAST(len(cuts) AS INT) AS n_cuts,
+       CAST(CASE WHEN len(cuts) = 0 THEN -1 ELSE cuts[1] END AS INT)
+         AS first_cut
+FROM c
+ORDER BY item_id
+""",
+    description="Video SHOT-BOUNDARY detection, hash-verified through the "
+    "REAL codec: Spark synthesizes a concatenated-PPM stream per item "
+    f"({M07_FRAMES} solid 4x2 P6 frames whose gray level is the integer "
+    "function (doc_id*31 + j*j*17) %% 256 of the frame index), the "
+    "kernel (operators/multimodal.py::shot_detect) genuinely parses "
+    "every frame header, decodes raster bytes, computes per-frame mean "
+    "intensity, and flags cuts where the consecutive-mean jump exceeds "
+    f"{M07_THRESH}; the oracle replays the same arithmetic.  Exact by "
+    "construction: a solid frame's byte mean IS its gray level (an "
+    "integer, exactly representable), so the diffs compare identical "
+    "doubles in both engines.  This is the scene-segmentation primitive "
+    "a frame-sampling pipeline uses to sample per SHOT instead of per "
+    "time-slice.  Scale: synthesis and detection are both Arrow-batched "
+    "mapInPandas, map-only, no shuffle; the codec hook slots ffmpeg in "
+    "for compressed video unchanged.",
+)
+def m07_shot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator as _Iterator
+
+    from agentic_etl_poc_spark.operators.multimodal import shot_detect
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+
+    def synth(batches: "_Iterator[pd.DataFrame]") -> "_Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                frames = []
+                for j in range(M07_FRAMES):
+                    v = (did * 31 + j * j * 17) % 256
+                    frames.append(b"P6\n4 2\n255\n" + bytes([v]) * 24)
+                rows.append((did, b"".join(frames)))
+            yield pd.DataFrame(rows, columns=["item_id", "payload"])
+
+    streams = d.select("doc_id").mapInPandas(
+        synth, schema="item_id bigint, payload binary"
+    )
+    return shot_detect(streams, threshold=M07_THRESH, fake=False).orderBy(
+        "item_id"
+    )
