@@ -102,17 +102,16 @@ def register(name: str, oracle: str | None, description: str = ""):
 
 #: Explicit registry order.  The external correctness sweep walks this
 #: order and records only the FIRST ~50 entries per round (rounds 1-5
-#: each recorded exactly 50).  Round-6 rotation, three bands:
+#: each recorded exactly 50).  Round-7 rotation, three bands:
 #:
-#: 1. Slots 1-50 (the sweep window) — new round-6 entries first (never
-#:    driver-sampled entries must sit inside the window), then the 24
-#:    entries whose latest driver-green row is r03 (they have waited
-#:    longest), cheap-first with streaming adjacent at the block tail so
-#:    v01/v02 share the staged-topic cache, then the cheapest r04-era
-#:    entries until the window is full.
-#: 2. The r04-era spillovers that did not fit — they lead round 7's
-#:    window (with anything new in round 7).
-#: 3. Entries green in the r05 sweep, cheap-first.
+#: 1. Slots 1-50 (the sweep window) — new round-7 entries first (never
+#:    driver-sampled entries must sit inside the window), then all 36
+#:    entries whose latest driver-green row is r04 (they have waited
+#:    longest), cheap-first (builder per-query bench), then the cheapest
+#:    r05-era entries until the window is full.
+#: 2. The remaining r05-era entries, cheap-first — they lead round 8's
+#:    window (with anything new in round 8).
+#: 3. Entries green in the r06 sweep, cheap-first.
 #:
 #: tests/test_battery_contract.py::test_sweep_priority_block_leads
 #: recomputes this invariant from the CORRECTNESS_r*.json files and goes
@@ -122,154 +121,154 @@ def register(name: str, oracle: str | None, description: str = ""):
 #: bench.py iterates sorted(battery), so this order never skews
 #: per-query bench attribution.
 SWEEP_ORDER: tuple[str, ...] = (
-    # -- band 1 (sweep window, 50): new round-6 entries first (never
+    # -- band 1 (sweep window, 50): new round-7 entries first (never
     # -- driver-sampled must sit inside the window) -------------------
-    "p05_plan_multi_source",
-    "v08_stream_session_window",
-    "q57_returned_items",
-    "q58_forecast_revenue",
-    "q59_salted_skew_join",
-    "u08_polymorphic_udtf",
-    "d12_semantic_dedup",
-    "q60_dynamic_partition_pruning",
-    "p06_plan_multi_step",
-    "t23_bigram_novelty",
-    "s12_quantized_rerank",
-    "m07_shot_detection",
-    # -- then the 24 entries whose latest driver-green row is r03,
-    # -- cheap-first (builder per-query bench), with the two streaming
-    # -- entries adjacent at the tail ---------------------------------
-    "q29_range_frame_interval",
-    "q07_conditional_agg",
-    "u04_arrow_scalar_udf",
-    "q44_arg_extremes",
-    "s07_int8_quantization",
-    "t13_vocab_by_source",
-    "q31_date_spine_gapfill",
-    "q28_array_map_agg",
-    "q49_latest_record_dedup",
-    "d10_cluster_survivors",
-    "q26_sliding_window",
-    "q55_lateral_topn",
-    "q51_salted_skew_agg",
-    "q50_higher_order_funcs",
-    "t16_sequence_packing",
-    "s06_knn_join",
-    "q48_shipping_priority",
-    "q54_recursive_year_ladder",
-    "q56_local_supplier_volume",
-    "q45_grouping_sets",
-    "t15_benchmark_decontam",
-    "s08_kmeans_refine",
-    "v01_stream_tumbling_agg",
-    "v02_stream_sessionize",
-    # -- then the 14 cheapest entries whose latest driver-green row is
-    # -- r04, cheap-first ---------------------------------------------
-    "q04_weekly_rollup",
-    "q06_join_cast_key_broadcast",
-    "q12_set_ops",
-    "q13_semi_anti_join",
-    "q20_tumbling_window",
-    "q22_percentiles",
-    "q14_rollup",
-    "d09_containment",
-    "s04_ann_recall",
-    "q34_full_outer_reconcile",
-    "s05_ann_multiprobe",
-    "u02_python_udtf",
-    "t01_token_stats",
-    "q18_asof_join",
-    # -- band 2: r04-era spillovers that did not fit the 50-slot window
-    # -- (q05/t14/q27/d08/q25/t07/u01/q41/q09/t02/q53/t05 slipped out
-    # -- as round-6 entries took window slots)
-    "q05_left_join_multikey",
+    "s13_ivfadc",
+    "q61_small_quantity_avg",
+    "v09_stream_rocksdb_session",
+    # -- then the 36 entries whose latest driver-green row is r04,
+    # -- cheap-first (builder per-query bench) ------------------------
     "t14_tfidf_keywords",
-    "q27_correlated_subquery",
     "d08_fuzzy_levenshtein",
-    "q25_pivot_unpivot",
     "t07_pii_scan_redact",
-    "u01_grouped_pandas_agg",
+    "q05_left_join_multikey",
+    "m02_frame_fingerprints",
+    "q27_correlated_subquery",
     "q41_set_ops_all",
-    "q09_distinct_agg",
-    "t02_quality_score",
+    "u01_grouped_pandas_agg",
+    "q25_pivot_unpivot",
     "q53_retention_cohorts",
+    "t02_quality_score",
+    "q09_distinct_agg",
     "t05_pandas_tokens",
-    # -- — these lead round 7 (with anything new in round 7) ----------
-    "q10_window_rank",
     "q21_cube_grouping",
-    "q19_range_join",
-    "q17_hourly_json",
     "q11_running_window",
-    "t06_boilerplate_ratio",
-    "t03_langid",
-    "s02_ann_lsh",
-    "q23_approx_distinct",
+    "q10_window_rank",
+    "q19_range_join",
     "d01_dedup_exact",
+    "t03_langid",
+    "q17_hourly_json",
+    "q23_approx_distinct",
+    "t06_boilerplate_ratio",
     "t11_repetition_score",
     "q24_sessionize_batch",
-    "q03_try_dateparse",
     "s03_ann_ivf",
+    "s02_ann_lsh",
+    "q03_try_dateparse",
     "u03_pandas_udaf_weighted",
+    "d07_dedup_clusters",
     "q01_pricing_summary",
+    "d06_embedding_neardup",
     "t04_fingerprint",
     "d02_dedup_fingerprint",
-    "d06_embedding_neardup",
-    "m02_frame_fingerprints",
-    "d07_dedup_clusters",
     "d03_ngram_jaccard",
     "d05_simhash",
     "d04_minhash_lsh",
-    # -- band 3: green in the r05 sweep, cheap-first ------------------
-    "q16_math_funcs",
+    # -- then the 11 cheapest entries whose latest driver-green row is
+    # -- r05, cheap-first ---------------------------------------------
     "q08_topk_orders",
+    "q39_regexp_groups",
+    "q37_map_functions",
     "q02_cast_coalesce_project",
     "q30_null_semantics",
-    "q37_map_functions",
-    "q39_regexp_groups",
-    "t12_length_deciles",
-    "m01_multimodal_metadata",
-    "t09_corpus_stats",
-    "q47_bitwise_agg",
-    "q32_histogram",
-    "q40_union_by_name",
-    "q46_ignore_nulls_fill",
-    "t10_source_mixture",
     "q42_json_struct_parse",
-    "q33_scd2_versions",
-    "q15_string_funcs",
+    "t12_length_deciles",
     "t08_train_test_split",
-    "t20_quality_upsample",
-    "q36_explode_outer",
+    "m01_multimodal_metadata",
+    "q40_union_by_name",
+    "q47_bitwise_agg",
+    # -- band 2: the remaining r05-era entries, cheap-first — these
+    # -- lead round 8 (with anything new in round 8) ------------------
+    "t10_source_mixture",
     "t21_training_shuffle",
-    "q38_string_agg",
+    "q32_histogram",
     "q43_rank_family",
+    "q46_ignore_nulls_fill",
+    "t09_corpus_stats",
+    "q38_string_agg",
+    "q36_explode_outer",
+    "q16_math_funcs",
+    "q33_scd2_versions",
+    "t20_quality_upsample",
     "s01_knn_bruteforce",
     "q52_funnel",
-    "u05_arrow_map_batches",
-    "d11_sketch_error",
+    "q15_string_funcs",
     "q35_not_in_null_trap",
+    "d11_sketch_error",
     "s10_filtered_knn",
-    "m06_audio_resample",
-    "m04_image_decode",
+    "u05_arrow_map_batches",
     "t19_token_rarity",
-    "t18_sliding_chunks",
-    "m05_image_resize",
-    "s09_matryoshka_recall",
+    "m04_image_decode",
     "m03_audio_decode",
+    "m06_audio_resample",
+    "m05_image_resize",
+    "t18_sliding_chunks",
     "t22_bpe_merges",
+    "s09_matryoshka_recall",
+    "u07_python_writer",
     "p04_plan_json_pipeline",
     "v06_stream_static_enrich",
     "v03_stream_dedup_exact",
-    "p01_curation_pipeline",
     "t17_chunk_dedup",
+    "u06_python_datasource",
+    "p01_curation_pipeline",
     "s11_pq_adc",
     "v05_stream_watermark_eviction",
-    "u07_python_writer",
+    "v07_stream_python_source",
     "v04_stream_stream_join",
     "p03_plan_incremental",
-    "v07_stream_python_source",
-    "u06_python_datasource",
     "p02_plan_csv_pipeline",
+    # -- band 3: green in the r06 sweep, cheap-first ------------------
+    "q58_forecast_revenue",
+    "q29_range_frame_interval",
+    "t13_vocab_by_source",
+    "q44_arg_extremes",
+    "q28_array_map_agg",
+    "d10_cluster_survivors",
+    "q07_conditional_agg",
+    "q13_semi_anti_join",
+    "q31_date_spine_gapfill",
+    "q20_tumbling_window",
+    "q49_latest_record_dedup",
+    "s05_ann_multiprobe",
+    "d09_containment",
+    "s04_ann_recall",
+    "q14_rollup",
+    "s07_int8_quantization",
+    "q04_weekly_rollup",
+    "q55_lateral_topn",
+    "q06_join_cast_key_broadcast",
+    "u02_python_udtf",
+    "q12_set_ops",
+    "q60_dynamic_partition_pruning",
+    "q26_sliding_window",
+    "u04_arrow_scalar_udf",
+    "t16_sequence_packing",
+    "q34_full_outer_reconcile",
+    "s06_knn_join",
+    "q18_asof_join",
+    "m07_shot_detection",
+    "q51_salted_skew_agg",
+    "q22_percentiles",
+    "t01_token_stats",
+    "q50_higher_order_funcs",
+    "q54_recursive_year_ladder",
+    "q48_shipping_priority",
+    "q57_returned_items",
+    "q56_local_supplier_volume",
+    "q45_grouping_sets",
+    "t23_bigram_novelty",
+    "q59_salted_skew_join",
+    "t15_benchmark_decontam",
+    "p06_plan_multi_step",
+    "v01_stream_tumbling_agg",
+    "s12_quantized_rerank",
+    "p05_plan_multi_source",
+    "u08_polymorphic_udtf",
+    "s08_kmeans_refine",
+    "v08_stream_session_window",
+    "v02_stream_sessionize",
+    "d12_semantic_dedup",
 )
 
 

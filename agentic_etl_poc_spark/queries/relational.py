@@ -1989,3 +1989,53 @@ def q60_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("month")
     )
+
+
+@register(
+    "q61_small_quantity_avg",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND p_size <= 15
+  AND l_quantity < 0.2 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l_partkey)
+""",
+    description="TPC-H Q17 shape (small-quantity-order revenue, adapted "
+    "to the fixture schema: p_size<=15 stands in for p_container): a "
+    "correlated AGGREGATE subquery — each lineitem survives only if its "
+    "quantity is below 20% of that part's average quantity.  Written as "
+    "the correlated form on BOTH engines so the battery pins the "
+    "decorrelation Catalyst must perform: the subquery becomes ONE "
+    "per-partkey aggregate over lineitem joined back to the filtered "
+    "fact — never per-row re-execution (q27 covers scalar correlation; "
+    "this is the aggregate-then-rejoin case real workloads hit "
+    "constantly).  Hash-safe despite AVG-over-double: l_quantity is "
+    "integer-valued (1..50), so the double SUM feeding AVG is exact in "
+    "any order and the IEEE divide + 0.2 multiply are bit-identical "
+    "across engines; the output revenue is a decimal-exact sum.  Scale "
+    "shape: the brand/size predicate prunes part BEFORE either join, "
+    "the pruned part side broadcasts into both the fact filter and the "
+    "per-part average (Catalyst pushes the join down), and the final "
+    "aggregate is a scalar map-side reduce.",
+)
+def q61_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("lineitem", "part"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q61_{name}")
+    return spark.sql(
+        """
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+                    AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM q61_lineitem
+        JOIN q61_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND p_size <= 15
+          AND l_quantity < 0.2 * (SELECT AVG(l2.l_quantity)
+                                  FROM q61_lineitem l2
+                                  WHERE l2.l_partkey = l_partkey)
+        """
+    )

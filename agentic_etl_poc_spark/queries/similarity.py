@@ -1341,3 +1341,260 @@ def s12_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# -- s13: IVFADC — inverted file + PQ on residuals ----------------------
+
+IVFADC_CODE_LO = N_CELLS  # codebook = residuals of vec_id in [8, 24)
+IVFADC_CODE_HI = N_CELLS + PQ_CODES
+
+
+def _int_d2(a: Column, b: Column) -> Column:
+    """Full-dimension integer squared L2 — exact, order-free."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _duck_int_d2(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+@register(
+    "s13_ivfadc",
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, {_duck_pq_quant('embedding')} AS vq FROM embeddings
+),
+cents AS (SELECT vec_id AS cell_id, vq AS cvec FROM emb
+          WHERE vec_id < {N_CELLS}),
+asg AS (
+  SELECT vec_id, CAST(MIN(d2 * {N_CELLS} + cell_id) % {N_CELLS} AS BIGINT)
+           AS cell_id
+  FROM (SELECT e.vec_id, c.cell_id,
+               {_duck_int_d2('e.vq', 'c.cvec')} AS d2
+        FROM emb e CROSS JOIN cents c)
+  GROUP BY vec_id
+),
+resid AS (
+  SELECT e.vec_id, a.cell_id,
+         list_transform(range(1, {DIM + 1}), i -> e.vq[i] - c.cvec[i]) AS rq
+  FROM emb e JOIN asg a USING (vec_id) JOIN cents c USING (cell_id)
+),
+codebook AS (
+  SELECT vec_id - {IVFADC_CODE_LO} AS code, rq AS cq FROM resid
+  WHERE vec_id >= {IVFADC_CODE_LO} AND vec_id < {IVFADC_CODE_HI}
+),
+subs AS (SELECT unnest(range(0, {PQ_SUB})) AS s),
+enc AS (
+  SELECT vec_id, cell_id, s,
+         CAST(MIN(d2 * {PQ_CODES} + code) % {PQ_CODES} AS BIGINT) AS code
+  FROM (SELECT r.vec_id, r.cell_id, s.s, d.code,
+               {_duck_pq_sub_d2('r.rq', 'd.cq', 's.s')} AS d2
+        FROM resid r CROSS JOIN codebook d CROSS JOIN subs s)
+  GROUP BY vec_id, cell_id, s
+),
+qs AS (SELECT vec_id AS query_id, cell_id, rq AS qrq FROM resid
+       WHERE vec_id < {N_QUERIES}),
+dtable AS (
+  SELECT q.query_id, s.s, d.code,
+         {_duck_pq_sub_d2('q.qrq', 'd.cq', 's.s')} AS d2
+  FROM qs q CROSS JOIN codebook d CROSS JOIN subs s
+),
+approx AS (
+  SELECT q.query_id, e.vec_id, SUM(t.d2) AS approx_d2
+  FROM qs q
+  JOIN enc e ON e.cell_id = q.cell_id AND e.vec_id <> q.query_id
+  JOIN dtable t ON t.query_id = q.query_id AND t.s = e.s AND t.code = e.code
+  GROUP BY q.query_id, e.vec_id
+),
+exact AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         {_duck_int_d2('e.vq', 'q.vq')} AS exact_d2
+  FROM emb e CROSS JOIN (SELECT vec_id, vq FROM emb
+                         WHERE vec_id < {N_QUERIES}) q
+  WHERE e.vec_id <> q.vec_id
+),
+approx_rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY approx_d2, vec_id) AS rk
+  FROM approx
+),
+exact_rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY exact_d2, vec_id) AS erk
+  FROM exact
+)
+SELECT a.query_id, CAST(a.rk AS BIGINT) AS rk, a.vec_id AS neighbor_id,
+       CAST(a.approx_d2 AS BIGINT) AS approx_d2,
+       CAST(x.exact_d2 AS BIGINT) AS exact_d2,
+       CAST(CASE WHEN x.erk <= {PQ_TOP_K} THEN 1 ELSE 0 END AS BIGINT) AS hit
+FROM approx_rk a
+JOIN exact_rk x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+WHERE a.rk <= {PQ_TOP_K}
+ORDER BY a.query_id, a.rk
+""",
+    description="IVFADC — the production billion-scale ANN layout "
+    "(FAISS IVF-PQ; cf. PAPERS.md product quantization): composes s03's "
+    f"inverted-file coarse quantizer ({N_CELLS} cells, argmin integer L2, "
+    "a stand-in for trained k-means) with s11's product quantizer applied "
+    "to the RESIDUAL vector inside each cell — residuals are smaller and "
+    "better-centered than raw vectors, so the same codebook budget yields "
+    f"lower distortion.  Every vector stores only (cell_id, {PQ_SUB} "
+    "codes); queries compute ONE ADC distance table against the codebook "
+    "from their own residual and scan only their probed cell's inverted "
+    "list — per-query work is |cell| table lookups, never a float dot "
+    "product.  All arithmetic sits on the fixed integer grid "
+    "(floor(x*200+0.5)) so distances, rankings, and sums are exact "
+    "integers — order-free, hash-safe.  Scale shape: centroids, "
+    "codebook, and distance tables are tiny broadcasts; assignment and "
+    "encoding reduce via map-side min-aggregation (one row per vector "
+    "reaches each exchange); the ADC probe joins on cell_id — the "
+    "corpus partitioned by inverted list, exactly how a 100 TB vector "
+    "index shards.  Recall audited in-row: `hit` flags whether each "
+    "returned neighbor is in the EXACT full-corpus top-10 (nprobe=1 "
+    "recall; more probed cells raise it, per s05's multi-probe).",
+)
+def s13_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", _pq_quant(F.col("embedding")).alias("vq"))
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cell_id"), F.col("vq").alias("cvec")
+        )
+    )
+    # coarse assignment: argmin integer L2 over the broadcast centroids,
+    # reduced by min(d2*N+cell) — map-side partials, one row per vector
+    # reaches the exchange; residual computed in the same pass via max_by
+    # on the negated key (carries the winning centroid out of the agg).
+    asg = (
+        emb.crossJoin(cents)
+        .select(
+            "vec_id",
+            "vq",
+            "cell_id",
+            "cvec",
+            _int_d2(F.col("vq"), F.col("cvec")).alias("d2"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cell_id", "cvec", "vq"),
+                F.col("d2") * N_CELLS + F.col("cell_id"),
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.cell_id").alias("cell_id"),
+            F.zip_with(F.col("b.vq"), F.col("b.cvec"), lambda x, y: x - y).alias(
+                "rq"
+            ),
+        )
+    )
+    codebook = F.broadcast(
+        asg.filter(
+            (F.col("vec_id") >= IVFADC_CODE_LO) & (F.col("vec_id") < IVFADC_CODE_HI)
+        ).select((F.col("vec_id") - IVFADC_CODE_LO).alias("code"), F.col("rq").alias("cq"))
+    )
+    # PQ-encode residuals: argmin code per (vector, subspace) — a single
+    # groupBy(vec_id) with PQ_SUB agg columns (map-side partials), then
+    # stack to long form for the ADC lookup join.
+    enc_scored = asg.crossJoin(codebook).select(
+        "vec_id",
+        "cell_id",
+        "code",
+        *[
+            _pq_sub_d2(F.col("rq"), F.col("cq"), s).alias(f"d2_{s}")
+            for s in range(PQ_SUB)
+        ],
+    )
+    enc = enc_scored.groupBy("vec_id", "cell_id").agg(
+        *[
+            (F.min(F.col(f"d2_{s}") * PQ_CODES + F.col("code")) % PQ_CODES)
+            .cast("bigint")
+            .alias(f"c{s}")
+            for s in range(PQ_SUB)
+        ]
+    )
+    stack = ", ".join(f"{s}L, c{s}" for s in range(PQ_SUB))
+    enc_long = enc.select(
+        "vec_id", "cell_id", F.expr(f"stack({PQ_SUB}, {stack}) as (s, code)")
+    )
+    qs = F.broadcast(
+        asg.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell_id").alias("qcell"),
+            F.col("rq").alias("qrq"),
+        )
+    )
+    # per-query ADC table: N_QUERIES x PQ_CODES x PQ_SUB integer cells
+    dtable = (
+        qs.crossJoin(codebook)
+        .select(
+            "query_id",
+            "code",
+            *[
+                _pq_sub_d2(F.col("qrq"), F.col("cq"), s).alias(f"d2_{s}")
+                for s in range(PQ_SUB)
+            ],
+        )
+        .select(
+            "query_id",
+            "code",
+            F.expr(
+                "stack({n}, {cols}) as (s, d2)".format(
+                    n=PQ_SUB,
+                    cols=", ".join(f"{s}L, d2_{s}" for s in range(PQ_SUB)),
+                )
+            ),
+        )
+    )
+    # probe: only the query's own inverted list (cell_id equi-join), ADC
+    # distance = sum of PQ_SUB broadcast table lookups
+    approx = (
+        enc_long.join(
+            F.broadcast(qs.select("query_id", "qcell")),
+            enc_long["cell_id"] == F.col("qcell"),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(dtable), ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").cast("bigint").alias("approx_d2"))
+    )
+    exact = (
+        emb.crossJoin(
+            F.broadcast(
+                emb.filter(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"), F.col("vq").alias("qq")
+                )
+            )
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _int_d2(F.col("vq"), F.col("qq")).alias("exact_d2"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy("approx_d2", "vec_id")
+    we = Window.partitionBy("query_id").orderBy("exact_d2", "vec_id")
+    approx_rk = approx.withColumn("rk", F.row_number().over(wa).cast("bigint"))
+    exact_rk = exact.withColumn("erk", F.row_number().over(we))
+    return (
+        F.broadcast(approx_rk.filter(F.col("rk") <= PQ_TOP_K))
+        .join(exact_rk, ["query_id", "vec_id"])
+        .select(
+            "query_id",
+            "rk",
+            F.col("vec_id").alias("neighbor_id"),
+            "approx_d2",
+            F.col("exact_d2").cast("bigint").alias("exact_d2"),
+            (F.col("erk") <= PQ_TOP_K).cast("bigint").alias("hit"),
+        )
+        .orderBy("query_id", "rk")
+    )

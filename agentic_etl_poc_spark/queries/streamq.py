@@ -720,3 +720,102 @@ def v07_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         _note_executed_stream_plan(q)
     return spark.table(name).orderBy("source")
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextlib.contextmanager
+def _state_store_provider(spark: SparkSession, provider: str):
+    """Pin spark.sql.streaming.stateStore.providerClass for a stream
+    start, then restore.  The provider is locked in per-query at START
+    (it names the class each stateful task instantiates for its store),
+    so scoping the conf to the drain cannot leak into other streams."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+@register(
+    "v09_stream_rocksdb_session",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}')
+         AS session_end_gap,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS VARCHAR) AS total_value
+FROM numbered
+GROUP BY user_id, sess_no
+ORDER BY user_id, session_start
+""",
+    description="v08's built-in session_window drain re-run on the "
+    "RocksDB state-store provider (spark.sql.streaming.stateStore."
+    "providerClass -> RocksDBStateStoreProvider) under the SAME "
+    "gaps-and-islands oracle — the provider-portability proof the 100 TB "
+    "deployment depends on.  The default HDFS-backed provider keeps "
+    "every state key on the executor HEAP (the sf1 audits show x3.5-4.3 "
+    "growth on ~2M-key state builds — fine for a drain, fatal for "
+    "continuous multi-day state); RocksDB keeps state off-heap on local "
+    "SSD with incremental changelog/snapshot uploads, so state size is "
+    "bounded by disk, not heap.  The plan is IDENTICAL — the provider "
+    "is a per-query conf the stateful tasks instantiate at START, no "
+    "operator rewrite — and the oracle hash proves session merging, "
+    "boundary semantics (gap of exactly 30 min starts a NEW session), "
+    "and decimal state totals survive the provider swap bit-for-bit.  "
+    "BASELINE.md records both providers' drain cost at sf0.1/sf1.",
+)
+def v09_stream_rocksdb_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = events_stream_dir(spark, sf_dir)
+    name = f"v09_rocks_{next(_MEM_SEQ)}"
+    parts = _drain_parts_for(spark, [src], STREAM_DRAIN_PARTITIONS)
+    with _drain_partitions(spark, parts), _state_store_provider(
+        spark, ROCKSDB_PROVIDER
+    ):
+        stream = stream_events(spark, src, watermark="10 minutes")
+        agg = stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .alias("total_value"),
+        )
+        run_to_memory(agg, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias("session_end_gap"),
+            "n_events",
+            F.col("total_value").cast("string").alias("total_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )

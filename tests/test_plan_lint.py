@@ -64,6 +64,9 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "per-block totals only (same two-phase design as t16; surfaced when "
     "the blanket p0-family eager exemption was lifted)",
     "q58_forecast_revenue": "TPC-H Q6 IS one scalar aggregate row",
+    "q61_small_quantity_avg": "TPC-H Q17's avg_yearly IS one scalar "
+    "aggregate row (the per-part correlated average stays a keyed "
+    "hash exchange)",
     "d12_semantic_dedup": "corpus-count scalar (k = ⌊√n⌋) seeds the "
     "centroid filter; one row",
     "t16_sequence_packing": "phase-2 prefix sum runs over tiny per-block "
