@@ -79,9 +79,16 @@ def unregister_codec(kind: str) -> None:
 def _with_codec(kind: str, builtin: Callable) -> Callable:
     """Builtin-first dispatch: the verified parser handles everything it
     understands; a registered codec catches only the payloads the builtin
-    rejects with ValueError.  Resolved at call time ON THE EXECUTOR, so
-    the registered fn must be importable/picklable (a module-level fn or
-    closure shipped with the task, same rule as any mapInPandas body)."""
+    rejects with ValueError.  Resolution happens ON THE DRIVER when the
+    operator is CONSTRUCTED (this _CODECS.get runs as the DataFrame is
+    built): the resolved fn is captured into the closure and shipped with
+    the task, which is exactly why driver-side register_codec() calls
+    reach executors at all — a lookup deferred into the closure would
+    read the executor's freshly-imported module registry and silently
+    miss them.  Consequence: register BEFORE building the DataFrame;
+    codecs registered after construction are ignored by that plan.  The
+    registered fn must be picklable (module-level fn or closure, same
+    rule as any mapInPandas body)."""
     ext = _CODECS.get(kind)
     if ext is None:
         return builtin

@@ -90,6 +90,53 @@ def clear_shared_frames(spark: SparkSession | None = None) -> None:
                 pass  # session already stopped; nothing to free
 
 
+def fixture_fingerprint(sf_dir: str, tables: list[str]) -> str:
+    """mtime/size fingerprint of source fixture tables — written into a
+    staging marker so regenerated fixtures RESTAGE instead of silently
+    reusing stale /tmp copies (which would surface later as a confusing
+    oracle hash mismatch).  A parquet table may be a single file or a
+    directory of part files."""
+    import os
+
+    parts = []
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            files = [
+                os.path.join(root, f)
+                for root, _, fs in os.walk(p)
+                for f in fs
+                if not f.startswith(("_", "."))
+            ]
+            size = sum(os.path.getsize(f) for f in files)
+            mtime = max((int(os.path.getmtime(f)) for f in files), default=0)
+        elif os.path.exists(p):
+            size = os.path.getsize(p)
+            mtime = int(os.path.getmtime(p))
+        else:
+            size = mtime = 0
+        parts.append(f"{t}:{mtime}:{size}")
+    return ";".join(parts)
+
+
+def marker_current(marker: str, fingerprint: str) -> bool:
+    """True iff the staging marker exists and records ``fingerprint``."""
+    import os
+
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        return f.read() == fingerprint
+
+
+def write_marker(marker: str, fingerprint: str) -> None:
+    import os
+
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(fingerprint)
+
+
 def register(name: str, oracle: str | None, description: str = ""):
     """Decorator: add a query to the battery."""
 

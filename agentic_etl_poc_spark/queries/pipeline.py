@@ -396,7 +396,14 @@ def p02_plan_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_path = os.path.join(root, "weekly_sales.csv")
     marker = os.path.join(root, "_STAGED")
-    if not os.path.exists(marker):
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+
+    fp = fixture_fingerprint(sf_dir, ["orders", "customer", "nation"])
+    if not marker_current(marker, fp):
         os.makedirs(root, exist_ok=True)
         orders = table(spark, sf_dir, "orders")
         write_csv(
@@ -423,8 +430,7 @@ def p02_plan_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             os.path.join(root, "features.csv"),
         )
-        with open(marker, "w") as f:
-            f.write("ok")
+        write_marker(marker, fp)
 
     plan = f"""
 limits:
@@ -621,7 +627,14 @@ def p04_plan_json_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     topic = os.path.join(root, "events_topic.ndjson")
     out_path = os.path.join(root, "type_totals.csv")
     marker = os.path.join(root, "_STAGED")
-    if not os.path.exists(marker):
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+
+    fp = fixture_fingerprint(sf_dir, ["events"])
+    if not marker_current(marker, fp):
         os.makedirs(root, exist_ok=True)
         events = table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
         (
@@ -634,8 +647,7 @@ def p04_plan_json_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .json(topic)
         )
-        with open(marker, "w") as f:
-            f.write("ok")
+        write_marker(marker, fp)
 
     plan = f"""
 limits:
@@ -727,7 +739,14 @@ def p05_plan_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     region_api = os.path.join(root, "regions_api.json")
     out_path = os.path.join(root, "acctbal_by_nation")
     marker = os.path.join(root, "_STAGED")
-    if not os.path.exists(marker):
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+
+    fp = fixture_fingerprint(sf_dir, ["nation", "region"])
+    if not marker_current(marker, fp):
         os.makedirs(root, exist_ok=True)
         table(spark, sf_dir, "nation").write.mode("overwrite").json(nation_feed)
         regions = [
@@ -738,8 +757,7 @@ def p05_plan_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         # root (reference binds the loaded doc to a variable named `data`)
         with open(region_api, "w") as f:
             _json.dump({"regions": regions}, f)
-        with open(marker, "w") as f:
-            f.write("ok")
+        write_marker(marker, fp)
 
     plan = f"""
 limits:

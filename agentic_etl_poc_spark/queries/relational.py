@@ -1961,7 +1961,16 @@ def q60_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     fact_dir = os.path.join(root, "orders_by_year")
     dim_dir = os.path.join(root, "year_dim")
     marker = os.path.join(root, "_STAGED")
-    if not os.path.exists(marker):
+    # marker records the source fixture's mtime/size: a regenerated
+    # orders.parquet RESTAGES instead of silently reusing stale copies
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+
+    fp = fixture_fingerprint(sf_dir, ["orders"])
+    if not marker_current(marker, fp):
         os.makedirs(root, exist_ok=True)
         o = table(spark, sf_dir, "orders")
         o.withColumn("o_year", F.year("o_orderdate")).write.mode(
@@ -1975,8 +1984,7 @@ def q60_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             .write.mode("overwrite")
             .parquet(dim_dir)
         )
-        with open(marker, "w") as f:
-            f.write("ok")
+        write_marker(marker, fp)
 
     fact = spark.read.parquet(fact_dir)
     dim = spark.read.parquet(dim_dir).filter(F.col("year_tag") == "Y1997")

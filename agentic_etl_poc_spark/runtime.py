@@ -61,15 +61,26 @@ def extract(spark: SparkSession, plan: Plan) -> DataFrame | None:
     if kind == "multi":
         if not src.multi:
             raise ValueError("multi source requires source.multi{name: {...}}")
+        # plan.max_input_bytes is a CUMULATIVE admission cap across the
+        # whole plan: each byte-measurable sub-source (csv/json paths)
+        # draws down the remaining budget, so N sub-sources cannot admit
+        # N x the declared limit.  db/api/parquet sub-sources have no
+        # local byte size and draw nothing (parquet's admission control
+        # is partition pruning, documented in _extract_frame).
+        remaining = max_bytes
         for name, sub in src.multi.items():
             sub_kind = infer_kind(sub)
             if sub_kind == "multi":
                 raise ValueError(f"multi source {name!r}: nesting not allowed")
-            df = _extract_frame(spark, sub, sub_kind, max_bytes)
+            df = _extract_frame(spark, sub, sub_kind, remaining)
             if df is None:
                 raise ValueError(
                     f"multi source {name!r} must be a single-frame source "
                     f"(csv.paths / parquet.tables register their own views)"
+                )
+            if remaining is not None:
+                remaining = max(
+                    remaining - _local_source_bytes(sub, sub_kind), 0
                 )
             df.createOrReplaceTempView(name)
         return None  # transform SQL names the views
@@ -79,6 +90,28 @@ def extract(spark: SparkSession, plan: Plan) -> DataFrame | None:
         return None  # multi-table: transform SQL names the views
     df.createOrReplaceTempView("input_df")
     return df
+
+
+def _local_source_bytes(src, kind: str) -> int:
+    """On-disk bytes a sub-source admits (0 for sources with no local
+    path — db/api/parquet) — the draw-down unit for the multi-source
+    cumulative input cap."""
+    import os
+
+    path = None
+    if kind == "csv" and src.csv is not None:
+        path = src.csv.path
+    elif kind == "json" and src.json is not None:
+        path = src.json.path
+    if not path or not os.path.exists(path):
+        return 0
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    return os.path.getsize(path)
 
 
 def _extract_frame(

@@ -109,8 +109,14 @@ def _infer_ndjson(path: str) -> bool:
     sniffed by CONTENT, not name — a directory of NDJSON part files not
     named '*.ndjson' used to be read multiLine (one record per file,
     silently wrong rows), and a single NDJSON file named '*.json' (what
-    most engines write) silently yielded only its first record.  For
-    directories the first data file decides."""
+    most engines write) silently yielded only its first record.  Single
+    compact one-line '*.json' documents sniff as line-delimited, which
+    reads identically for object/array roots (see _first_line_is_json).
+    Directories are sniffed on their first few data files; if those
+    DISAGREE (a mixed NDJSON + pretty-printed-document layout) auto mode
+    refuses with a ValueError naming the fix — set ``source.json.mode``
+    explicitly — rather than letting the first file silently decide for
+    files it never looked at."""
     import os
 
     if not os.path.isdir(path):
@@ -124,9 +130,17 @@ def _infer_ndjson(path: str) -> bool:
     )
     if any(f.lower().endswith(_NDJSON_SUFFIXES) for f in data_files):
         return True
-    for f in data_files:
-        return _first_line_is_json(f)  # first data file decides
-    return False
+    verdicts = [_first_line_is_json(f) for f in data_files[:8]]
+    if not verdicts:
+        return False
+    if all(verdicts) or not any(verdicts):
+        return verdicts[0]
+    raise ValueError(
+        f"mixed JSON layouts under {path!r}: both line-delimited and "
+        f"multi-line documents among the first {len(verdicts)} data files "
+        f"— auto mode cannot read them with one parser; set "
+        f"source.json.mode to 'ndjson' or 'document' explicitly"
+    )
 
 
 def read_json(
@@ -137,9 +151,10 @@ def read_json(
     mode: str = "auto",
 ) -> DataFrame:
     """Read a JSON document (multiLine) or NDJSON (line-delimited) and
-    apply the row selector + flattening.  ``mode`` is 'auto' (suffix for
-    files, content sniff for directories — see ``_infer_ndjson``),
-    'ndjson', or 'multiline'; plans set it via ``source.json.mode``."""
+    apply the row selector + flattening.  ``mode`` is 'auto' (NDJSON
+    suffixes win, everything else is content-sniffed; mixed directories
+    are refused — see ``_infer_ndjson``), 'ndjson', or 'multiline';
+    plans set it via ``source.json.mode``."""
     from agentic_etl_poc_spark.sources.csv_source import check_size
 
     check_size(path, max_bytes)

@@ -261,26 +261,66 @@ class LedgerWriter(DataSourceWriter):
         mid-commit leaves either the old manifest or the new one, never a
         truncated file.  mode('append') MERGES with an existing manifest
         instead of overwriting it — otherwise previously committed parts
-        would be silently orphaned despite the exactly-once claim."""
+        would be silently orphaned despite the exactly-once claim.  The
+        append read-modify-write is serialized by an O_EXCL lock file:
+        two concurrent append jobs to the same ledger path would each
+        read the old manifest and one commit's parts would be silently
+        orphaned (an os.replace race the atomic rename alone cannot
+        prevent).  A lock older than _LOCK_STALE_SEC is broken (crashed
+        committer); waiting past _LOCK_WAIT_SEC raises rather than
+        guessing."""
         import json
         import os
+        import time
         import uuid
 
         files = sorted(m.filename for m in messages if m is not None)
         rows = sum(m.n_rows for m in messages if m is not None)
         manifest_path = os.path.join(self._dir, "_MANIFEST.json")
-        if not self._overwrite and os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                prior = json.load(f)
-            files = sorted(set(prior["files"]) | set(files))
-            rows += prior["rows"]
-        manifest = {"files": files, "rows": rows}
-        tmp = manifest_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, manifest_path)
+        lock_path = manifest_path + ".lock"
+        deadline = time.monotonic() + self._LOCK_WAIT_SEC
+        while True:
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if (
+                        time.time() - os.path.getmtime(lock_path)
+                        > self._LOCK_STALE_SEC
+                    ):
+                        os.unlink(lock_path)  # crashed committer; break it
+                        continue
+                except OSError:
+                    continue  # lock vanished between exists and stat
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"ledger manifest lock {lock_path!r} held for "
+                        f">{self._LOCK_WAIT_SEC}s by a concurrent commit"
+                    )
+                time.sleep(0.05)
+        try:
+            if not self._overwrite and os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    prior = json.load(f)
+                files = sorted(set(prior["files"]) | set(files))
+                rows += prior["rows"]
+            manifest = {"files": files, "rows": rows}
+            tmp = manifest_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, manifest_path)
+        finally:
+            try:
+                os.unlink(lock_path)
+            except OSError:
+                pass
+
+    _LOCK_WAIT_SEC = 30.0
+    _LOCK_STALE_SEC = 300.0
 
     def abort(self, messages) -> None:
         import os

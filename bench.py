@@ -104,6 +104,38 @@ def _warm_python_sources(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _u03_builtin_twin(spark, sf_dir: str) -> float:
+    """Built-in JVM twin of u03's pandas UDAF: the SAME weighted average
+    (sum(price*qty)/sum(qty), decimal-exact) via whole-stage-codegen
+    aggregates.  Timed in the untimed preamble and recorded as
+    ``u03_criterion.builtin_twin_sec`` so u03's Arrow-boundary cost is a
+    MEASURED delta (udaf/builtin ratio), not a narrative: the twin is
+    the plan a production pipeline would run, u03 exists to demonstrate
+    the grouped-agg pandas API and to price that boundary."""
+    from pyspark.sql import functions as F
+
+    from agentic_etl_poc_spark.io_tables import table
+
+    t0 = time.perf_counter()
+    li = table(spark, sf_dir, "lineitem")
+    _force(
+        li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                        "decimal(28,4)"
+                    )
+                ).cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(28,2)")).cast("double")
+            ).alias("weighted_avg_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
 def _calibrate(spark) -> float:
     """Fixed, data-independent CPU/JVM kernel: 50M-row range fold across
     32 partitions.  Same work every round on every machine — its wall
@@ -150,6 +182,10 @@ def main() -> None:
     # floor — the steady-state machinery cost v02 pays on every drain.
     state_harness_floor(spark, sf_dir)
     state_floor = state_harness_floor(spark, sf_dir)
+    # u03's built-in twin (warm JVM path, untimed region): the yardstick
+    # for the recorded u03 Arrow-boundary ratio below.
+    _u03_builtin_twin(spark, sf_dir)
+    u03_twin = _u03_builtin_twin(spark, sf_dir)
     _calibrate(spark)
     calib_first = _calibrate(spark)
 
@@ -184,6 +220,18 @@ def main() -> None:
         full["v02_criterion"] = {
             "net_ratio": round(max(v02 - state_floor, 0.0) / v01, 3),
             "target": "(v02 - state_floor_sec) / v01 <= 2",
+        }
+    u03 = timings.get("u03_pandas_udaf_weighted")
+    if u03 and u03_twin:
+        # The recorded u03 target: the built-in twin IS the production
+        # plan; its cost must stay ~linear in sf (BASELINE.md tracks the
+        # sf0.1/sf1 pair), and the ratio prices the Arrow boundary the
+        # pandas-UDAF demo deliberately pays.
+        full["u03_criterion"] = {
+            "builtin_twin_sec": u03_twin,
+            "arrow_ratio": round(u03 / u03_twin, 2),
+            "target": "builtin twin grows <= ~1.5x linearly with sf; "
+            "udaf/builtin ratio is the measured Arrow-boundary price",
         }
     print(json.dumps(headline), flush=True)
     print(json.dumps(full), flush=True)

@@ -303,3 +303,137 @@ def test_t18_sliding_chunks_edges_match_oracle(spark, tmp_path):
     assert got[3] == [(1, 8), (5, 5)], "width+1: short second window"
     assert got[4] == [(1, 8), (5, 8), (9, 6)]
     assert got[5] == [(1, 8), (5, 8), (9, 8), (13, 8), (17, 5)]
+
+
+def test_json_auto_mixed_directory_refuses(tmp_path):
+    """Round-6 advisory: a directory mixing NDJSON part files with
+    pretty-printed documents must REFUSE auto mode (the first file
+    deciding for all of them silently misreads the rest)."""
+    import json
+
+    from agentic_etl_poc_spark.sources.json_source import _infer_ndjson
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.json").write_text(json.dumps({"id": 1}) + "\n")
+    (d / "b.json").write_text('{\n  "id": 2\n}\n')
+    with pytest.raises(ValueError, match="mixed JSON layouts"):
+        _infer_ndjson(str(d))
+    # homogeneous directories still sniff cleanly
+    (d / "b.json").write_text(json.dumps({"id": 2}) + "\n")
+    assert _infer_ndjson(str(d)) is True
+
+
+def test_multi_source_cumulative_byte_cap(spark, tmp_path):
+    """Round-6 advisory: plan.max_input_bytes caps the SUM across multi
+    sub-sources, not each one independently."""
+    import json
+
+    from agentic_etl_poc_spark.runtime import run_from_plan
+
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    for p in (a, b):
+        p.write_text(
+            "\n".join(json.dumps({"id": i, "v": i * 2}) for i in range(50))
+        )
+    each = a.stat().st_size
+    plan = f"""
+limits:
+  max_input_bytes: {int(each * 1.5)}
+source:
+  kind: multi
+  multi:
+    ta:
+      kind: json
+      json:
+        path: {a}
+    tb:
+      kind: json
+      json:
+        path: {b}
+transform:
+  sql: SELECT COUNT(*) AS n FROM ta JOIN tb USING (id)
+load:
+  to: csv
+  file_path: {tmp_path / "out.csv"}
+checks:
+  min_rows: 1
+"""
+    with pytest.raises(ValueError, match="too large"):
+        run_from_plan(spark, plan)
+    # a budget that covers BOTH admits the plan
+    res2 = run_from_plan(spark, plan.replace(
+        f"max_input_bytes: {int(each * 1.5)}", f"max_input_bytes: {each * 3}"
+    ))
+    assert res2["status"] == "ok", json.dumps(res2)
+
+
+def test_ledger_append_merge_is_lock_guarded(spark, tmp_path):
+    """Round-6 advisory: concurrent append commits to one ledger path
+    serialize on the manifest lock — a held lock makes the second commit
+    wait (and a stale lock is broken, not waited on forever)."""
+    import json
+    import os
+    import threading
+    import time
+
+    from agentic_etl_poc_spark.sources.py_datasource import (
+        LedgerWriter,
+        register_writer,
+    )
+
+    register_writer(spark)
+    path = str(tmp_path / "ledger")
+    df = spark.range(3).selectExpr("id", "id AS v").coalesce(1)
+    df.write.format("pyledger").option("path", path).mode("append").save()
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert manifest["rows"] == 3
+
+    # hold the lock; a second append must block until release, then merge
+    lock = os.path.join(path, "_MANIFEST.json.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    released = {"at": None}
+
+    def release():
+        time.sleep(1.0)
+        released["at"] = time.monotonic()
+        os.unlink(lock)
+
+    t = threading.Thread(target=release)
+    t.start()
+    df.write.format("pyledger").option("path", path).mode("append").save()
+    t.join()
+    done = time.monotonic()
+    assert released["at"] is not None and done >= released["at"]
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert manifest["rows"] == 6 and len(manifest["files"]) == 2
+
+
+def test_stage_marker_fingerprint_tracks_fixture(tmp_path):
+    """Round-6 advisory: staged /tmp fixtures restage when the source
+    fixture changes (mtime/size fingerprint in the marker)."""
+    import os
+    import time
+
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+
+    src = tmp_path / "orders.parquet"
+    src.write_bytes(b"x" * 100)
+    marker = str(tmp_path / "staged" / "_STAGED")
+    fp = fixture_fingerprint(str(tmp_path), ["orders"])
+    assert not marker_current(marker, fp)
+    write_marker(marker, fp)
+    assert marker_current(marker, fp)
+    # regenerate the fixture (newer mtime, different size) -> stale
+    time.sleep(0.01)
+    src.write_bytes(b"y" * 120)
+    os.utime(src, (time.time() + 2, time.time() + 2))
+    fp2 = fixture_fingerprint(str(tmp_path), ["orders"])
+    assert fp2 != fp
+    assert not marker_current(marker, fp2)
