@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 #: - ``audio_resample``: fn(payload, out_rate) -> (payload_out, src_rate,
 #:                       n_src, n_out)
 #: - ``frame_rasters``:  fn(payload) -> list of per-frame RASTER bytes
+#: - ``image_dhash``:    fn(payload) -> 16-char hex dHash string
 _CODECS: dict[str, Callable] = {}
 
 CODEC_KINDS = (
@@ -59,6 +60,7 @@ CODEC_KINDS = (
     "image_resize",
     "audio_resample",
     "frame_rasters",
+    "image_dhash",
 )
 
 
@@ -613,3 +615,66 @@ def shot_detect(
             )
 
     return df.select("item_id", "payload").mapInPandas(run, schema=SHOT_SCHEMA)
+
+
+DHASH_COLS = 9  # classic dHash grid: 9 columns -> 8 horizontal gradients
+DHASH_ROWS = 8  # x 8 rows = 64 bits, emitted as a 16-char hex string
+
+
+def _dhash_hex(payload: bytes) -> str:
+    """Perceptual difference-hash of a PNM image: decode with the real
+    parser, reduce the luma raster to a DHASH_ROWS x DHASH_COLS grid by
+    block mean (exact-size rasters skip resampling entirely), then one
+    bit per horizontal gradient (right pixel strictly brighter), packed
+    row-major into a 64-bit hex string.  Brightness-shift invariant by
+    construction: adding a constant to every pixel cannot flip a
+    gradient sign — the property that makes dHash a NEAR-duplicate key
+    (re-encoded / brightness-shifted variants collide) where md5 of the
+    payload is an exact-duplicate key."""
+    magic, width, height, maxval, off = _pnm_header(payload)
+    channels = 3 if magic == b"P6" else 1
+    dtype = np.uint8 if maxval < 256 else np.dtype(">u2")
+    count = width * height * channels
+    raster = np.frombuffer(payload, dtype=dtype, count=count, offset=off)
+    if raster.size < count:
+        raise ValueError("truncated PNM raster")
+    if channels == 3:
+        rgb = raster.reshape(height, width, 3).astype(np.float64)
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    else:
+        luma = raster.astype(np.float64).reshape(height, width)
+    if (height, width) != (DHASH_ROWS, DHASH_COLS):
+        # block-mean downsample via row/column bucket averaging (area
+        # interpolation on the integer grid)
+        r_idx = (np.arange(height) * DHASH_ROWS) // height
+        c_idx = (np.arange(width) * DHASH_COLS) // width
+        grid = np.zeros((DHASH_ROWS, DHASH_COLS))
+        counts = np.zeros((DHASH_ROWS, DHASH_COLS))
+        np.add.at(grid, (r_idx[:, None], c_idx[None, :]), luma)
+        np.add.at(counts, (r_idx[:, None], c_idx[None, :]), 1.0)
+        luma = grid / counts
+    bits = luma[:, 1:] > luma[:, :-1]  # ROWS x (COLS-1)
+    weights = 1 << np.arange(DHASH_COLS - 2, -1, -1)
+    row_bytes = (bits * weights).sum(axis=1).astype(np.uint64)
+    return "".join(f"{int(b):02x}" for b in row_bytes)
+
+
+def dhash_hashes(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
+    """Per-item perceptual hash via Arrow-batched mapInPandas.  ``df``
+    must have columns (item_id, payload); output (item_id, dhash)."""
+    hasher = _with_codec("image_dhash", _dhash_hex)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                out.append((int(item_id), hasher(bytes(payload))))
+                if len(out) >= batch_limit:
+                    yield pd.DataFrame(out, columns=["item_id", "dhash"])
+                    out = []
+            if out:
+                yield pd.DataFrame(out, columns=["item_id", "dhash"])
+
+    return df.select("item_id", "payload").mapInPandas(
+        run, schema="item_id bigint, dhash string"
+    )

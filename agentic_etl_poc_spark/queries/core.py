@@ -173,6 +173,10 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s13_ivfadc",
     "q61_small_quantity_avg",
     "v09_stream_rocksdb_session",
+    "q62_large_volume_customers",
+    "q63_suppliers_kept_waiting",
+    "v10_stream_outer_join",
+    "d13_perceptual_dhash",
     # -- then the 36 entries whose latest driver-green row is r04,
     # -- cheap-first (builder per-query bench) ------------------------
     "t14_tfidf_keywords",

@@ -1073,3 +1073,110 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "d13_perceptual_dhash",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, CAST(doc_id % 12 AS INT) AS grp,
+         CAST(doc_id % 40 AS INT) AS off
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT g.doc_id, g.grp, g.off, r.r, c.c,
+         (g.grp * 37 + r.r * 29 + c.c * c.c * 13) % 97 AS base
+  FROM g
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS r) r
+  CROSS JOIN (SELECT unnest(range(0, 9)) AS c) c
+),
+bytes AS (
+  SELECT a.doc_id, a.r,
+         CAST(SUM(CASE WHEN b.base > a.base
+                       THEN 1 << (7 - a.c) ELSE 0 END) AS BIGINT) AS byte
+  FROM px a JOIN px b
+    ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8
+  GROUP BY a.doc_id, a.r
+),
+hashes AS (
+  SELECT doc_id,
+         string_agg(lpad(lower(to_hex(byte)), 2, '0'), '' ORDER BY r)
+           AS dhash
+  FROM bytes GROUP BY doc_id
+),
+variants AS (
+  SELECT doc_id,
+         string_agg(CAST(base + off AS VARCHAR), ',' ORDER BY r, c) AS pix
+  FROM px GROUP BY doc_id
+)
+SELECT h.dhash,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT v.pix) AS BIGINT) AS n_byte_variants,
+       MIN(h.doc_id) AS keeper_doc,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
+FROM hashes h JOIN variants v ON v.doc_id = h.doc_id
+GROUP BY h.dhash
+ORDER BY h.dhash
+""",
+    description="Perceptual-hash IMAGE dedup — the multimodal twin of "
+    "d01's exact text dedup, bridging the m- and d-families: every "
+    "third document synthesizes a 9x8 P5 image whose pixel STRUCTURE "
+    "is shared across its group (base = (grp*37 + r*29 + 13c^2) % 97, "
+    "grp = doc_id%12) while a per-doc brightness offset (doc_id%40) "
+    "makes the payload BYTES differ; the real PNM decode + 64-bit "
+    "difference-hash kernel (operators/multimodal.py::dhash_hashes — "
+    "block-mean grid, one bit per horizontal gradient, hex-packed) "
+    "collapses the byte-distinct variants into perceptual groups: "
+    "first-occurrence keeper + dup count per hash.  dHash\'s "
+    "brightness-shift invariance is what the oracle PROVES (adding a "
+    "constant cannot flip a gradient sign): n_byte_variants counts "
+    "md5-distinct payloads per group Spark-side vs distinct canonical "
+    "pixel strings oracle-side — equal iff byte-level variants really "
+    "collapsed into one perceptual key.  Scale shape: synthesis / "
+    "decode / hash are map-only Arrow-batched mapInPandas (the real-"
+    "media path at 100 TB: payloads never shuffle — only the 16-char "
+    "hash + id reach the exchange); the group table is one hash-keyed "
+    "aggregation, and near-dup retrieval at Hamming<=k extends it with "
+    "the same banding trick d05 (SimHash) already demonstrates.",
+)
+def d13_perceptual_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from agentic_etl_poc_spark.io_tables import table
+    from agentic_etl_poc_spark.operators.multimodal import dhash_hashes
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                grp, off = i % 12, i % 40
+                raster = bytes(
+                    (grp * 37 + r * 29 + c * c * 13) % 97 + off
+                    for r in range(8)
+                    for c in range(9)
+                )
+                rows.append((i, b"P5\n9 8\n255\n" + raster))
+            yield pd.DataFrame(rows, columns=["item_id", "payload"])
+
+    payloads = d.mapInPandas(synth, schema="item_id bigint, payload binary")
+    hashed = dhash_hashes(payloads)
+    md5s = payloads.select("item_id", F.md5(F.col("payload")).alias("pmd5"))
+    return (
+        hashed.join(md5s, "item_id")
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.countDistinct("pmd5").cast("bigint").alias("n_byte_variants"),
+            F.min("item_id").alias("keeper_doc"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dups"),
+        )
+        .orderBy("dhash")
+    )

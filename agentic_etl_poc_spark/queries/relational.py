@@ -2047,3 +2047,122 @@ def q61_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   WHERE l2.l_partkey = l_partkey)
         """
     )
+
+
+@register(
+    "q62_large_volume_customers",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 250
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    description="TPC-H Q18 (large-volume customers): membership in an "
+    "IN-subquery whose body is a grouped HAVING aggregate over the SAME "
+    "fact table — the classic self-referential filter.  Catalyst plans "
+    "the subquery as ONE aggregation of lineitem reduced to qualifying "
+    "orderkeys joined back as a left-semi join (never re-executing per "
+    "row), then the survivors re-aggregate with customer/orders context. "
+    "Decimal-exact quantity sums on both sides of the HAVING threshold "
+    "so membership cannot drift between engines; the date lands as a "
+    "formatted string (raw DATE/TIMESTAMP dtypes skew between Spark and "
+    "DuckDB pandas rendering).  Scale shape: both lineitem passes are "
+    "map-side partial aggregations keyed on l_orderkey; the semi-join "
+    "key set (~0.3% of orders at the 250 threshold) broadcasts; top-20 "
+    "is TakeOrderedAndProject.",
+)
+def q62_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q62_{name}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM q62_customer
+        JOIN q62_orders   ON c_custkey = o_custkey
+        JOIN q62_lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM q62_lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 250
+        )
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+        """
+    )
+
+
+@register(
+    "q63_suppliers_kept_waiting",
+    oracle="""
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 75 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    description="TPC-H Q21 shape (suppliers who kept orders waiting, "
+    "adapted: 'late' = shipped >75 days after the order date, since the "
+    "fixture lacks commit/receipt dates): the hardest decorrelation "
+    "pattern in the TPC-H suite — an EXISTS (another supplier "
+    "participated in the order) AND a NOT EXISTS (no OTHER supplier was "
+    "ALSO late) against the same fact, the second one correlating on "
+    "BOTH the outer lineitem's orderkey and the outer ORDER's date.  "
+    "Catalyst must plan these as one left-semi and one left-anti join "
+    "keyed on l_orderkey — per-row re-execution would scan lineitem "
+    "twice per late item.  Written correlated on both engines so the "
+    "oracle hash pins the decorrelated semantics (the NULL-free "
+    "anti-join here is safe: l_suppkey/l_shipdate are non-null).  Scale "
+    "shape: all three lineitem branches shuffle once on l_orderkey "
+    "(co-partitioned joins), the 100-row supplier dim broadcasts, and "
+    "the status/lateness predicates push into the scans.",
+)
+def q63_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("supplier", "orders", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q63_{name}")
+    return spark.sql(
+        """
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM q63_supplier
+        JOIN q63_lineitem l1 ON l1.l_suppkey = s_suppkey
+        JOIN q63_orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+          AND EXISTS (SELECT 1 FROM q63_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q63_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate >
+                                o.o_orderdate + INTERVAL 75 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )

@@ -819,3 +819,88 @@ def v09_stream_rocksdb_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "v10_stream_outer_join",
+    oracle=f"""
+WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'),
+wm AS (
+  SELECT make_timestamp((LEAST(
+           (SELECT CAST(floor(epoch_ms(MAX(ts))) AS BIGINT)
+            FROM events WHERE event_type = 'view'),
+           (SELECT CAST(floor(epoch_ms(MAX(ts))) AS BIGINT)
+            FROM events WHERE event_type = 'click'))
+         - 600000) * 1000) AS w
+)
+SELECT v.user_id, v.view_id, c.click_id,
+       strftime(v.view_ts, '{TS_FMT_DUCK}') AS view_ts_s,
+       strftime(c.click_ts, '{TS_FMT_DUCK}') AS click_ts_s
+FROM v LEFT JOIN c
+  ON v.user_id = c.c_user
+ AND c.click_ts >= v.view_ts
+ AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
+WHERE c.click_id IS NOT NULL
+   OR v.view_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+ORDER BY view_id, click_id
+""",
+    description="Stream-stream LEFT OUTER join under the oracle — the "
+    "semantics v04's inner join cannot show: a view with NO click inside "
+    "its 1-hour attribution window must still emit (click NULL), but "
+    "ONLY once the watermark proves no match can arrive.  The oracle "
+    "encodes Spark's exact emission rule, empirically pinned like v05's "
+    "eviction: matched rows emit immediately; an unmatched view emits "
+    "iff view_ts + 1h < global watermark, where the global watermark is "
+    "min over BOTH input streams of (side's max event time, "
+    "ms-truncated) - 10 min delay (multipleWatermarkPolicy=min), and "
+    "the comparison is STRICT (state evicts when wm passes the window "
+    "end).  Views inside the final delay horizon stay in state and "
+    "never emit — the tail the drain leaves pending, exactly what a "
+    "continuous deployment would still be waiting on.  Scale shape: "
+    "same bounded join state as v04 (range condition evicts rows older "
+    "than wm - interval); the NULL-completion path adds no state, only "
+    "eviction-time emission.",
+)
+def v10_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"v10_soj_{next(_MEM_SEQ)}"
+    v_dir = _typed_stream_dir(spark, sf_dir, "view")
+    c_dir = _typed_stream_dir(spark, sf_dir, "click")
+    parts = _drain_parts_for(spark, [v_dir, c_dir], STREAM_DRAIN_PARTITIONS)
+    with _drain_partitions(spark, parts):
+        views = stream_events(spark, v_dir, watermark="10 minutes")
+        clicks = stream_events(spark, c_dir, watermark="10 minutes")
+        v = views.select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        c = clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        j = v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (
+                F.col("click_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+            "left_outer",
+        )
+        run_to_memory(j, name)
+    return (
+        spark.table(name)
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "click_id",
+            F.date_format("view_ts", TS_FMT_SPARK).alias("view_ts_s"),
+            F.date_format("click_ts", TS_FMT_SPARK).alias("click_ts_s"),
+        )
+        .orderBy("view_id", "click_id")
+    )

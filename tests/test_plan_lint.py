@@ -43,7 +43,7 @@ ALL = load_all()
 EAGER = sorted(
     n
     for n in ALL
-    if (n.startswith(("p0", "v0")) and n != "p01_curation_pipeline")
+    if (n[0] in "pv" and n != "p01_curation_pipeline")
     or n == "u07_python_writer"
 )
 
@@ -160,6 +160,6 @@ def test_lint_lists_track_registry():
     assert set(EAGER) == {
         n
         for n in ALL
-        if (n.startswith(("p0", "v0")) and n != "p01_curation_pipeline")
+        if (n[0] in "pv" and n != "p01_curation_pipeline")
         or n == "u07_python_writer"
     }
