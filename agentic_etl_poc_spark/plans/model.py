@@ -118,6 +118,12 @@ class Checks:
     nonnull_cols: list[str] = field(default_factory=list)
     freshness_minutes: int | None = None
     timestamp_col: str = ""
+    #: Engine extension: when set, rows violating ``nonnull_cols`` are
+    #: ROUTED to this parquet path instead of failing the whole plan —
+    #: the quarantine pattern (gate semantics stay the default: an
+    #: unset path keeps the reference's alert-and-abort behavior).
+    #: ``min_rows`` then applies to the CLEAN rows that reach the sink.
+    quarantine_path: str = ""
 
 
 @dataclass
@@ -240,6 +246,7 @@ def plan_from_dict(doc: dict[str, Any]) -> Plan:
         nonnull_cols=list(ck_d.get("nonnull_cols") or []),
         freshness_minutes=ck_d.get("freshness_minutes"),
         timestamp_col=str(ck_d.get("timestamp_col", "")),
+        quarantine_path=str(ck_d.get("quarantine_path", "")),
     )
 
     vf_d = doc.get("verify", {}) or {}

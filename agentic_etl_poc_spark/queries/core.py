@@ -177,6 +177,10 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q63_suppliers_kept_waiting",
     "v10_stream_outer_join",
     "d13_perceptual_dhash",
+    "q64_customer_distribution",
+    "v11_stream_upsert_sink",
+    "u09_arrow_udtf",
+    "p07_plan_quarantine",
     # -- then the 36 entries whose latest driver-green row is r04,
     # -- cheap-first (builder per-query bench) ------------------------
     "t14_tfidf_keywords",

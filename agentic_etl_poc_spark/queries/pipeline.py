@@ -921,3 +921,94 @@ alerts:
         F.col("n_customers").cast("bigint").alias("n_customers"),
         "total_price",
     ).orderBy("o_orderpriority", "tier")
+
+
+@register(
+    "p07_plan_quarantine",
+    oracle="""
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+            AS DECIMAL(28,6)) AS VARCHAR) AS total_price
+FROM (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN '__quarantined__'
+              ELSE o_orderpriority END AS priority,
+         o_totalprice
+  FROM orders
+)
+GROUP BY priority
+ORDER BY priority
+""",
+    description="DQ QUARANTINE routing as a plan-layer feature (engine "
+    "extension over the reference's alert-and-abort gate, "
+    "plans/model.py::Checks.quarantine_path): the transform NULLs the "
+    "priority of every 7th order (a stand-in for upstream breakage), "
+    "and instead of the whole run failing, the violating rows are "
+    "routed to a parquet quarantine sink while the clean rows flow "
+    "through the DQ gate -> parquet sink -> verify gate; the run "
+    "report carries the quarantined count.  The entry re-reads BOTH "
+    "artifacts and returns their union (quarantine rows labeled "
+    "'__quarantined__'), so the oracle hash proves the split was "
+    "exact and lossless — every source row landed in exactly one "
+    "artifact with its value intact.  Scale shape: the split is two "
+    "filters over ONE persisted transform (no recompute), the "
+    "quarantine write is a distributed parquet sink (never a driver "
+    "loop), and gate semantics are unchanged when no quarantine path "
+    "is declared — the reference's abort contract is the default.",
+)
+def p07_plan_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agentic_etl_poc_spark.runtime import run_from_plan
+
+    root = tempfile.mkdtemp(prefix="spark_graft_p07_")
+    out_path = os.path.join(root, "clean_orders")
+    quarantine = os.path.join(root, "quarantine")
+    plan = f"""
+source:
+  kind: parquet
+  parquet:
+    path: {sf_dir}/orders.parquet
+transform:
+  sql: |
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_orderpriority END AS priority,
+           o_totalprice
+    FROM input_df
+checks:
+  min_rows: 1
+  nonnull_cols: [priority]
+  quarantine_path: {quarantine}
+load:
+  to: parquet
+  file_path: {out_path}
+verify:
+  min_rows: 1
+alerts:
+  on_fail: "slack://#data-alerts"
+"""
+    result = run_from_plan(spark, plan)
+    if result.get("status") != "ok":
+        raise RuntimeError(f"p07 plan pipeline failed: {result}")
+    if not result.get("dq", {}).get("quarantined"):
+        raise RuntimeError(f"p07 expected quarantined rows: {result}")
+    clean = spark.read.parquet(out_path)
+    bad = spark.read.parquet(quarantine)
+    both = clean.select("priority", "o_totalprice").unionByName(
+        bad.select(
+            F.lit("__quarantined__").alias("priority"), "o_totalprice"
+        )
+    )
+    return (
+        both.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .cast("string")
+            .alias("total_price"),
+        )
+        .orderBy("priority")
+    )

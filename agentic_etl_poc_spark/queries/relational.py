@@ -2166,3 +2166,55 @@ def q63_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@register(
+    "q64_customer_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    description="TPC-H Q13 (customer distribution, adapted: the "
+    "order-comment NOT LIKE filter becomes an order-priority exclusion "
+    "since the fixture has no comments): how many customers placed "
+    "0, 1, 2, ... qualifying orders — the double-aggregation histogram "
+    "whose OUTER join is load-bearing (customers with zero orders must "
+    "appear in the 0 bucket; an inner join silently drops them, the "
+    "classic Q13 trap).  COUNT(o_orderkey) — not COUNT(*) — over the "
+    "null-extended rows is what makes the zero bucket exact.  Scale "
+    "shape: the priority predicate lands INSIDE the join condition "
+    "(filtering before the join would turn matched-but-excluded "
+    "customers into dropped rows instead of zero-count rows — "
+    "semantics, not style), the first aggregate shuffles once on "
+    "c_custkey, and the second histogram aggregate reduces ~order-"
+    "count-distinct rows — tiny.",
+)
+def q64_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

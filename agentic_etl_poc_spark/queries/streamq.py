@@ -904,3 +904,135 @@ def v10_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("view_id", "click_id")
     )
+
+
+def _tribatch_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as THREE NDJSON files split by event_id % 3,
+    mtime-ordered so maxFilesPerTrigger=1 yields three deterministic
+    micro-batches — the multi-batch input that makes an upsert sink's
+    merge path non-vacuous (a single batch would never overwrite)."""
+    import shutil
+
+    src = events_stream_dir(spark, sf_dir)
+    out = src + "_x3"
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        import time
+
+        os.makedirs(out, exist_ok=True)
+        ev = table(spark, sf_dir, "events")
+        for i in range(3):
+            tmp = os.path.join(out, f"_tmp_{i}")
+            (
+                ev.filter(F.col("event_id") % 3 == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .json(tmp)
+            )
+            part = next(
+                f for f in sorted(os.listdir(tmp)) if f.endswith(".json")
+            )
+            os.replace(os.path.join(tmp, part), os.path.join(out, f"{i}.json"))
+            shutil.rmtree(tmp)
+        now = time.time()
+        for i in range(3):
+            os.utime(os.path.join(out, f"{i}.json"), (now - 180 + 60 * i,) * 2)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+@register(
+    "v11_stream_upsert_sink",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS VARCHAR) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="foreachBatch exactly-once UPSERT sink — the production "
+    "pattern for streaming aggregates into a keyed store that supports "
+    "no native streaming sink: a per-type running aggregate in UPDATE "
+    "output mode (each micro-batch emits the keys it touched with their "
+    "CUMULATIVE state) is drained over a THREE-batch staged topic "
+    "(event_id % 3 split, maxFilesPerTrigger=1), and each batch MERGES "
+    "into a parquet store by key — new rows replace the key's old rows "
+    "(anti-join + union), written to a staging dir and promoted with an "
+    "atomic directory swap, so a crashed or replayed batch re-applies "
+    "idempotently (the checkpoint replays the batch, the merge "
+    "overwrites the same keys with the same cumulative values — "
+    "exactly-once EFFECT without sink transactions).  The final store "
+    "must equal the batch aggregate over all events — cumulative "
+    "update-mode state makes the LAST write per key the total, however "
+    "the input was batched.  Scale shape: the merge is two distributed "
+    "ops (broadcast anti-join on the tiny delta + union), never a "
+    "driver loop; the store stays partitioned by the merge key at real "
+    "key cardinalities; decimal state keeps totals exact.",
+)
+def v11_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from agentic_etl_poc_spark import plan_capture
+
+    src = _tribatch_stream_dir(spark, sf_dir)
+    run_root = tempfile.mkdtemp(prefix="v11_upsert_")
+    store = os.path.join(run_root, "store")
+    parts = _drain_parts_for(spark, [src], STREAM_DRAIN_PARTITIONS)
+
+    def merge(batch_df, batch_id: int) -> None:
+        staged = os.path.join(run_root, f"staged_{batch_id}")
+        delta = batch_df.select("event_type", "n", "total_value")
+        if os.path.exists(store):
+            old = batch_df.sparkSession.read.parquet(store)
+            merged = delta.unionByName(
+                old.join(
+                    F.broadcast(delta.select("event_type")),
+                    "event_type",
+                    "left_anti",
+                )
+            )
+        else:
+            merged = delta
+        plan_capture.note("upsert_merge", merged)
+        merged.write.mode("overwrite").parquet(staged)
+        # atomic promote: readers see the old store or the new one
+        prev = store + ".old"
+        if os.path.exists(store):
+            os.replace(store, prev)
+        os.replace(staged, store)
+        shutil.rmtree(prev, ignore_errors=True)
+
+    with _drain_partitions(spark, parts):
+        stream = stream_events(
+            spark, src, watermark="3650 days", max_files_per_trigger=1
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .alias("total_value"),
+        )
+        q = (
+            agg.writeStream.foreachBatch(merge)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", os.path.join(run_root, "ckpt")
+            )
+            .start()
+        )
+        q.awaitTermination()
+        _note_executed_stream_plan(q)
+    return (
+        spark.read.parquet(store)
+        .select(
+            "event_type",
+            "n",
+            F.col("total_value").cast("string").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -425,3 +425,51 @@ def u08_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.doc_id
         """
     )
+
+
+@register(
+    "u09_arrow_udtf",
+    oracle="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE doc_id % 20 = 5)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS pos,
+       ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+FROM s CROSS JOIN (SELECT unnest(range(1, 10000)) AS i) r
+WHERE i + 2 <= len(ws)
+ORDER BY doc_id, pos
+""",
+    description="ARROW-optimized Python UDTF (Spark 4 useArrow=True — "
+    "the vectorized sibling of u02's pickled UDTF): word 3-shingles per "
+    "document, lateral-joined.  The point is the EXECUTION PATH, and "
+    "the plan lint proves it mechanically: this entry's plan shows "
+    "ArrowEvalPythonUDTF and needs NO pickled-UDF allowlist entry "
+    "(u02/u08 sit on BatchEvalPythonUDTF and do) — rows cross the "
+    "Python boundary as Arrow batches, not pickled tuples, the same "
+    "10-100x serialization lever pandas UDFs have over row UDFs.  "
+    "Same 1-in-20 sample discipline as u02 (offset 5 so the two UDTF "
+    "entries exercise disjoint documents); bulk shingling stays on "
+    "posexplode/slice built-ins (the dedup family's path) — UDTFs are "
+    "for generators built-ins cannot express.",
+)
+def u09_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, shingle string", useArrow=True)
+    class ArrowShingles:
+        def eval(self, doc_id: int, text: str):
+            ws = text.split(" ")
+            for i in range(len(ws) - 2):
+                yield doc_id, i, " ".join(ws[i : i + 3])
+
+    spark.udtf.register("arrow_shingles3", ArrowShingles)
+    table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 5
+    ).createOrReplaceTempView("u09_docs")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.pos, s.shingle
+        FROM u09_docs d, LATERAL arrow_shingles3(d.doc_id, d.text) s
+        ORDER BY s.doc_id, s.pos
+        """
+    )

@@ -260,11 +260,42 @@ def run_from_plan(
             "Provide transform.steps[...].sql (preferred) or transform.sql."
         )
 
-    # Persist across the DQ action and the sink write — one compute, two uses.
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    # Persist across the DQ action and the sink write — one compute, two
+    # uses.  Keep the persisted handle: the quarantine split below rebinds
+    # ``out`` to a filtered child, and unpersisting the child would leak
+    # the parent's storage.
+    out = persisted = out.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        # 3) DQ gate (first action)
         cks = plan.checks
+        # 2b) quarantine split (engine extension, plans/model.py): rows
+        # violating the nonnull checks are ROUTED to a parquet quarantine
+        # sink instead of failing the plan; the DQ gate below then judges
+        # only the clean rows (min_rows applies to what reaches the sink;
+        # an unset path keeps the reference's alert-and-abort gate).
+        n_quarantined = None
+        if cks.quarantine_path and cks.nonnull_cols:
+            from functools import reduce as _reduce
+
+            from pyspark.sql import functions as _F
+
+            from agentic_etl_poc_spark import plan_capture
+
+            missing = [c for c in cks.nonnull_cols if c not in out.columns]
+            if missing:
+                raise ValueError(
+                    f"quarantine nonnull column not found: {missing[0]}"
+                )
+            viol = _reduce(
+                lambda a, b: a | b,
+                [_F.col(c).isNull() for c in cks.nonnull_cols],
+            )
+            bad = out.filter(viol)
+            plan_capture.note("quarantine_sink", bad)
+            bad.write.mode("overwrite").parquet(cks.quarantine_path)
+            n_quarantined = bad.count()  # persisted parent: cheap re-read
+            out = out.filter(~viol)
+
+        # 3) DQ gate (first action)
         dq = dq_check(
             out,
             min_rows=cks.min_rows,
@@ -272,6 +303,8 @@ def run_from_plan(
             freshness_minutes=cks.freshness_minutes,
             timestamp_col=cks.timestamp_col,
         )
+        if n_quarantined is not None:
+            dq["quarantined"] = n_quarantined
         if not dq["status"]:
             if alerts:
                 send_alert(
@@ -305,7 +338,7 @@ def run_from_plan(
                 key_cols=ld.key_cols, row_count=dq["rows"],
             )
     finally:
-        out.unpersist()
+        persisted.unpersist()
 
     # 5) verify gate (re-reads the artifact)
     vf = plan.verify

@@ -437,3 +437,46 @@ def test_stage_marker_fingerprint_tracks_fixture(tmp_path):
     fp2 = fixture_fingerprint(str(tmp_path), ["orders"])
     assert fp2 != fp
     assert not marker_current(marker, fp2)
+
+
+def test_quarantine_routes_bad_rows_and_keeps_gate_default(spark, tmp_path):
+    """checks.quarantine_path routes nonnull violations to a parquet
+    sink and the run SUCCEEDS with the clean rows; without the path the
+    same plan keeps the reference's alert-and-abort gate."""
+    import json
+
+    from agentic_etl_poc_spark.runtime import run_from_plan
+
+    src = str(tmp_path / "src")
+    spark.sql(
+        "SELECT id, CASE WHEN id % 3 = 0 THEN NULL ELSE 'v' || id END AS v "
+        "FROM range(30)"
+    ).write.parquet(src)
+    quarantine = str(tmp_path / "bad")
+    out = str(tmp_path / "out")
+    plan = f"""
+source:
+  kind: parquet
+  parquet:
+    path: {src}
+transform:
+  sql: SELECT id, v FROM input_df
+checks:
+  min_rows: 1
+  nonnull_cols: [v]
+  quarantine_path: {quarantine}
+load:
+  to: parquet
+  file_path: {out}
+"""
+    res = run_from_plan(spark, plan)
+    assert res["status"] == "ok", json.dumps(res)
+    assert res["dq"]["quarantined"] == 10
+    assert spark.read.parquet(out).count() == 20
+    assert spark.read.parquet(quarantine).count() == 10
+    # no quarantine path -> the gate aborts exactly as before
+    res2 = run_from_plan(
+        spark, plan.replace(f"  quarantine_path: {quarantine}\n", "")
+    )
+    assert res2["status"] == "failed"
+    assert "null" in json.dumps(res2["dq"]).lower()
