@@ -181,6 +181,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "v11_stream_upsert_sink",
     "u09_arrow_udtf",
     "p07_plan_quarantine",
+    "q65_bucketed_colocated_join",
     # -- then the 36 entries whose latest driver-green row is r04,
     # -- cheap-first (builder per-query bench) ------------------------
     "t14_tfidf_keywords",

@@ -2218,3 +2218,72 @@ def q64_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@register(
+    "q65_bucketed_colocated_join",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+ORDER BY nation
+""",
+    description="BUCKETED co-located join — the zero-shuffle join layout "
+    "100 TB warehouses are built on: orders and customer are staged once "
+    "per (session, fixture) as bucketed+sorted tables (bucketBy(8, "
+    "custkey), external path, fixture-fingerprinted tag so regenerated "
+    "fixtures restage under a fresh name), and the fact-dim join then "
+    "needs NO exchange on either side — both scans already deliver "
+    "hashpartitioning(custkey, 8), so the SortMergeJoin consumes them "
+    "in place and the ONLY exchange in the whole plan is the post-join "
+    "re-key for the nation aggregate (plan-shape-asserted in "
+    "tests/test_plan_shapes.py; the merge hint pins SMJ so AQE's "
+    "broadcast of the small fixture dim doesn't mask the bucketing — "
+    "at warehouse scale NEITHER side broadcasts and bucketing is the "
+    "only thing standing between you and reshuffling 100 TB per join). "
+    "The catalog note that matters operationally: bucket METADATA lives "
+    "in the session catalog (in-memory here), so each new session "
+    "re-registers the tables; with a shared metastore the staging is "
+    "write-once.  Oracle: the same join/aggregate over the plain "
+    "parquet — bucketing must be semantically invisible.",
+)
+def q65_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from agentic_etl_poc_spark.queries.core import fixture_fingerprint
+
+    fp = fixture_fingerprint(sf_dir, ["orders", "customer"])
+    tag = hashlib.md5((sf_dir + "|" + fp).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_q65", tag)
+    t_orders, t_cust = f"q65_orders_{tag}", f"q65_cust_{tag}"
+    for tbl, src, key, sub in (
+        (t_orders, "orders", "o_custkey", "o"),
+        (t_cust, "customer", "c_custkey", "c"),
+    ):
+        if not spark.catalog.tableExists(tbl):
+            # a dead session may have left files without catalog metadata
+            shutil.rmtree(os.path.join(base, sub), ignore_errors=True)
+            (
+                table(spark, sf_dir, src)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(base, sub))
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+    j = spark.table(t_orders).hint("merge").join(
+        spark.table(t_cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        j.groupBy(F.col("c_nationkey").cast("bigint").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            _dsum("o_totalprice", 6, 12).alias("total"),
+        )
+        .orderBy("nation")
+    )

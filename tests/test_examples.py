@@ -97,3 +97,20 @@ def test_multi_source_example_runs(spark, tmp_path, monkeypatch):
     assert set(rows) == {"hardware", "media", "electronics"}
     # hand-check one cell: media = ebook 3 qty * 5.0 USD + sticker 5 * 2.5
     assert abs(rows["media"] - (3 * 5.0 + 5 * 2.5)) < 1e-9
+
+
+def test_quarantine_example_runs(spark, tmp_path):
+    text = open(os.path.join(EXAMPLES, "quarantine_orders.yaml")).read()
+    out = str(tmp_path / "clean")
+    bad = str(tmp_path / "bad")
+    text = text.replace("/tmp/quarantine_orders_out", out).replace(
+        "/tmp/quarantine_orders_bad", bad
+    )
+    result = run_from_plan(spark, text)
+    assert result["status"] == "ok", result
+    assert result["dq"]["quarantined"] > 0
+    n_clean = spark.read.parquet(out).count()
+    n_bad = spark.read.parquet(bad).count()
+    assert n_bad == result["dq"]["quarantined"]
+    # lossless split: every transformed row landed in exactly one artifact
+    assert n_clean + n_bad == 1500

@@ -241,3 +241,29 @@ def test_q60_scan_has_dynamic_pruning(spark, sf_smoke):
     )
     assert "dynamicpruning" in plan.lower(), plan[:3000]
     assert "BroadcastHashJoin" in plan
+
+
+def test_q65_bucketed_join_has_no_exchange_below_join(spark, sf_smoke):
+    """q65's whole point: both scans are bucketed by the join key, so
+    the SortMergeJoin consumes them with NO exchange on either input —
+    the only exchange in the plan is the post-join re-key for the
+    nation aggregate.  A plan with 2+ extra exchanges means bucketing
+    was ignored and the join reshuffled both sides."""
+    import re
+
+    plan = _formatted_plan(
+        load_all()["q65_bucketed_colocated_join"].fn(spark, sf_smoke)
+    )
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "Bucketed: true" in plan, plan[:3000]
+    # the tree section: everything below the SortMergeJoin node is its
+    # inputs — no Exchange may appear there (the exchanges ABOVE it, the
+    # aggregate re-key and the presentation sort, are expected)
+    tree = plan.split("\n\n")[0]
+    smj_at = tree.index("SortMergeJoin")
+    join_inputs = tree[smj_at:]
+    assert "Exchange" not in join_inputs, (
+        f"exchange below the bucketed join — bucketing was ignored and "
+        f"a side reshuffled:\n{tree}"
+    )
+    assert join_inputs.count("Scan parquet") == 2, tree
