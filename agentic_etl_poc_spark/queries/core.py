@@ -182,6 +182,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     "u09_arrow_udtf",
     "p07_plan_quarantine",
     "q65_bucketed_colocated_join",
+    "g01_integer_pagerank",
+    "q66_bloom_runtime_filter",
     # -- then the 36 entries whose latest driver-green row is r04,
     # -- cheap-first (builder per-query bench) ------------------------
     "t14_tfidf_keywords",
@@ -337,6 +339,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     from agentic_etl_poc_spark.queries import (  # noqa: F401
         dedup,
+        graphq,
         pipeline,
         relational,
         similarity,

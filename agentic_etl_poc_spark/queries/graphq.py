@@ -1,0 +1,119 @@
+"""Graph-analytics battery entries: iterative fixpoint algorithms as lazy
+Catalyst dataflows.
+
+The connected-components operator (operators/graph.py, driven by d07)
+covers the driver-loop-until-convergence shape; this module covers the
+FIXED-ITERATION shape — a bounded number of join/aggregate rounds
+unrolled into ONE lazy plan the optimizer sees whole.  Everything runs
+on exact integer arithmetic (floor-division redistribution) so Spark
+and the DuckDB oracle agree bit-for-bit — the classic damped-PageRank
+double would drift in the last ulp across engines.
+
+Reference parity: the closest surface in mounikavas/agentic-etl-poc is
+the SQL pass-through (etl_agent/tools.py transform_sql); iterative graph
+analytics is engine-extension surface (SURVEY.md §2.3 "free in Spark").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agentic_etl_poc_spark.io_tables import table
+from agentic_etl_poc_spark.queries.core import register
+
+PR_SCALE = 1_000_000  # initial integer rank per node
+PR_ITERS = 3
+PR_TOP = 20
+
+
+def _duck_pr_iter(prev: str, out: str) -> str:
+    """One integer PageRank round: floor-div redistribution + damping.
+    rank'(v) = 0.15*SCALE + floor(0.85 * sum(rank(u) // deg(u)))."""
+    return f"""
+c{out} AS (
+  SELECT e.dst, SUM({prev}.rank // deg.d) AS s
+  FROM e JOIN deg USING (src) JOIN {prev} ON {prev}.node = e.src
+  GROUP BY e.dst
+),
+r{out} AS (
+  SELECT dst AS node,
+         CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank
+  FROM c{out}
+)"""
+
+
+@register(
+    "g01_integer_pagerank",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg),
+{_duck_pr_iter('r0', '1')},
+{_duck_pr_iter('r1', '2')},
+{_duck_pr_iter('r2', '3')}
+SELECT node, rank FROM r3
+ORDER BY rank DESC, node ASC
+LIMIT {PR_TOP}
+""",
+    description=f"Integer PageRank, {PR_ITERS} damped rounds unrolled "
+    "into one lazy plan — the fixed-iteration graph-fixpoint shape "
+    "(d07's connected components covers the loop-until-convergence "
+    "shape).  The graph is the customer<->supplier interaction graph "
+    "(distinct order lineage pairs, both directions, so no dangling "
+    "nodes); ranks live on an integer grid and every redistribution is "
+    "a FLOOR DIVISION (rank div degree), every damping step integer "
+    "(0.15*SCALE + floor(0.85*sum)) — exact in both engines, where the "
+    "textbook double formulation would drift in the final ulp under "
+    "different summation orders.  Scale shape: each round is one "
+    "edge-keyed broadcast-free join (edges co-shuffled with ranks on "
+    "src) plus one map-side-combinable sum by dst — the round cost is "
+    "O(|E|) shuffle, the plan depth is the iteration count, and "
+    "Catalyst sees the whole unrolled dataflow (at larger iteration "
+    "counts, localCheckpoint per round bounds lineage — the d07 "
+    "discipline).  Top-20 is TakeOrderedAndProject.",
+)
+def g01_integer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # edges annotated with the source's out-degree once; each round joins
+    # ranks back on src (both sides hash-partitioned on src -> the
+    # exchange is reused across rounds)
+    ew = edges.join(deg, "src")
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contrib = ew.join(ranks, ew["src"] == ranks["node"]).select(
+            "dst", F.expr("rank div d").alias("contrib")
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        ranks = sums.select(
+            F.col("dst").alias("node"),
+            (F.lit(150000) + F.expr("(85 * s) div 100"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(PR_TOP)

@@ -15,6 +15,8 @@ return BIGINT/HUGEINT), total-order tie-breaks.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2286,4 +2288,110 @@ def q65_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum("o_totalprice", 6, 12).alias("total"),
         )
         .orderBy("nation")
+    )
+
+
+@register(
+    "q66_bloom_runtime_filter",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="Runtime BLOOM-FILTER join pruning (the row-level "
+    "sibling of q60's dynamic partition pruning): a selective dim "
+    "filter (urgent orders, ~20%) joined into the fact over a "
+    "non-broadcast SortMergeJoin — Spark builds a bloom filter from "
+    "the filtered dim's join keys at runtime and injects "
+    "might_contain(xxhash64(l_orderkey)) into the FACT SCAN, so "
+    "non-matching fact rows die before the shuffle instead of after "
+    "the join (tests/test_plan_shapes.py asserts bloom_filter_agg + "
+    "might_contain in the optimized plan).  The entry executes under "
+    "a scoped conf (applicationSideScanSizeThreshold=0 — the 10 GB "
+    "production default exists precisely because the filter only pays "
+    "for itself on big scans; at 100 TB the default fires on its own) "
+    "and stages the result once per fixture fingerprint, restoring the "
+    "session confs — leaving the threshold at 0 session-wide would "
+    "inject bloom aggs into every later shuffle join.  The oracle is "
+    "the plain join: the filter must be semantically invisible.",
+)
+def q66_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_q66",
+        sf_dir.strip(os.sep).replace(os.sep, "_"),
+    )
+    out = os.path.join(root, "result")
+    marker = os.path.join(root, "_STAGED")
+    fp = fixture_fingerprint(sf_dir, ["lineitem", "orders"])
+    if not marker_current(marker, fp):
+        with bloom_filter_scope(spark):
+            bloom_join_frame(spark, sf_dir).write.mode("overwrite").parquet(
+                out
+            )
+        write_marker(marker, fp)
+    return spark.read.parquet(out).orderBy("l_returnflag")
+
+
+@contextlib.contextmanager
+def bloom_filter_scope(spark: SparkSession):
+    """Scope the bloom-filter application-side threshold to a block and
+    restore it: the 10 GB default exists so the filter only pays for
+    itself on big scans; tests/smoke scales must opt in explicitly, and
+    leaving it at 0 session-wide would inject bloom aggregates into
+    every subsequent shuffle join."""
+    keys = {
+        # the 10 GB production default: the filter only pays for itself
+        # on big scans — smoke scales opt in
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        # InjectRuntimeFilter declines when the creation side is
+        # broadcastable (a BHJ prunes at the join anyway); a 100 TB dim
+        # is NOT broadcastable, so the honest demo disables broadcast
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, prev in old.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)
+
+
+def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy join/aggregate the bloom filter injects into (shared by
+    the q66 entry and the plan-shape assertion)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    # merge hint + scoped broadcast-off: SMJ is the both-sides-big regime
+    # this entry models (broadcast dims prune at the join anyway)
+    return (
+        li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _dsum("l_extendedprice", 6, 12).alias("revenue"),
+        )
     )

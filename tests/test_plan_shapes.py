@@ -267,3 +267,21 @@ def test_q65_bucketed_join_has_no_exchange_below_join(spark, sf_smoke):
         f"a side reshuffled:\n{tree}"
     )
     assert join_inputs.count("Scan parquet") == 2, tree
+
+
+def test_q66_join_carries_bloom_runtime_filter(spark, sf_smoke):
+    """q66's whole point: under the scoped threshold, Spark builds a
+    bloom filter from the filtered dim's join keys and injects
+    might_contain(xxhash64(l_orderkey)) into the fact side — row-level
+    runtime pruning before the shuffle (the sibling of q60's partition-
+    level dynamic pruning)."""
+    from agentic_etl_poc_spark.queries.relational import (
+        bloom_filter_scope,
+        bloom_join_frame,
+    )
+
+    with bloom_filter_scope(spark):
+        plan = _formatted_plan(bloom_join_frame(spark, sf_smoke))
+        assert "bloom_filter_agg" in plan, plan[:3000]
+        assert "might_contain" in plan, plan[:3000]
+        assert "SortMergeJoin" in plan, plan[:2000]
