@@ -184,6 +184,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q65_bucketed_colocated_join",
     "g01_integer_pagerank",
     "q66_bloom_runtime_filter",
+    "q67_variant_extract",
+    "p08_xml_roundtrip",
     # -- then the 36 entries whose latest driver-green row is r04,
     # -- cheap-first (builder per-query bench) ------------------------
     "t14_tfidf_keywords",

@@ -1012,3 +1012,82 @@ alerts:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "p08_xml_roundtrip",
+    oracle="""
+SELECT r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       MIN(n_name) AS first_nation
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+    description="Native XML source/sink round-trip (Spark 4 ships the "
+    "spark-xml reader/writer built in — a source format the reference "
+    "has no path for): the nation table is staged ONCE per fixture "
+    "fingerprint as an XML document tree (write.format('xml'), one "
+    "<nation> element per row), read back through the XML reader "
+    "(rowTag='nation', schema inferred from elements), joined to the "
+    "broadcast region dim, and aggregated per region.  The oracle runs "
+    "the same join over the original parquet — the hash proves the "
+    "XML serialization round-trip is lossless for the surviving "
+    "columns (bigint keys + strings; XML is a TEXT format, so the "
+    "battery's rule of keeping raw doubles out of checked outputs "
+    "matters double here).  Scale shape: XML parsing is per-record and "
+    "parallel (one task per split; rowTag framing is splittable), the "
+    "25-row staging is a coalesce(1) demo artifact — a 100 TB XML feed "
+    "lands as many files and scans like any text source.",
+)
+def p08_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agentic_etl_poc_spark import plan_capture
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_p08",
+        sf_dir.strip(os.sep).replace(os.sep, "_"),
+    )
+    xml_dir = os.path.join(root, "nation_xml")
+    marker = os.path.join(root, "_STAGED")
+    fp = fixture_fingerprint(sf_dir, ["nation"])
+    if not marker_current(marker, fp):
+        n = table(spark, sf_dir, "nation")
+        plan_capture.note("xml_stage", n)
+        (
+            n.coalesce(1)
+            .write.format("xml")
+            .option("rootTag", "nations")
+            .option("rowTag", "nation")
+            .mode("overwrite")
+            .save(xml_dir)
+        )
+        write_marker(marker, fp)
+    nx = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .load(xml_dir)
+        .select(
+            F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+            F.col("n_name").cast("string").alias("n_name"),
+            F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+        )
+    )
+    r = table(spark, sf_dir, "region")
+    return (
+        nx.join(F.broadcast(r), nx["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("r_name")
+    )

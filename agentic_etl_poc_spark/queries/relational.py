@@ -2395,3 +2395,65 @@ def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum("l_extendedprice", 6, 12).alias("revenue"),
         )
     )
+
+
+@register(
+    "q67_variant_extract",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS VARCHAR) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="Spark 4 VARIANT type (the open-format semi-structured "
+    "column): event rows are re-serialized to nested JSON in-engine "
+    "(to_json over structs), parsed to VARIANT (parse_json), and every "
+    "analyzed field is extracted back through typed variant_get paths "
+    "('$.who.u' bigint, '$.who.v' double, '$.t' string) alongside a "
+    "second VARIANT parsed from the raw props JSON column ('$.k' int). "
+    "The oracle aggregates the ORIGINAL columns — so the hash proves "
+    "the construct→parse→shred round-trip is lossless, including the "
+    "double (JSON shortest-repr rendering parses back bit-exact) and "
+    "the decimal totals.  Scale shape: VARIANT's binary encoding makes "
+    "path extraction O(field) without re-tokenizing text JSON per "
+    "access — the semi-structured scan layout engines shred at the "
+    "reader at 100 TB; everything here is one map-side projection plus "
+    "one aggregate exchange.",
+)
+def q67_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(
+                F.col("user_id").alias("u"), F.col("value").alias("v")
+            ).alias("who"),
+        )
+    )
+    v = F.parse_json(doc)
+    pk = F.parse_json(F.col("props"))
+    shredded = ev.select(
+        F.try_variant_get(v, "$.t", "string").alias("t"),
+        F.try_variant_get(v, "$.who.u", "bigint").alias("u"),
+        F.try_variant_get(v, "$.who.v", "double").alias("val"),
+        F.try_variant_get(pk, "$.k", "int").alias("k"),
+    )
+    return (
+        shredded.groupBy(F.col("t").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("u").cast("bigint").alias("n_users"),
+            F.sum(F.col("val").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .cast("string")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
