@@ -1081,6 +1081,10 @@ def p08_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
         )
     )
+    # noted unconditionally: on a warm (already-staged) run the staging
+    # note above never fires, and the eager plan lint requires at least
+    # one captured action site per run
+    plan_capture.note("xml_read", nx)
     r = table(spark, sf_dir, "region")
     return (
         nx.join(F.broadcast(r), nx["n_regionkey"] == r["r_regionkey"])
