@@ -186,6 +186,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q66_bloom_runtime_filter",
     "q67_variant_extract",
     "p08_xml_roundtrip",
+    "u10_python_stream_writer",
     # -- then the 36 entries whose latest driver-green row is r04,
     # -- cheap-first (builder per-query bench) ------------------------
     "t14_tfidf_keywords",

@@ -473,3 +473,82 @@ def u09_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.doc_id, s.pos
         """
     )
+
+
+@register(
+    "u10_python_stream_writer",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MIN(event_id) AS first_event
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="Custom Python STREAMING sink (Spark 4 "
+    "DataSourceStreamWriter — the fourth quadrant of the custom-"
+    "DataSource matrix after u06 batch read, v07 stream read, u07 batch "
+    "write): the events stream drains over a THREE-batch staged topic "
+    "into the 'pyledger_stream' sink, where each task stages an NDJSON "
+    "part and the driver-side commit(messages, batchId) promotes "
+    "acknowledged parts into the manifest IDEMPOTENTLY — a replayed "
+    "batchId (the restart-between-sink-commit-and-checkpoint window, "
+    "the classic streaming failure) changes nothing, which is how an "
+    "at-least-once replay becomes exactly-once output.  The entry "
+    "reads back ONLY manifest-listed parts and must reproduce the "
+    "batch aggregate over all events, however the drain was batched.  "
+    "Scale shape: parts are written task-parallel, the manifest merge "
+    "is a driver-side O(files) metadata operation under the shared "
+    "O_EXCL lock, and readers never see uncommitted or replay-orphaned "
+    "parts.",
+)
+def u10_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from agentic_etl_poc_spark.queries.streamq import (
+        _drain_parts_for,
+        _drain_partitions,
+        _tribatch_stream_dir,
+        STREAM_DRAIN_PARTITIONS,
+    )
+    from agentic_etl_poc_spark.sources.py_datasource import (
+        read_ledger,
+        register_stream_writer,
+    )
+    from agentic_etl_poc_spark.streaming.events import (
+        _note_executed_stream_plan,
+        stream_events,
+    )
+
+    register_stream_writer(spark)
+    src = _tribatch_stream_dir(spark, sf_dir)
+    run_root = tempfile.mkdtemp(prefix="u10_pystream_sink_")
+    import os
+
+    out = os.path.join(run_root, "ledger")
+    parts = _drain_parts_for(spark, [src], STREAM_DRAIN_PARTITIONS)
+    with _drain_partitions(spark, parts):
+        stream = stream_events(
+            spark, src, watermark="3650 days", max_files_per_trigger=1
+        )
+        q = (
+            stream.select("event_id", "user_id", "event_type")
+            .writeStream.format("pyledger_stream")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(run_root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _note_executed_stream_plan(q)
+    return (
+        read_ledger(spark, out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("event_id").cast("bigint").alias("first_event"),
+        )
+        .orderBy("event_type")
+    )

@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     InputPartition,
@@ -256,71 +257,28 @@ class LedgerWriter(DataSourceWriter):
         return LedgerCommit(filename=name, n_rows=n)
 
     def commit(self, messages) -> None:
-        """Promote acknowledged parts into the manifest ATOMICALLY: the
-        manifest is written to a temp name and os.replace'd, so a crash
-        mid-commit leaves either the old manifest or the new one, never a
-        truncated file.  mode('append') MERGES with an existing manifest
+        """Promote acknowledged parts into the manifest ATOMICALLY (temp
+        name + os.replace — a crash mid-commit leaves old or new, never
+        truncated).  mode('append') MERGES with an existing manifest
         instead of overwriting it — otherwise previously committed parts
         would be silently orphaned despite the exactly-once claim.  The
-        append read-modify-write is serialized by an O_EXCL lock file:
-        two concurrent append jobs to the same ledger path would each
-        read the old manifest and one commit's parts would be silently
-        orphaned (an os.replace race the atomic rename alone cannot
-        prevent).  A lock older than _LOCK_STALE_SEC is broken (crashed
-        committer); waiting past _LOCK_WAIT_SEC raises rather than
-        guessing."""
+        append read-modify-write is serialized by the shared O_EXCL
+        manifest lock (_manifest_lock): two concurrent append jobs would
+        each read the old manifest and one commit's parts would be
+        silently orphaned."""
         import json
         import os
-        import time
-        import uuid
 
         files = sorted(m.filename for m in messages if m is not None)
         rows = sum(m.n_rows for m in messages if m is not None)
         manifest_path = os.path.join(self._dir, "_MANIFEST.json")
-        lock_path = manifest_path + ".lock"
-        deadline = time.monotonic() + self._LOCK_WAIT_SEC
-        while True:
-            try:
-                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    if (
-                        time.time() - os.path.getmtime(lock_path)
-                        > self._LOCK_STALE_SEC
-                    ):
-                        os.unlink(lock_path)  # crashed committer; break it
-                        continue
-                except OSError:
-                    continue  # lock vanished between exists and stat
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"ledger manifest lock {lock_path!r} held for "
-                        f">{self._LOCK_WAIT_SEC}s by a concurrent commit"
-                    )
-                time.sleep(0.05)
-        try:
+        with _manifest_lock(manifest_path):
             if not self._overwrite and os.path.exists(manifest_path):
                 with open(manifest_path) as f:
                     prior = json.load(f)
                 files = sorted(set(prior["files"]) | set(files))
                 rows += prior["rows"]
-            manifest = {"files": files, "rows": rows}
-            tmp = manifest_path + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, manifest_path)
-        finally:
-            try:
-                os.unlink(lock_path)
-            except OSError:
-                pass
-
-    _LOCK_WAIT_SEC = 30.0
-    _LOCK_STALE_SEC = 300.0
+            _write_manifest_atomic(manifest_path, {"files": files, "rows": rows})
 
     def abort(self, messages) -> None:
         import os
@@ -346,3 +304,145 @@ def read_ledger(spark, path: str):
 
 def register_writer(spark) -> None:
     spark.dataSource.register(LedgerWriteDataSource)
+
+
+_LOCK_WAIT_SEC = 30.0
+_LOCK_STALE_SEC = 300.0
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _manifest_lock(manifest_path: str):
+    """O_EXCL lock file serializing manifest read-modify-writes.  A lock
+    older than _LOCK_STALE_SEC is broken (crashed committer); waiting
+    past _LOCK_WAIT_SEC raises rather than guessing."""
+    import os
+    import time
+
+    lock_path = manifest_path + ".lock"
+    deadline = time.monotonic() + _LOCK_WAIT_SEC
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock_path) > _LOCK_STALE_SEC:
+                    os.unlink(lock_path)  # crashed committer; break it
+                    continue
+            except OSError:
+                continue  # lock vanished between exists and stat
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"ledger manifest lock {lock_path!r} held for "
+                    f">{_LOCK_WAIT_SEC}s by a concurrent commit"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock_path)
+        except OSError:
+            pass
+
+
+def _write_manifest_atomic(manifest_path: str, manifest: dict) -> None:
+    """Temp name + fsync + os.replace: a crash mid-commit leaves the old
+    manifest or the new one, never a truncated file."""
+    import json
+    import os
+    import uuid
+
+    tmp = manifest_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, manifest_path)
+
+
+# -- streaming write path: the same ledger contract per micro-batch -----
+
+class LedgerStreamWriteDataSource(DataSource):
+    """Custom Python STREAMING sink (Spark 4 DataSourceStreamWriter) —
+    the fourth quadrant of the custom-DataSource matrix (u06 batch read,
+    v07 stream read, u07 batch write): per micro-batch, each task stages
+    its partition as an NDJSON part named with the batch id, and the
+    driver-side ``commit(messages, batchId)`` promotes the acknowledged
+    parts into the manifest — IDEMPOTENTLY: a replayed batch (restart
+    between sink commit and checkpoint write, the classic streaming
+    failure window) finds its batchId already recorded and changes
+    nothing, which is exactly how a sink turns at-least-once batch
+    replay into exactly-once output."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyledger_stream"
+
+    def streamWriter(self, schema, overwrite: bool) -> "LedgerStreamWriter":
+        return LedgerStreamWriter(
+            self.options, [f.name for f in schema.fields]
+        )
+
+
+class LedgerStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options, columns):
+        self._dir = options["path"]
+        self._columns = columns
+
+    def write(self, iterator) -> "LedgerCommit":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self._dir, exist_ok=True)
+        part = TaskContext.get().partitionId()
+        name = f"stream-{part}-{uuid.uuid4().hex}.ndjson"
+        n = 0
+        with open(os.path.join(self._dir, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self._columns, row))) + "\n")
+                n += 1
+        return LedgerCommit(filename=name, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        files = sorted(m.filename for m in messages if m is not None)
+        rows = sum(m.n_rows for m in messages if m is not None)
+        manifest_path = os.path.join(self._dir, "_MANIFEST.json")
+        with _manifest_lock(manifest_path):
+            manifest = {"files": [], "rows": 0, "batches": []}
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    manifest = json.load(f)
+                manifest.setdefault("batches", [])
+            if batchId in manifest["batches"]:
+                # replayed batch: its parts are already manifest-listed;
+                # the restaged duplicates stay orphaned and invisible
+                return
+            manifest["files"] = sorted(set(manifest["files"]) | set(files))
+            manifest["rows"] += rows
+            manifest["batches"] = sorted(set(manifest["batches"]) | {batchId})
+            _write_manifest_atomic(manifest_path, manifest)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self._dir, m.filename))
+                except OSError:
+                    pass
+
+
+def register_stream_writer(spark) -> None:
+    spark.dataSource.register(LedgerStreamWriteDataSource)

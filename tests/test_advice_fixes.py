@@ -480,3 +480,33 @@ load:
     )
     assert res2["status"] == "failed"
     assert "null" in json.dumps(res2["dq"]).lower()
+
+
+def test_stream_ledger_commit_is_batch_idempotent(tmp_path):
+    """The streaming ledger sink's driver-side commit must be a no-op
+    for an already-recorded batchId — the replayed-batch window between
+    sink commit and checkpoint write must not double-count."""
+    import json
+    import os
+
+    from agentic_etl_poc_spark.sources.py_datasource import (
+        LedgerCommit,
+        LedgerStreamWriter,
+    )
+
+    out = str(tmp_path / "ledger")
+    os.makedirs(out)
+    w = LedgerStreamWriter({"path": out}, ["a"])
+    for fname in ("stream-0-x.ndjson", "stream-0-y.ndjson"):
+        with open(os.path.join(out, fname), "w") as f:
+            f.write('{"a": 1}\n')
+    w.commit([LedgerCommit(filename="stream-0-x.ndjson", n_rows=1)], 0)
+    # replay of batch 0 with a RESTAGED duplicate part: must change nothing
+    w.commit([LedgerCommit(filename="stream-0-y.ndjson", n_rows=1)], 0)
+    m = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert m["rows"] == 1 and m["files"] == ["stream-0-x.ndjson"]
+    assert m["batches"] == [0]
+    # a genuinely new batch appends
+    w.commit([LedgerCommit(filename="stream-0-y.ndjson", n_rows=1)], 1)
+    m = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert m["rows"] == 2 and len(m["files"]) == 2 and m["batches"] == [0, 1]

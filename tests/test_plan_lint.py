@@ -44,7 +44,7 @@ EAGER = sorted(
     n
     for n in ALL
     if (n[0] in "pv" and n != "p01_curation_pipeline")
-    or n == "u07_python_writer"
+    or n in ("u07_python_writer", "u10_python_stream_writer")
 )
 
 LAZY = sorted(n for n in ALL if n not in set(EAGER))
@@ -161,5 +161,5 @@ def test_lint_lists_track_registry():
         n
         for n in ALL
         if (n[0] in "pv" and n != "p01_curation_pipeline")
-        or n == "u07_python_writer"
+        or n in ("u07_python_writer", "u10_python_stream_writer")
     }
