@@ -170,6 +170,18 @@ def register(name: str, oracle: str | None, description: str = ""):
 SWEEP_ORDER: tuple[str, ...] = (
     # -- band 1 (sweep window, 50): new round-7 entries first (never
     # -- driver-sampled must sit inside the window) -------------------
+    "q68_late_shipment_priority",
+    "q69_promo_revenue_share",
+    "q70_disjunctive_predicate_join",
+    "q71_important_part_values",
+    "q72_dormant_rich_customers",
+    "q73_parts_supplier_counts",
+    "q74_top_supplier_revenue",
+    "q75_part_promotion_suppliers",
+    "q76_volume_shipping",
+    "q77_market_share",
+    "q78_product_type_profit",
+    "q79_min_cost_supplier",
     "s13_ivfadc",
     "q61_small_quantity_avg",
     "v09_stream_rocksdb_session",

@@ -2457,3 +2457,750 @@ def q67_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q68_late_shipment_priority",
+    oracle="""
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+            THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1998-01-01'
+  AND l_shipdate <  DATE '1999-01-01'
+GROUP BY ship_bucket
+ORDER BY ship_bucket
+""",
+    description="TPC-H Q12 shape (shipping modes and order priority, "
+    "adapted: the fixture has no l_shipmode/l_receiptdate, so the "
+    "grouping bucket is shipment LATENESS — shipped more than 60 days "
+    "after the order date — computed from columns of BOTH join sides). "
+    "The pattern is the classic priority cross-tab: one fact-dim join, "
+    "a derived group key, and two complementary CASE-sum conditional "
+    "aggregates in a single pass (never two filtered scans).  Scale "
+    "shape: the ship-year predicate reaches the lineitem scan, the "
+    "join shuffles once on orderkey, and both conditional counts fold "
+    "into ONE partial aggregate per partition — two output cells, no "
+    "second shuffle.",
+)
+def q68_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.when(late, "LATE").otherwise("ONTIME").alias("ship_bucket"),
+            high.alias("is_high"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~F.col("is_high"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@register(
+    "q69_promo_revenue_share",
+    oracle="""
+SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                 ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(28,6))) AS DOUBLE)
+            AS DOUBLE) AS promo_revenue_pct,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+            AS DOUBLE) AS total_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= DATE '1997-09-01'
+  AND l_shipdate <  DATE '1997-10-01'
+""",
+    description="TPC-H Q14 (promotion effect): one month of shipments "
+    "joined to part, and the answer is a RATIO of two conditional "
+    "aggregates computed in the same pass — promo revenue over total "
+    "revenue.  Determinism: each revenue is a decimal-exact sum of the "
+    "IEEE per-row product; the final 100*promo/total is one double "
+    "multiply + divide over two bit-identical operands, so both engines "
+    "emit the same double.  Scale shape: the month predicate prunes the "
+    "fact scan to ~1/80 of rows BEFORE the join, part broadcasts "
+    "(200-byte rows x p_partkey count), and the two CASE-sums fold into "
+    "one partial aggregate — the entire query is scan -> broadcast-hash "
+    "-> one scalar exchange.",
+)
+def q69_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum(rev).cast("double")
+        )
+        .cast("double")
+        .alias("promo_revenue_pct"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+@register(
+    "q70_disjunctive_predicate_join",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    description="TPC-H Q19 shape (discounted revenue, disjunctive "
+    "predicates; p_container/l_shipmode absent from the fixture, so the "
+    "three arms select on brand+size+quantity): an OR of three "
+    "conjunctive arms, each arm mixing columns from BOTH sides of the "
+    "join — the canonical test that the optimizer splits a disjunction "
+    "into residual join predicates instead of materializing the full "
+    "join.  Catalyst extracts the common join key (p_partkey = "
+    "l_partkey), pushes the per-side implied filters (brand IN (...), "
+    "quantity ranges) down to the scans, and evaluates the cross-side "
+    "disjunction as a post-join filter on the (broadcast) hash join.  "
+    "Scale shape: part prunes to three brands before broadcasting; "
+    "lineitem's quantity envelope (1..30) reaches the parquet reader "
+    "as a pushed range filter.",
+)
+def q70_disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("lineitem", "part"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q70_{name}")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM q70_lineitem
+        JOIN q70_part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+        """
+    )
+
+
+@register(
+    "q71_important_part_values",
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_regionkey = 2
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT l_partkey AS partkey, CAST(SUM(value) AS DOUBLE) AS part_value
+FROM supply
+GROUP BY l_partkey
+HAVING CAST(SUM(value) AS DOUBLE) >
+       CAST((SELECT SUM(value) FROM supply) AS DOUBLE) / 1000.0
+ORDER BY part_value DESC, partkey
+LIMIT 50
+""",
+    description="TPC-H Q11 shape (important stock identification; the "
+    "fixture has no partsupp, so the part-supplier link and its value "
+    "are DERIVED from lineitem — supplied value per (part, supplier) "
+    "restricted to suppliers of one region).  The pattern under test: "
+    "a HAVING clause comparing each group's aggregate against an "
+    "UNCORRELATED SCALAR SUBQUERY over the same derived table — the "
+    "global-threshold filter every 'top fraction of total' workload "
+    "uses.  Catalyst evaluates the scalar subquery ONCE (subquery "
+    "reuse), not per group.  Determinism: both sides of the HAVING "
+    "comparison are decimal-exact sums cast to double then one IEEE "
+    "divide — bit-identical operands on both engines, so membership at "
+    "the threshold cannot drift.  Scale shape: the region filter cuts "
+    "the supplier dim before it broadcasts into the fact; the two-level "
+    "aggregation (part+supplier, then part) reuses one shuffle on "
+    "l_partkey via partial aggregation.",
+)
+def q71_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("lineitem", "supplier", "nation"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q71_{name}")
+    return spark.sql(
+        """
+        WITH supply AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS value
+          FROM q71_lineitem
+          JOIN q71_supplier ON s_suppkey = l_suppkey
+          JOIN q71_nation   ON n_nationkey = s_nationkey
+          WHERE n_regionkey = 2
+          GROUP BY l_partkey, l_suppkey
+        )
+        SELECT l_partkey AS partkey, CAST(SUM(value) AS DOUBLE) AS part_value
+        FROM supply
+        GROUP BY l_partkey
+        HAVING CAST(SUM(value) AS DOUBLE) >
+               CAST((SELECT SUM(value) FROM supply) AS DOUBLE) / 1000.0
+        ORDER BY part_value DESC, partkey
+        LIMIT 50
+        """
+    )
+
+
+@register(
+    "q72_dormant_rich_customers",
+    oracle="""
+SELECT CAST(c_custkey % 7 AS INT) AS cust_seg,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_custkey % 7 IN (1, 2, 4)
+  AND c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*)
+    FROM customer c2
+    WHERE c2.c_acctbal > 0.0 AND c2.c_custkey % 7 IN (1, 2, 4)
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= DATE '2000-01-01'
+  )
+GROUP BY cust_seg
+ORDER BY cust_seg
+""",
+    description="TPC-H Q22 shape (global sales opportunity; the fixture "
+    "has no c_phone, so the 'country code' segment is c_custkey % 7, "
+    "and since every fixture customer has SOME order, 'never ordered' "
+    "becomes 'no order since 2000' — dormant accounts).  Two "
+    "decorrelations in one query: an uncorrelated scalar AVG subquery "
+    "(above-average balance threshold, evaluated once and broadcast "
+    "into the filter) and a NOT EXISTS anti-join against orders "
+    "correlated on custkey AND carrying its own pushed date predicate. "
+    "Determinism: the AVG is decimal-sum/count -> one IEEE divide, "
+    "bit-identical in both engines, so the > threshold admits the same "
+    "customers.  Scale shape: the anti-join shuffles on custkey once "
+    "(or broadcasts the pruned recent-orders key set), the scalar "
+    "threshold is a map-side partial aggregate, and the final segment "
+    "rollup is 3 groups.",
+)
+def q72_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("customer", "orders"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q72_{name}")
+    return spark.sql(
+        """
+        SELECT CAST(c_custkey % 7 AS INT) AS cust_seg,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM q72_customer
+        WHERE c_custkey % 7 IN (1, 2, 4)
+          AND c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM q72_customer c2
+            WHERE c2.c_acctbal > 0.0 AND c2.c_custkey % 7 IN (1, 2, 4)
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM q72_orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= DATE '2000-01-01'
+          )
+        GROUP BY cust_seg
+        ORDER BY cust_seg
+        """
+    )
+
+
+@register(
+    "q73_parts_supplier_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#21'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 40
+""",
+    description="TPC-H Q16 shape (parts/supplier relationship; the "
+    "part-supplier link is derived from lineitem since the fixture has "
+    "no partsupp, and the excluded-supplier predicate is a balance "
+    "blacklist instead of a comment LIKE).  The pattern: COUNT(DISTINCT "
+    "supplier) per part attribute triple, with a NOT IN subquery whose "
+    "inner side is provably non-null (s_suppkey is a key) — the safe "
+    "variant of the q35 null-trap, planned as a null-aware anti join.  "
+    "Scale shape: the three part predicates prune before the broadcast "
+    "join; the distinct-count shuffles once on the group keys with "
+    "partial distinct aggregation; the blacklist subquery is a "
+    "broadcast anti-join (100-row dim).  Output is fully ordered by "
+    "(count, brand, type, size) — a total tie-break.",
+)
+def q73_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("lineitem", "part", "supplier"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q73_{name}")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM q73_lineitem
+        JOIN q73_part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#21'
+          AND p_type <> 'MEDIUM'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM q73_supplier WHERE s_acctbal < 0.0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 40
+        """
+    )
+
+
+@register(
+    "q74_top_supplier_revenue",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate <  DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    description="TPC-H Q15 (top supplier): a revenue CTE consumed TWICE "
+    "— once joined to the supplier dim, once reduced to its MAX inside "
+    "an uncorrelated scalar subquery — with the answer selected by "
+    "EQUALITY against that max-of-aggregate.  Equality on an aggregate "
+    "is only sound because total_revenue is an exact decimal sum: both "
+    "engines derive the identical decimal, so the argmax set (ties "
+    "included, per the TPC-H spec) matches exactly — with raw double "
+    "sums this query is non-deterministic by construction.  Scale "
+    "shape: the quarter predicate prunes the fact before one shuffle "
+    "on suppkey; Catalyst evaluates the CTE's two consumers as two "
+    "aggregations over the SAME pruned scan (or reuses the exchange "
+    "under AQE); the 100-row supplier dim broadcasts.",
+)
+def q74_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("lineitem", "supplier"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q74_{name}")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(28,6))) AS total_revenue
+          FROM q74_lineitem
+          WHERE l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate <  DATE '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM q74_supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@register(
+    "q75_part_promotion_suppliers",
+    oracle="""
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+      )
+      AND l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate <  DATE '1998-01-01'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+  )
+  AND s_nationkey IN (
+    SELECT n_nationkey FROM nation WHERE n_regionkey = 1
+  )
+ORDER BY s_name
+""",
+    description="TPC-H Q20 shape (potential part promotion; without "
+    "partsupp the 'significant stock of the promoted part' predicate "
+    "becomes 'shipped >300 units of red parts in 1997', derived from "
+    "lineitem): THREE nesting levels — an IN whose body contains "
+    "another IN (the part-name prefilter) plus a grouped HAVING "
+    "aggregate, and a second independent IN (the nation-region "
+    "filter) on the outer query.  Catalyst flattens each IN to a "
+    "left-semi join: part prunes by name and broadcasts into the "
+    "fact scan, the quantity aggregate reduces lineitem to "
+    "qualifying suppkeys, and both key sets semi-join against the "
+    "100-row supplier dim.  Decimal-exact quantity sums pin the "
+    "HAVING membership.  Scale shape: the expensive table is touched "
+    "once, with the ship-year predicate and the semi-join's part "
+    "filter both pushed to its scan.",
+)
+def q75_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("lineitem", "part", "supplier", "nation"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q75_{name}")
+    return spark.sql(
+        """
+        SELECT s_name, s_acctbal
+        FROM q75_supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM q75_lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM q75_part WHERE p_name LIKE 'red%'
+              )
+              AND l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate <  DATE '1998-01-01'
+            GROUP BY l_suppkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+          )
+          AND s_nationkey IN (
+            SELECT n_nationkey FROM q75_nation WHERE n_regionkey = 1
+          )
+        ORDER BY s_name
+        """
+    )
+
+
+@register(
+    "q76_volume_shipping",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume_dec) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+           AS volume_dec
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_regionkey = 0 AND n2.n_regionkey = 1)
+      OR (n1.n_regionkey = 1 AND n2.n_regionkey = 0))
+    AND l_shipdate >= DATE '1995-01-01'
+    AND l_shipdate <  DATE '1997-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    description="TPC-H Q7 (volume shipping): the five-way "
+    "fact-to-dims join with TWO roles for the nation table (supplier "
+    "nation n1, customer nation n2) and a symmetric cross-REGION "
+    "disjunction (region pairs rather than single nations so the "
+    "pattern survives the sf0.001 fixture) that admits trade in either "
+    "direction — the classic "
+    "self-join-of-a-dim pattern.  Catalyst aliases the two nation "
+    "scans independently, pushes the name disjunction into each "
+    "side's broadcast, and the two-year ship window prunes the fact "
+    "scan.  Revenue is the decimal-exact sum of the IEEE per-row "
+    "product; the year key is cast to INT on both engines (Spark's "
+    "year() yields INT, DuckDB's BIGINT — the cast pins the schema "
+    "compare).  Scale shape: one shuffle on orderkey for the "
+    "orders-customer leg (or broadcast at dim size), all nation/"
+    "supplier sides broadcast; the final rollup is tiny (2 nations "
+    "x 2 years).",
+)
+def q76_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("supplier", "lineitem", "orders", "customer", "nation"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q76_{name}")
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume_dec) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS l_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                   AS volume_dec
+          FROM q76_supplier
+          JOIN q76_lineitem ON s_suppkey = l_suppkey
+          JOIN q76_orders   ON o_orderkey = l_orderkey
+          JOIN q76_customer ON c_custkey = o_custkey
+          JOIN q76_nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN q76_nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_regionkey = 0 AND n2.n_regionkey = 1)
+              OR (n1.n_regionkey = 1 AND n2.n_regionkey = 0))
+            AND l_shipdate >= DATE '1995-01-01'
+            AND l_shipdate <  DATE '1997-01-01'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+@register(
+    "q77_market_share",
+    oracle="""
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume_dec
+                          ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+            / CAST(SUM(volume_dec) AS DOUBLE) AS DOUBLE) AS mkt_share,
+       CAST(SUM(volume_dec) AS DOUBLE) AS total_volume
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+           AS volume_dec,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= DATE '1995-01-01'
+    AND o_orderdate <  DATE '1997-01-01'
+    AND p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+    description="TPC-H Q8 (national market share): the widest join in "
+    "the suite — an eight-way star with nation in two roles (customer "
+    "region gate, supplier nationality) — reduced to the share of one "
+    "nation's volume per order year.  The share is a ratio of two "
+    "aggregates from the SAME pass (conditional decimal sum over total "
+    "decimal sum, one IEEE divide on bit-identical operands), never a "
+    "self-join of two grouped results.  Scale shape: part (type "
+    "filter) and all dim legs broadcast; the region gate prunes "
+    "customers BEFORE the fact join via the pushed r_name filter; the "
+    "fact is scanned once with the order-date window pushed through "
+    "the orders join; the final rollup is 2 rows.",
+)
+def q77_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in (
+        "part",
+        "lineitem",
+        "supplier",
+        "orders",
+        "customer",
+        "nation",
+        "region",
+    ):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q77_{name}")
+    return spark.sql(
+        """
+        SELECT o_year,
+               CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume_dec
+                                  ELSE CAST(0 AS DECIMAL(28,6)) END)
+                         AS DOUBLE)
+                    / CAST(SUM(volume_dec) AS DOUBLE) AS DOUBLE)
+                 AS mkt_share,
+               CAST(SUM(volume_dec) AS DOUBLE) AS total_volume
+        FROM (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                   AS volume_dec,
+                 n2.n_name AS nation
+          FROM q77_part
+          JOIN q77_lineitem ON p_partkey = l_partkey
+          JOIN q77_supplier ON s_suppkey = l_suppkey
+          JOIN q77_orders   ON l_orderkey = o_orderkey
+          JOIN q77_customer ON o_custkey = c_custkey
+          JOIN q77_nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN q77_region   ON n1.n_regionkey = r_regionkey
+          JOIN q77_nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= DATE '1995-01-01'
+            AND o_orderdate <  DATE '1997-01-01'
+            AND p_type = 'STANDARD'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+        """
+    )
+
+
+@register(
+    "q78_product_type_profit",
+    oracle="""
+SELECT nation, o_year, CAST(SUM(amount_dec) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount)
+              - 0.5 * p_retailprice * l_quantity AS DECIMAL(28,6))
+           AS amount_dec
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    description="TPC-H Q9 shape (product type profit; the fixture has "
+    "no partsupp.ps_supplycost, so unit cost is proxied as half the "
+    "part's retail price — the expression keeps Q9's defining shape: "
+    "revenue minus quantity-scaled cost, computed per lineitem from "
+    "columns of THREE different tables).  The per-row arithmetic is "
+    "written with the identical parse tree on both engines (IEEE "
+    "left-to-right: product, scaled cost, subtract) so each row's "
+    "double is bit-identical before the decimal cast makes the group "
+    "sum order-independent.  The substring filter on p_name is a "
+    "non-sargable LIKE '%..%' — it prunes part AFTER the scan but "
+    "BEFORE the broadcast, which is exactly where it belongs.  Scale "
+    "shape: fact scanned once; part/supplier/nation broadcast; one "
+    "shuffle on orderkey for the orders leg; 25 x 7 output groups.",
+)
+def q78_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("part", "lineitem", "supplier", "orders", "nation"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q78_{name}")
+    return spark.sql(
+        """
+        SELECT nation, o_year, CAST(SUM(amount_dec) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n_name AS nation,
+                 CAST(year(o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount)
+                      - 0.5 * p_retailprice * l_quantity AS DECIMAL(28,6))
+                   AS amount_dec
+          FROM q78_part
+          JOIN q78_lineitem ON p_partkey = l_partkey
+          JOIN q78_supplier ON s_suppkey = l_suppkey
+          JOIN q78_orders   ON o_orderkey = l_orderkey
+          JOIN q78_nation   ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%gear%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+        """
+    )
+
+
+@register(
+    "q79_min_cost_supplier",
+    oracle="""
+WITH link AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_price
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part, link, supplier, nation, region
+WHERE p_partkey = l_partkey
+  AND s_suppkey = l_suppkey
+  AND p_type = 'LARGE' AND p_size <= 15
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND min_price = (
+    SELECT MIN(l2.min_price)
+    FROM link l2, supplier s2, nation n2, region r2
+    WHERE l2.l_partkey = p_partkey
+      AND s2.s_suppkey = l2.l_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'ASIA'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    description="TPC-H Q2 shape (minimum cost supplier; the fixture "
+    "has no partsupp, so the part-supplier link is derived from "
+    "lineitem with MIN(l_extendedprice) standing in for "
+    "ps_supplycost — MIN over doubles involves no arithmetic, so the "
+    "derived 'cost' is bit-exact on both engines and safe under the "
+    "equality the query turns on).  The defining pattern: a "
+    "correlated scalar MIN subquery over the SAME derived link + "
+    "dim chain, correlated on the outer part — each surviving row is "
+    "the regional argmin for its part, ties included.  Catalyst "
+    "decorrelates to one region-filtered min-per-partkey aggregate "
+    "joined back on (partkey, price) — never per-row re-execution.  "
+    "Scale shape: the link aggregation is the one big shuffle "
+    "(partkey+suppkey) and BOTH consumers reuse it; "
+    "supplier/nation/region broadcast into each; the part attribute "
+    "filters prune before the final join; top-100 is "
+    "TakeOrderedAndProject with a four-key total tie-break.",
+)
+def q79_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("lineitem", "part", "supplier", "nation", "region"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q79_{name}")
+    return spark.sql(
+        """
+        WITH link AS (
+          SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_price
+          FROM q79_lineitem
+          GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM q79_part, link, q79_supplier, q79_nation, q79_region
+        WHERE p_partkey = l_partkey
+          AND s_suppkey = l_suppkey
+          AND p_type = 'LARGE' AND p_size <= 15
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND min_price = (
+            SELECT MIN(l2.min_price)
+            FROM link l2, q79_supplier s2, q79_nation n2, q79_region r2
+            WHERE l2.l_partkey = p_partkey
+              AND s2.s_suppkey = l2.l_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey
+              AND r2.r_name = 'ASIA'
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """
+    )

@@ -73,6 +73,19 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "totals only (documented two-phase design)",
     "t19_token_rarity": "NTILE rarity labels over one row per doc; scale "
     "path swaps to approx-quantile thresholds (documented)",
+    "q69_promo_revenue_share": "TPC-H Q14's promo/total ratio IS one "
+    "scalar aggregate row",
+    "q70_disjunctive_predicate_join": "TPC-H Q19's revenue IS one scalar "
+    "aggregate row",
+    "q71_important_part_values": "the global-value threshold is an "
+    "uncorrelated scalar subquery (one row); the per-part aggregation "
+    "stays a keyed hash exchange",
+    "q72_dormant_rich_customers": "TPC-H Q22's above-average threshold is "
+    "an uncorrelated scalar AVG subquery (one row); the segment rollup "
+    "is 3 keyed groups",
+    "q74_top_supplier_revenue": "TPC-H Q15's MAX(total_revenue) is an "
+    "uncorrelated scalar subquery over the per-supplier revenue CTE "
+    "(one row); the revenue aggregation itself is keyed on suppkey",
 }
 
 #: Entries allowed to carry a pickled row-at-a-time Python eval.
