@@ -678,3 +678,73 @@ def dhash_hashes(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
     return df.select("item_id", "payload").mapInPandas(
         run, schema="item_id bigint, dhash string"
     )
+
+
+VAD_SCHEMA = (
+    "item_id bigint, seg_idx int, start_frame int, n_frames int, peak_q15 int"
+)
+
+
+def _vad_frames(payload: bytes, frame_samples: int) -> "np.ndarray":
+    """Decode a PCM16 mono WAV and return per-frame RMS in int16 units
+    (Q15 grid): frames are fixed windows of ``frame_samples``; a trailing
+    partial frame is dropped (matching every streaming VAD's hop
+    convention)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("unsupported audio format (not RIFF/WAVE)")
+    fmt, data = _walk_riff(payload)
+    audio_format, channels, _, _, _, bits = fmt
+    if audio_format != 1 or bits != 16 or channels != 1:
+        raise ValueError(
+            f"VAD kernel supports PCM16 mono (format={audio_format}, "
+            f"bits={bits}, channels={channels})"
+        )
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    n_frames = len(samples) // frame_samples
+    if n_frames == 0:
+        return np.empty(0, dtype=np.int64)
+    framed = samples[: n_frames * frame_samples].reshape(n_frames, frame_samples)
+    return np.rint(np.sqrt(np.mean(framed**2, axis=1))).astype(np.int64)
+
+
+def vad_segments(
+    df: DataFrame, frame_samples: int = 160, threshold_q15: int = 500
+) -> DataFrame:
+    """Energy-threshold voice-activity detection: fixed-size frames,
+    per-frame RMS on the int16 (Q15) grid, runs of consecutive
+    above-threshold frames emitted as (start, length, peak) segments.
+    ``df`` must have columns (item_id, payload: PCM16 mono WAV).
+
+    Arrow-batched mapInPandas, map-only (each item's segments derive
+    from its own payload alone) — at 100 TB this runs embarrassingly
+    parallel over whatever partitioning the payloads arrive in, and the
+    run detection is flat numpy (diff/flatnonzero), not a per-frame
+    Python loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                rms = _vad_frames(bytes(payload), frame_samples)
+                active = rms >= threshold_q15
+                edges = np.diff(np.concatenate(([0], active.view(np.int8), [0])))
+                starts = np.flatnonzero(edges == 1)
+                ends = np.flatnonzero(edges == -1)
+                for seg_idx, (s, e) in enumerate(zip(starts, ends)):
+                    out.append(
+                        (
+                            int(item_id),
+                            seg_idx,
+                            int(s),
+                            int(e - s),
+                            int(rms[s:e].max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "seg_idx", "start_frame", "n_frames", "peak_q15",
+                ],
+            )
+
+    return df.select("item_id", "payload").mapInPandas(run, schema=VAD_SCHEMA)

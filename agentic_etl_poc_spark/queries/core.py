@@ -170,6 +170,11 @@ def register(name: str, oracle: str | None, description: str = ""):
 SWEEP_ORDER: tuple[str, ...] = (
     # -- band 1 (sweep window, 50): new round-7 entries first (never
     # -- driver-sampled must sit inside the window) -------------------
+    "g02_triangle_count",
+    "v12_stream_sliding_window",
+    "s14_radius_search",
+    "q80_aqe_skew_split",
+    "m08_audio_vad",
     "q68_late_shipment_priority",
     "q69_promo_revenue_share",
     "q70_disjunctive_predicate_join",

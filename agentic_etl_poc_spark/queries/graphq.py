@@ -117,3 +117,122 @@ def g01_integer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(PR_TOP)
+
+
+@register(
+    "g02_triangle_count",
+    oracle="""
+WITH co AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM co UNION ALL SELECT b AS node FROM co) u
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b)
+              THEN a ELSE b END AS src,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b)
+              THEN b ELSE a END AS dst
+  FROM co
+  JOIN deg da ON da.node = a
+  JOIN deg db ON db.node = b
+),
+keyed AS (
+  SELECT src, dst, db.d * 100000000 + dst AS dst_ord
+  FROM oriented JOIN deg db ON db.node = dst
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM keyed e1
+  JOIN keyed e2 ON e1.src = e2.src AND e1.dst_ord < e2.dst_ord
+  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+wed AS (
+  SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT n_triangles, n_wedges,
+       CAST((3 * n_triangles * 1000000) // n_wedges AS BIGINT)
+         AS closure_ppm
+FROM tri, wed
+""",
+    description="Distributed triangle counting with DEGREE-ORDERED edge "
+    "orientation over the supplier co-supply graph (suppliers are "
+    "adjacent when they ship lines of the same order).  Orientation is "
+    "the load-bearing scale idea: each undirected edge points from its "
+    "lower-(degree, id) endpoint to the higher, so every triangle is "
+    "counted exactly once at its lowest vertex and the wedge join's "
+    "per-key fanout is bounded by max OUT-degree = O(sqrt(edges)) even "
+    "on power-law graphs — the unoriented wedge join explodes on hub "
+    "nodes.  All counts are exact integers (the closure rate is an "
+    "integer-division ppm), so both engines agree bit-for-bit.  Scale "
+    "shape: the co-supply self-join fans out only within an order "
+    "(bounded lines per order), the DISTINCT dedups pairs in one "
+    "shuffle, degrees broadcast (node set is dim-scale), and the wedge "
+    "join shuffles oriented edges once on src.",
+)
+def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    co = (
+        li.join(
+            l2,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_suppkey") < F.col("r_suppkey")),
+        )
+        .select(F.col("l_suppkey").alias("a"), F.col("r_suppkey").alias("b"))
+        .distinct()
+    )
+    deg = (
+        co.select(F.col("a").alias("node"))
+        .unionAll(co.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        co.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    dd = deg.select(F.col("node").alias("dst"), F.col("d").alias("dd"))
+    keyed = oriented.join(F.broadcast(dd), "dst").select(
+        "src", "dst", (F.col("dd") * 100000000 + F.col("dst")).alias("dst_ord")
+    )
+    e1 = keyed.select(
+        F.col("src").alias("s1"), F.col("dst").alias("d1"), F.col("dst_ord").alias("o1")
+    )
+    e2 = keyed.select(
+        F.col("src").alias("s2"), F.col("dst").alias("d2"), F.col("dst_ord").alias("o2")
+    )
+    wedges = e1.join(e2, (F.col("s1") == F.col("s2")) & (F.col("o1") < F.col("o2")))
+    closing = oriented.select(
+        F.col("src").alias("c_src"), F.col("dst").alias("c_dst")
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("d1") == F.col("c_src")) & (F.col("d2") == F.col("c_dst")),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    return tri.crossJoin(wed).select(
+        "n_triangles",
+        "n_wedges",
+        F.expr("(3 * n_triangles * 1000000) div n_wedges")
+        .cast("bigint")
+        .alias("closure_ppm"),
+    )

@@ -3204,3 +3204,121 @@ def q79_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 100
         """
     )
+
+
+@register(
+    "q80_aqe_skew_split",
+    oracle="""
+SELECT CAST(skew_key % 10 AS BIGINT) AS key_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice * (skew_key + 1) AS DECIMAL(28,2)))
+            AS DOUBLE) AS weighted_revenue
+FROM (
+  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+              ELSE l_orderkey % 101 END AS skew_key,
+         l_extendedprice
+  FROM lineitem
+) f
+GROUP BY key_band
+ORDER BY key_band
+""",
+    description="AQE automatic SKEW-JOIN splitting (the runtime "
+    "complement of q59's manual salting): a fact whose key distribution "
+    "is deliberately pathological — one key holds a third of all rows — "
+    "sort-merge-joined to a derived weight dim.  Under the scoped AQE "
+    "confs, Spark measures the shuffle's actual partition sizes at "
+    "runtime, finds the hot partition, and splits it across map-output "
+    "ranges while replicating the matching dim partition "
+    "(SortMergeJoin(skew=true), asserted in tests/test_plan_shapes.py) "
+    "— no salting column, no plan rewrite, no prior knowledge of WHICH "
+    "key is hot, which is the operational win over q59 at 100 TB where "
+    "the hot key changes day to day.  The smoke-scale scope lowers the "
+    "split thresholds (production defaults are 256 MB partitions) and "
+    "repartitions the fact to simulate mapper parallelism — skew "
+    "splits happen at map-output granularity, and a 100 TB fact has "
+    "thousands of mappers where the smoke fixture's scan has one.  "
+    "The oracle inlines the weight function: AQE's split must be "
+    "semantically invisible.",
+)
+def q80_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_q80",
+        sf_dir.strip(os.sep).replace(os.sep, "_"),
+    )
+    out = os.path.join(root, "result")
+    marker = os.path.join(root, "_STAGED")
+    fp = fixture_fingerprint(sf_dir, ["lineitem"])
+    if not marker_current(marker, fp):
+        with aqe_skew_scope(spark):
+            skew_join_frame(spark, sf_dir).write.mode("overwrite").parquet(out)
+        write_marker(marker, fp)
+    return spark.read.parquet(out).orderBy("key_band")
+
+
+@contextlib.contextmanager
+def aqe_skew_scope(spark: SparkSession):
+    """Scope the AQE skew-split thresholds to a block and restore them:
+    the production defaults (256 MB partition threshold, 64 MB advisory
+    target) are sized for real clusters — smoke scales must opt in, and
+    leaving kilobyte thresholds session-wide would shred every later
+    shuffle into confetti partitions."""
+    keys = {
+        # SMJ is the both-sides-big regime this entry models
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+        # the post-join aggregate re-shuffles anyway; let AQE split even
+        # though that inserts the extra exchange
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, prev in old.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)
+
+
+def skew_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy skewed join/aggregate AQE splits at runtime (shared by
+    the q80 entry and the plan-shape assertion).  The repartition(16)
+    stands in for mapper parallelism: AQE subdivides a skewed reduce
+    partition by MAP-OUTPUT ranges, so a single-mapper smoke scan has
+    nothing to split (a 100 TB scan has thousands of mappers)."""
+    li = table(spark, sf_dir, "lineitem").repartition(16)
+    f = li.select(
+        F.when(F.col("l_orderkey") % 3 == 0, 0)
+        .otherwise(F.col("l_orderkey") % 101)
+        .alias("skew_key"),
+        "l_extendedprice",
+    )
+    dim = spark.range(101).select(
+        F.col("id").alias("k"), (F.col("id") + 1).alias("factor")
+    )
+    return (
+        f.join(dim.hint("merge"), F.col("skew_key") == F.col("k"))
+        .groupBy((F.col("skew_key") % 10).cast("bigint").alias("key_band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("l_extendedprice") * F.col("factor")).cast("decimal(28,2)"))
+            .cast("double")
+            .alias("weighted_revenue"),
+        )
+    )

@@ -1598,3 +1598,55 @@ def s13_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+RADIUS_SIM = 0.25
+RADIUS_QUERIES = 5
+
+
+@register(
+    "s14_radius_search",
+    oracle=f"""
+SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, b.label,
+       {duck_cosine('b.embedding', 'q.embedding', DIM)} AS cos_sim
+FROM embeddings b
+JOIN (SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id < {RADIUS_QUERIES}) q
+  ON b.vec_id <> q.vec_id
+WHERE {duck_cosine('b.embedding', 'q.embedding', DIM)} >= {RADIUS_SIM}
+ORDER BY query_id, neighbor_id
+""",
+    description="Cosine RADIUS (range) search — every corpus vector "
+    "within a similarity threshold of each query, the dual of top-k "
+    "(s01): result size is data-driven, not k-bounded, which is what "
+    "near-duplicate radius sweeps and recall='all within eps' "
+    "evaluations need.  The five query vectors broadcast; the corpus "
+    "is scanned once with the threshold applied map-side (never "
+    "materializing the full similarity matrix), so the shape is a "
+    "broadcast-nested-loop prune, and the only shuffle is the final "
+    "presentation sort.  Cosines use the sequential-fold primitive "
+    "(functions/hashing.py) so both engines emit bit-identical "
+    "doubles and the >= threshold admits the identical hit set.  At "
+    "100 TB the same plan holds: broadcast Q, map-side filter, "
+    "output proportional to true neighbors (an IVF/LSH prefilter "
+    "composes in front exactly as s03/s02 do for top-k).",
+)
+def s14_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < RADIUS_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+    )
+    return (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            cosine(F.col("embedding"), F.col("qvec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RADIUS_SIM)
+        .orderBy("query_id", "neighbor_id")
+    )

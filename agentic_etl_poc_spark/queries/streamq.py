@@ -1036,3 +1036,67 @@ def v11_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "v12_stream_sliding_window",
+    oracle=f"""
+WITH assigned AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 10800) AS BIGINT)
+                        * 10800 * 1000000) AS w_start,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT make_timestamp((CAST(floor(epoch(ts) / 10800) AS BIGINT) - 1)
+                        * 10800 * 1000000) AS w_start,
+         event_type, value
+  FROM events
+)
+SELECT strftime(w_start, '{TS_FMT_DUCK}') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM assigned
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    description="Structured Streaming SLIDING-window aggregation (6-hour "
+    "windows every 3 hours — each event belongs to exactly two "
+    "overlapping windows; v01 covers the tumbling special case).  The "
+    "batch oracle expresses the overlap as a two-way shifted-tumbling "
+    "union, which is literally Spark's physical strategy: the Expand "
+    "operator replicates each row once per containing window BEFORE the "
+    "keyed state aggregation, so state size is windows x keys, not "
+    "events.  Complete-mode drain (the watermark never suppresses), "
+    "decimal partial sums in the state store, window starts rendered as "
+    "formatted strings.  Scale shape: the Expand doubles rows map-side, "
+    "then ONE shuffle on (window, event_type); at 100 TB/day the "
+    "watermark in append mode bounds retained state to the slide "
+    "horizon.",
+)
+def v12_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = events_stream_dir(spark, sf_dir)
+    name = f"v12_slide_{next(_MEM_SEQ)}"
+    parts = _drain_parts_for(spark, [src], STREAM_DRAIN_PARTITIONS)
+    with _drain_partitions(spark, parts):
+        stream = stream_events(spark, src, watermark="10 minutes")
+        agg = stream.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"),
+            F.col("event_type"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        run_to_memory(agg, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -1884,3 +1884,96 @@ def m07_shot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shot_detect(streams, threshold=M07_THRESH, fake=False).orderBy(
         "item_id"
     )
+
+
+@register(
+    "m08_audio_vad",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id,
+         6 + doc_id % 7 AS nf,
+         1000 + (doc_id * 31) % 20000 AS amp
+  FROM documents WHERE doc_id % 5 = 0
+),
+frames AS (
+  SELECT doc_id, amp, f,
+         CASE WHEN ((doc_id // 5 + f) % 4) < 2 THEN 1 ELSE 0 END AS act
+  FROM docs CROSS JOIN (SELECT unnest(range(0, 12)) AS f)
+  WHERE f < nf
+),
+act AS (
+  SELECT doc_id, amp, f,
+         f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+  FROM frames WHERE act = 1
+),
+seg AS (
+  SELECT doc_id, amp, grp, MIN(f) AS start_frame, COUNT(*) AS n_frames
+  FROM act GROUP BY doc_id, amp, grp
+)
+SELECT doc_id AS item_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1
+            AS INT) AS seg_idx,
+       CAST(start_frame AS INT) AS start_frame,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(amp AS INT) AS peak_q15
+FROM seg
+ORDER BY item_id, seg_idx
+""",
+    description="Voice-activity detection through the real audio path: "
+    "Spark synthesizes a PCM16 WAV per item whose frames alternate "
+    "silence and an active square wave by an integer pattern of doc_id "
+    "(active iff ((doc_id/5 + frame) % 4) < 2, amplitude "
+    "1000+(doc_id*31)%20000), the VAD kernel "
+    "(operators/multimodal.py::vad_segments) chunk-walks the RIFF "
+    "container, computes per-frame RMS on the Q15 integer grid, and "
+    "emits runs of above-threshold frames as segments; the oracle "
+    "derives the same segments ARITHMETICALLY via gaps-and-islands "
+    "SQL.  Exactness by construction: every active sample is ±amp, so "
+    "frame RMS = sqrt of an exact square = amp exactly (IEEE sqrt is "
+    "correctly rounded), and the 500 threshold sits far from both 0 "
+    "and the 1000 amplitude floor.  Scale shape: synthesis and VAD "
+    "are both Arrow-batched mapInPandas, map-only, no shuffle before "
+    "the presentation sort — the segmentation step of a speech "
+    "pretraining pipeline.",
+)
+def m08_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    import numpy as np
+
+    from agentic_etl_poc_spark.operators.multimodal import vad_segments
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    FRAME = 160
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nf = 6 + i % 7
+                amp = 1000 + (i * 31) % 20000
+                samples = np.zeros(nf * FRAME, dtype="<i2")
+                for f in range(nf):
+                    if ((i // 5 + f) % 4) < 2:
+                        seg = samples[f * FRAME : (f + 1) * FRAME]
+                        seg[0::2] = amp
+                        seg[1::2] = -amp
+                data = samples.tobytes()
+                hdr = struct.pack(
+                    "<4sI4s4sIHHIIHH4sI",
+                    b"RIFF", 36 + len(data), b"WAVE",
+                    b"fmt ", 16, 1, 1, 8000, 16000, 2, 16,
+                    b"data", len(data),
+                )
+                rows.append((i, hdr + data))
+            yield pd.DataFrame(rows, columns=["item_id", "payload"])
+
+    payloads = d.mapInPandas(synth, schema="item_id bigint, payload binary")
+    return vad_segments(payloads, frame_samples=FRAME, threshold_q15=500).orderBy(
+        "item_id", "seg_idx"
+    )

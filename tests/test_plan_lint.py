@@ -86,6 +86,9 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "q74_top_supplier_revenue": "TPC-H Q15's MAX(total_revenue) is an "
     "uncorrelated scalar subquery over the per-supplier revenue CTE "
     "(one row); the revenue aggregation itself is keyed on suppkey",
+    "g02_triangle_count": "the triangle count and the wedge count are "
+    "each one scalar aggregate row (joined for the closure rate); the "
+    "wedge join itself is keyed on src",
 }
 
 #: Entries allowed to carry a pickled row-at-a-time Python eval.

@@ -285,3 +285,25 @@ def test_q66_join_carries_bloom_runtime_filter(spark, sf_smoke):
         assert "bloom_filter_agg" in plan, plan[:3000]
         assert "might_contain" in plan, plan[:3000]
         assert "SortMergeJoin" in plan, plan[:2000]
+
+
+def test_q80_aqe_splits_skewed_join(spark, sf_smoke):
+    """q80's whole point: under the scoped thresholds, AQE measures the
+    join shuffle's runtime partition sizes, finds the hot key's
+    partition, and splits it across map-output ranges —
+    SortMergeJoin(skew=true) in the final adaptive plan, with no salting
+    column in the query."""
+    from agentic_etl_poc_spark.queries.relational import (
+        aqe_skew_scope,
+        skew_join_frame,
+    )
+
+    with aqe_skew_scope(spark):
+        df = skew_join_frame(spark, sf_smoke)
+        df.collect()  # AQE finalizes the plan only on execution
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    assert "skew=true" in plan, plan[:3000]
