@@ -41,6 +41,11 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in ALL_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            # a parquet table may be a directory of part files (sf1 tiles,
+            # any engine's output at scale) — same file-or-directory rule
+            # as sources/py_datasource.py
+            path = os.path.join(path, "*.parquet")
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
