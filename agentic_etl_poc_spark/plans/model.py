@@ -73,6 +73,29 @@ class ParquetSource:
 
 
 @dataclass
+class StreamSource:
+    """Engine extension (not in the reference's schema): a Structured
+    Streaming FILE source drained with Trigger.AvailableNow through the
+    same transform -> sink -> DQ -> verify lifecycle as batch plans —
+    cron-batch ETL with streaming exactly-once bookkeeping (the
+    checkpoint remembers which files each drain consumed, so a re-run
+    processes only new arrivals).  ``schema`` is a DDL string (file
+    streams cannot infer).  The DQ/verify gates run on the MATERIALIZED
+    sink artifact after the drain: a stream cannot be counted before
+    writing, so the batch plan's gate-before-load inverts to
+    gate-after-materialize (documented semantic difference; a failed
+    gate still alerts and reports `failed`, and the checkpoint means the
+    bad increment is never re-consumed silently)."""
+
+    path: str | None = None
+    schema: str | None = None
+    format: str = "json"  # NDJSON topic directory
+    watermark_col: str | None = None
+    watermark_delay: str = "10 minutes"
+    checkpoint: str | None = None  # default: <load.file_path>_checkpoint
+
+
+@dataclass
 class Source:
     kind: str = "auto"
     csv: CsvSource | None = None
@@ -80,6 +103,7 @@ class Source:
     api: ApiSource | None = None
     db: DbSource | None = None
     parquet: ParquetSource | None = None
+    stream: StreamSource | None = None
     #: Heterogeneous multi-source (engine extension the reference declares
     #: but cannot run — templates.py:87-95 hardcodes one kind per plan):
     #: each named sub-source loads independently and registers a temp view
@@ -206,6 +230,18 @@ def _source_from_dict(src_d: Any) -> Source:
             ),
         )
         if "parquet" in src_d
+        else None,
+        stream=StreamSource(
+            path=_get(_get(src_d, "stream", {}), "path"),
+            schema=_get(_get(src_d, "stream", {}), "schema"),
+            format=str(_get(_get(src_d, "stream", {}), "format", "json")),
+            watermark_col=_get(_get(src_d, "stream", {}), "watermark_col"),
+            watermark_delay=str(
+                _get(_get(src_d, "stream", {}), "watermark_delay", "10 minutes")
+            ),
+            checkpoint=_get(_get(src_d, "stream", {}), "checkpoint"),
+        )
+        if "stream" in src_d
         else None,
         multi={
             str(name): _source_from_dict(sub or {})

@@ -95,4 +95,6 @@ def infer_kind(src: Source) -> str:
         return "json"
     if src.parquet and (src.parquet.path or src.parquet.tables):
         return "parquet"
+    if src.stream and src.stream.path:
+        return "stream"
     return "api"  # conservative default, matching the reference

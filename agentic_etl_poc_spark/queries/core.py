@@ -175,6 +175,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "s14_radius_search",
     "q80_aqe_skew_split",
     "m08_audio_vad",
+    "p09_plan_stream",
     "q68_late_shipment_priority",
     "q69_promo_revenue_share",
     "q70_disjunctive_predicate_join",

@@ -1095,3 +1095,87 @@ def p08_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@register(
+    "p09_plan_stream",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS VARCHAR) AS total_value
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase')
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="A STREAMING ETL plan (engine extension, "
+    "plans/model.py::StreamSource): the same YAML lifecycle the "
+    "reference runs over batch CSV — source -> transform SQL -> sink "
+    "-> DQ gate -> verify gate -> result JSON — declared over a "
+    "Structured Streaming file source and drained with "
+    "Trigger.AvailableNow (cron-batch semantics with streaming "
+    "exactly-once bookkeeping: the checkpoint remembers consumed "
+    "files, so a re-run processes only new arrivals).  The transform "
+    "is a stateless filter+project on the stream (windowed/stateful "
+    "parity is v01-v12's job); the DQ and verify gates run on the "
+    "MATERIALIZED artifact after the drain — the documented "
+    "gate-after-materialize inversion of the batch plan's "
+    "gate-before-load (a stream cannot be counted before writing).  "
+    "The entry re-reads the artifact and aggregates it, so the oracle "
+    "hash proves the staged NDJSON topic -> stream read -> transform "
+    "-> parquet commit round-trip was lossless.  Scale shape: the "
+    "drain is map-only (no shuffle before the sink), the sink commit "
+    "is Spark's transactional file-sink protocol, and each gate is "
+    "one aggregate over the artifact.",
+)
+def p09_plan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agentic_etl_poc_spark.queries.streamq import events_stream_dir
+    from agentic_etl_poc_spark.runtime import run_from_plan
+
+    topic = events_stream_dir(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="spark_graft_p09_")
+    out_path = os.path.join(root, "stream_events")
+    plan = f"""
+source:
+  kind: stream
+  stream:
+    path: {topic}
+    schema: "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    watermark_col: ts
+transform:
+  sql: |
+    SELECT event_id, user_id, event_type, ts, value
+    FROM input_df
+    WHERE event_type IN ('click', 'view', 'purchase')
+checks:
+  min_rows: 1
+  nonnull_cols: [event_id, event_type]
+load:
+  to: parquet
+  file_path: {out_path}
+verify:
+  min_rows: 1
+alerts:
+  on_fail: "slack://#data-alerts"
+"""
+    result = run_from_plan(spark, plan)
+    if result.get("status") != "ok":
+        raise RuntimeError(f"p09 stream plan failed: {result}")
+    artifact = spark.read.parquet(out_path)
+    return (
+        artifact.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .cast("string")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -189,6 +189,26 @@ def _extract_frame(
                 read_parquet(p).createOrReplaceTempView(name)
             return None
         df = read_parquet(pq.path)
+    elif kind == "stream":
+        st = src.stream
+        if st is None or not st.path:
+            raise ValueError("stream source requires source.stream.path")
+        if not st.schema:
+            raise ValueError(
+                "stream source requires source.stream.schema (a DDL "
+                "string — file streams cannot infer)"
+            )
+        # No byte cap: a stream is admission-controlled by the trigger
+        # (each AvailableNow drain consumes only files present at start;
+        # maxFilesPerTrigger bounds a batch) — a one-shot byte wall has
+        # no meaning for an unbounded source.
+        df = (
+            spark.readStream.format(st.format)
+            .schema(st.schema)
+            .load(st.path)
+        )
+        if st.watermark_col:
+            df = df.withWatermark(st.watermark_col, st.watermark_delay)
     else:
         raise ValueError(f"unknown source kind: {kind!r}")
 
@@ -219,6 +239,12 @@ def run_from_plan(
         if src_df is None:
             raise ValueError(
                 "incremental mode requires a single-source plan (input_df)"
+            )
+        if src_df.isStreaming:
+            raise ValueError(
+                "incremental watermark mode is a batch-plan feature; a "
+                "stream source already has exactly-once increment "
+                "bookkeeping in its checkpoint"
             )
         from pyspark.sql import functions as _F
 
@@ -259,6 +285,11 @@ def run_from_plan(
         raise ValueError(
             "Provide transform.steps[...].sql (preferred) or transform.sql."
         )
+
+    if out.isStreaming:
+        # Streaming plans invert the gate order (see StreamSource's
+        # docstring): materialize the drain first, then gate the artifact.
+        return _run_stream_plan_tail(spark, plan, out, send_alert, report_status)
 
     # Persist across the DQ action and the sink write — one compute, two
     # uses.  Keep the persisted handle: the quarantine split below rebinds
@@ -390,6 +421,86 @@ def run_from_plan(
 
         RunLedger(inc.ledger).set_state(f"watermark:{inc.key}", new_watermark)
 
+    return {"status": "ok", "dq": dq, "message": msg, "verify": ver}
+
+
+def _run_stream_plan_tail(
+    spark: SparkSession,
+    plan: Plan,
+    out: DataFrame,
+    send_alert: Callable[[str, str], str],
+    report_status: Callable[[str, str], str],
+) -> dict:
+    """Streaming tail of ``run_from_plan``: drain the transformed stream
+    with Trigger.AvailableNow into the parquet sink (exactly-once via the
+    checkpoint), then run the DQ and verify gates over the MATERIALIZED
+    artifact — the documented gate-after-materialize inversion of the
+    batch lifecycle (a stream cannot be counted before writing).  A
+    failed gate still alerts and returns ``failed``; the checkpoint
+    guarantees the bad increment is never silently re-consumed."""
+    alerts = plan.alerts
+    cks = plan.checks
+    if cks.quarantine_path:
+        raise ValueError(
+            "checks.quarantine_path is a batch-plan feature (the split "
+            "re-reads one persisted transform; a stream cannot persist) — "
+            "quarantine streaming rows with a foreachBatch sink instead"
+        )
+    ld = plan.load
+    if ld.to != "parquet" or not ld.file_path:
+        raise ValueError(
+            "stream plans require load.to: parquet with load.file_path "
+            "(JDBC/CSV single-file sinks have no streaming commit protocol)"
+        )
+    if ld.partition_by:
+        raise ValueError(
+            "stream plans do not support load.partition_by yet — "
+            "repartition in the transform or use a batch compaction pass"
+        )
+    st = plan.source.stream
+    checkpoint = (st.checkpoint if st else None) or (
+        ld.file_path.rstrip("/") + "_checkpoint"
+    )
+    from agentic_etl_poc_spark.streaming.events import run_available_now
+
+    run_available_now(out, checkpoint, ld.file_path)
+
+    artifact = spark.read.parquet(ld.file_path)
+    dq = dq_check(
+        artifact,
+        min_rows=cks.min_rows,
+        nonnull_cols=cks.nonnull_cols,
+        freshness_minutes=cks.freshness_minutes,
+        timestamp_col=cks.timestamp_col,
+    )
+    if not dq["status"]:
+        if alerts:
+            send_alert(alerts.get("on_fail", ""), f"DQ failed: {json.dumps(dq)}")
+        return {"status": "failed", "dq": dq}
+
+    from agentic_etl_poc_spark.sinks.parquet_sink import verify_parquet
+
+    vf = plan.verify
+    ver = verify_parquet(
+        spark,
+        ld.file_path,
+        min_rows=vf.min_rows if vf.min_rows is not None else cks.min_rows,
+        nonnull_cols=(
+            vf.nonnull_cols if vf.nonnull_cols is not None else cks.nonnull_cols
+        ),
+    )
+    if not ver.get("status", False):
+        if alerts:
+            send_alert(
+                alerts.get("on_fail", ""), f"Verify failed: {json.dumps(ver)}"
+            )
+        return {"status": "failed", "verify": ver}
+
+    msg = (
+        f"stream drained to {ld.file_path} "
+        f"(checkpoint {checkpoint}); rows={dq['rows']}"
+    )
+    report_status("load", msg)
     return {"status": "ok", "dq": dq, "message": msg, "verify": ver}
 
 

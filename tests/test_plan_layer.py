@@ -109,3 +109,148 @@ def test_json_selector_parsing():
     assert parse_selector("$.data.products") == ["data", "products"]
     assert parse_selector("records") == ["records"]
     assert parse_selector("") == []
+
+
+def test_stream_source_parses_and_infers():
+    from agentic_etl_poc_spark.plans.parser import infer_kind, parse_plan
+
+    plan = parse_plan(
+        """
+source:
+  stream:
+    path: /tmp/topic
+    schema: "a bigint, ts timestamp"
+    watermark_col: ts
+    watermark_delay: 30 minutes
+transform:
+  sql: SELECT * FROM input_df
+load:
+  to: parquet
+  file_path: /tmp/out
+"""
+    )
+    st = plan.source.stream
+    assert st is not None
+    assert st.path == "/tmp/topic"
+    assert st.schema == "a bigint, ts timestamp"
+    assert st.watermark_col == "ts"
+    assert st.watermark_delay == "30 minutes"
+    assert st.format == "json"
+    assert infer_kind(plan.source) == "stream"
+
+
+def test_stream_source_requires_schema(spark):
+    import pytest
+
+    from agentic_etl_poc_spark.runtime import run_from_plan
+
+    with pytest.raises(ValueError, match="schema"):
+        run_from_plan(
+            spark,
+            """
+source:
+  kind: stream
+  stream:
+    path: /tmp/topic
+transform:
+  sql: SELECT * FROM input_df
+load:
+  to: parquet
+  file_path: /tmp/out
+""",
+        )
+
+
+def test_stream_plan_rejects_batch_only_features(spark, tmp_path):
+    """Quarantine splits, incremental watermarks, and non-parquet sinks
+    are batch-plan features — a stream plan must fail LOUDLY on each,
+    not silently misbehave."""
+    import pytest
+
+    from agentic_etl_poc_spark.queries.streamq import events_stream_dir
+    from agentic_etl_poc_spark.runtime import run_from_plan
+    from tests.conftest import SF_SMOKE
+
+    topic = events_stream_dir(spark, SF_SMOKE)
+    base = f"""
+source:
+  kind: stream
+  stream:
+    path: {topic}
+    schema: "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+transform:
+  sql: SELECT * FROM input_df
+"""
+    with pytest.raises(ValueError, match="quarantine"):
+        run_from_plan(
+            spark,
+            base
+            + f"""
+checks:
+  nonnull_cols: [event_id]
+  quarantine_path: {tmp_path}/q
+load:
+  to: parquet
+  file_path: {tmp_path}/out
+""",
+        )
+    with pytest.raises(ValueError, match="incremental"):
+        run_from_plan(
+            spark,
+            base
+            + f"""
+incremental:
+  ts_col: ts
+  ledger: {tmp_path}/ledger.db
+load:
+  to: parquet
+  file_path: {tmp_path}/out
+""",
+        )
+    with pytest.raises(ValueError, match="parquet"):
+        run_from_plan(
+            spark,
+            base
+            + f"""
+load:
+  to: csv
+  file_path: {tmp_path}/out.csv
+""",
+        )
+
+
+def test_stream_plan_redrain_is_exactly_once(spark, tmp_path):
+    """The checkpoint remembers consumed files: re-running the SAME
+    stream plan (same checkpoint, same sink) with no new topic files
+    must leave the artifact unchanged — the cron-batch exactly-once
+    contract the StreamSource docstring promises."""
+    from agentic_etl_poc_spark.queries.streamq import events_stream_dir
+    from agentic_etl_poc_spark.runtime import run_from_plan
+    from tests.conftest import SF_SMOKE
+
+    topic = events_stream_dir(spark, SF_SMOKE)
+    out = tmp_path / "out"
+    plan = f"""
+source:
+  kind: stream
+  stream:
+    path: {topic}
+    schema: "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+transform:
+  sql: SELECT event_id, event_type, value FROM input_df
+checks:
+  min_rows: 1
+  nonnull_cols: [event_id]
+load:
+  to: parquet
+  file_path: {out}
+"""
+    r1 = run_from_plan(spark, plan)
+    assert r1["status"] == "ok", r1
+    n1 = spark.read.parquet(str(out)).count()
+    assert n1 == r1["dq"]["rows"]
+    r2 = run_from_plan(spark, plan)
+    assert r2["status"] == "ok", r2
+    assert spark.read.parquet(str(out)).count() == n1, (
+        "re-drain duplicated rows — checkpoint bookkeeping broken"
+    )
