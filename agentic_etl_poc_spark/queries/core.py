@@ -176,6 +176,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q80_aqe_skew_split",
     "m08_audio_vad",
     "p09_plan_stream",
+    "d14_incremental_dedup",
+    "u11_arrow_grouped_map",
+    "q81_sql_variables",
     "q68_late_shipment_priority",
     "q69_promo_revenue_share",
     "q70_disjunctive_predicate_join",

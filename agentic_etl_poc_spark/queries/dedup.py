@@ -1180,3 +1180,102 @@ def d13_perceptual_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dhash")
     )
+
+
+@register(
+    "d14_incremental_dedup",
+    oracle=f"""
+WITH {DUCK_MINHASH_PAIRS},
+newdocs AS (
+  SELECT doc_id FROM corpus WHERE doc_id >= 1000000
+),
+dup_index AS (
+  SELECT DISTINCT n.doc_id,
+         MIN(CASE WHEN p.id1 = n.doc_id THEN p.id2 ELSE p.id1 END)
+           AS matched_id
+  FROM newdocs n
+  JOIN pairs p ON (p.id1 = n.doc_id AND p.id2 < 1000000)
+              OR (p.id2 = n.doc_id AND p.id1 < 1000000)
+  GROUP BY n.doc_id
+),
+dup_batch AS (
+  SELECT DISTINCT p.id2 AS doc_id, p.id1 AS matched_id
+  FROM pairs p
+  WHERE p.id1 >= 1000000 AND p.id2 >= 1000000
+)
+SELECT n.doc_id,
+       CASE WHEN di.doc_id IS NOT NULL THEN 'dup_of_index'
+            WHEN db.doc_id IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'new_unique' END AS status,
+       CAST(COALESCE(di.matched_id,
+                     CASE WHEN di.doc_id IS NULL THEN db.matched_id END,
+                     -1) AS BIGINT) AS matched_id
+FROM newdocs n
+LEFT JOIN dup_index di ON di.doc_id = n.doc_id
+LEFT JOIN (
+  SELECT doc_id, MIN(matched_id) AS matched_id
+  FROM dup_batch GROUP BY doc_id
+) db ON db.doc_id = n.doc_id
+ORDER BY n.doc_id
+""",
+    description="INCREMENTAL near-dup dedup — the production shape "
+    "nightly ingestion runs have: a NEW batch (the corpus's planted "
+    "80%-truncated near-copies, doc_id >= 1000000) is checked against "
+    "the existing INDEX (everything else) without re-deduplicating the "
+    "index against itself.  Built as a pure projection over the SAME "
+    "persisted MinHash verified-pair frame the whole d-family fans out "
+    "of (compute-once-fan-out): each new doc is classified "
+    "dup_of_index (near-dups an index doc; lowest matching index id "
+    "reported), dup_in_batch (near-dups a smaller-id batch doc — the "
+    "greedy first-wins rule d10 uses), or new_unique.  Scale shape: at "
+    "100 TB the index side contributes only its LSH band signatures "
+    "(precomputed and stored); the batch's bands equi-join against "
+    "them — the shuffle is band signatures, never documents, and the "
+    "index is never re-paired with itself (the incremental win over "
+    "d04's full-corpus pass).",
+)
+def d14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_verified_pairs(spark, sf_dir)
+    new_ids = spark_corpus(spark, sf_dir).filter(F.col("doc_id") >= 1000000).select(
+        "doc_id"
+    )
+    p = pairs.select("id1", "id2")
+    dup_index = (
+        new_ids.join(
+            p,
+            ((F.col("id1") == F.col("doc_id")) & (F.col("id2") < 1000000))
+            | ((F.col("id2") == F.col("doc_id")) & (F.col("id1") < 1000000)),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("id1") == F.col("doc_id"), F.col("id2"))
+            .otherwise(F.col("id1"))
+            .alias("m"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("m").alias("idx_match"))
+    )
+    dup_batch = (
+        p.filter((F.col("id1") >= 1000000) & (F.col("id2") >= 1000000))
+        .groupBy(F.col("id2").alias("doc_id"))
+        .agg(F.min("id1").alias("batch_match"))
+    )
+    out = (
+        new_ids.join(dup_index, "doc_id", "left")
+        .join(dup_batch, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("idx_match").isNotNull(), "dup_of_index")
+            .when(F.col("batch_match").isNotNull(), "dup_in_batch")
+            .otherwise("new_unique")
+            .alias("status"),
+            F.coalesce(
+                F.col("idx_match"),
+                F.when(F.col("idx_match").isNull(), F.col("batch_match")),
+                F.lit(-1),
+            )
+            .cast("bigint")
+            .alias("matched_id"),
+        )
+    )
+    return out.orderBy("doc_id")

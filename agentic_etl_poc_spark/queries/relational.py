@@ -3322,3 +3322,52 @@ def skew_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weighted_revenue"),
         )
     )
+
+
+@register(
+    "q81_sql_variables",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment = 'AUTOMOBILE'
+GROUP BY o_orderpriority
+ORDER BY priority
+""",
+    description="Spark 4 SQL session VARIABLES + EXECUTE IMMEDIATE (the "
+    "SQL-scripting surface a SQL-first deployment parameterizes jobs "
+    "with, replacing string interpolation and its injection risk): "
+    "DECLARE a typed session variable, SET VAR it, then run a "
+    "parameterized statement through EXECUTE IMMEDIATE ... USING — the "
+    "variable binds as a literal into the plan, so Catalyst constant- "
+    "folds it and the segment predicate pushes into the customer scan "
+    "exactly as if it were written inline (the oracle IS the inlined "
+    "form; the hash proves parameter binding changes nothing).  Scale "
+    "shape: identical to the inlined join — filtered dim broadcasts, "
+    "one aggregate on the 5-value priority key.",
+)
+def q81_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("customer", "orders"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"q81_{name}")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE q81_segment STRING DEFAULT 'BUILDING'"
+    )
+    spark.sql("SET VAR q81_segment = 'AUTOMOBILE'")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority AS priority,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                    AS total_price
+           FROM q81_orders
+           JOIN q81_customer ON c_custkey = o_custkey
+           WHERE c_mktsegment = ?
+           GROUP BY o_orderpriority
+           ORDER BY priority'
+        USING q81_segment
+        """
+    )

@@ -552,3 +552,61 @@ def u10_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "u11_arrow_grouped_map",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+""",
+    description="Grouped-map over RAW ARROW (Spark 4 applyInArrow — the "
+    "zero-copy sibling of u01's applyInPandas: each group arrives as a "
+    "pyarrow.Table and the kernel runs pyarrow.compute vectorized "
+    "kernels, never materializing pandas objects — no Series boxing, "
+    "no NumPy copy, the cheapest possible Python-side grouped map).  "
+    "The kernel quantizes order totals to integer cents with the "
+    "floor(x*100 + 0.5) idiom (bit-identical in both engines where "
+    "round() half-tie rules differ) and emits exact int64 sums/maxima, "
+    "so the oracle match proves the Arrow path end to end.  Scale "
+    "shape: one shuffle on the 5-value priority key; inside each task "
+    "the work is C-speed Arrow kernels; the completeness point is the "
+    "custom-UDF matrix — scalar (u04), map (u05), UDTF (u09), grouped "
+    "map (this) — all on the Arrow boundary.",
+)
+def u11_arrow_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+
+    def agg(t: "pa.Table") -> "pa.Table":
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "priority": [t["o_orderpriority"][0].as_py()],
+                "n": pa.array([t.num_rows], pa.int64()),
+                "total_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        o.groupBy("o_orderpriority")
+        .applyInArrow(
+            agg,
+            schema="priority string, n bigint, total_cents bigint, "
+            "max_cents bigint",
+        )
+        .orderBy("priority")
+    )
