@@ -1650,3 +1650,111 @@ def s14_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= RADIUS_SIM)
         .orderBy("query_id", "neighbor_id")
     )
+
+
+BQ_DIMS = 63  # sign bits packed into one BIGINT (bit 63 left clear)
+BQ_RERANK = 30
+BQ_TOP = 10
+
+
+@register(
+    "s15_binary_quantization",
+    oracle=f"""
+WITH sigs AS (
+  SELECT vec_id, label, embedding,
+         list_sum(list_transform(range(0, {BQ_DIMS}),
+             i -> CASE WHEN embedding[i + 1] > 0
+                       THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS sig
+  FROM embeddings
+),
+q AS (SELECT vec_id, embedding, sig FROM sigs WHERE vec_id < {N_QUERIES}),
+ham AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, b.label,
+         b.embedding AS bvec, q.embedding AS qvec,
+         bit_count(xor(q.sig, b.sig)) AS hamming,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY bit_count(xor(q.sig, b.sig)), b.vec_id)
+           AS hrank
+  FROM sigs b JOIN q ON b.vec_id <> q.vec_id
+),
+rerank AS (
+  SELECT query_id, neighbor_id, label, CAST(hamming AS BIGINT) AS hamming,
+         {duck_cosine('bvec', 'qvec', DIM)} AS cos_sim
+  FROM ham WHERE hrank <= {BQ_RERANK}
+)
+SELECT query_id, neighbor_id, label, hamming, cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS r
+  FROM rerank
+)
+WHERE r <= {BQ_TOP}
+ORDER BY query_id, cos_sim DESC, neighbor_id
+""",
+    description="1-BIT BINARY QUANTIZATION retrieval (the 32x memory "
+    "reduction production vector stores ship as 'BQ': each embedding "
+    "collapses to its sign bits, packed here into ONE BIGINT — 63 of "
+    "64 dims, bit 63 left clear so the packed word stays positive in "
+    "both engines' signed BIGINT).  Scan phase ranks by HAMMING "
+    "distance, computed as bit_count(XOR) — one popcount per "
+    "comparison, the cheapest distance that exists; the top-30 "
+    "candidates per query then rerank by exact float cosine and the "
+    "top-10 survive (s12's int8 two-stage shape, pushed to the 1-bit "
+    "extreme).  Everything before the rerank is integer-exact, and "
+    "the rerank cosines use the sequential-fold primitive, so both "
+    "engines agree bit-for-bit; both rank windows carry total "
+    "tie-breaks.  Scale shape: signatures are 8 bytes/vector (a "
+    "billion vectors fit in 8 GB — broadcast or scan-local), the "
+    "Hamming scan is map-side vs broadcast query signatures, and the "
+    "float vectors are touched ONLY for the 30 rerank candidates per "
+    "query — the I/O win that makes BQ the default first stage at "
+    "scale.",
+)
+def s15_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    sig = F.expr(
+        f"aggregate(sequence(0, {BQ_DIMS - 1}), 0L, (acc, i) -> "
+        f"acc + CASE WHEN element_at(embedding, i + 1) > 0 "
+        f"THEN shiftleft(1L, i) ELSE 0L END)"
+    )
+    sigs = e.select("vec_id", "label", "embedding", sig.alias("sig"))
+    q = F.broadcast(
+        sigs.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("sig").alias("qsig"),
+        )
+    )
+    ham = (
+        sigs.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.col("embedding").alias("bvec"),
+            "qvec",
+            F.bit_count(F.col("qsig").bitwiseXOR(F.col("sig"))).alias("hamming"),
+        )
+    )
+    w_ham = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    rerank = (
+        ham.withColumn("hrank", F.row_number().over(w_ham))
+        .filter(F.col("hrank") <= BQ_RERANK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.col("hamming").cast("bigint").alias("hamming"),
+            cosine(F.col("bvec"), F.col("qvec")).alias("cos_sim"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rerank.withColumn("r", F.row_number().over(w_cos))
+        .filter(F.col("r") <= BQ_TOP)
+        .select("query_id", "neighbor_id", "label", "hamming", "cos_sim")
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+    )
