@@ -180,6 +180,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "u11_arrow_grouped_map",
     "q81_sql_variables",
     "s15_binary_quantization",
+    "q82_compaction_roundtrip",
     "q68_late_shipment_priority",
     "q69_promo_revenue_share",
     "q70_disjunctive_predicate_join",

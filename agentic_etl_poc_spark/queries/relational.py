@@ -3371,3 +3371,81 @@ def q81_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING q81_segment
         """
     )
+
+
+@register(
+    "q82_compaction_roundtrip",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS VARCHAR) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="Small-file COMPACTION round-trip, driver-visible: the "
+    "events table is staged as a deliberately fragmented dataset (64 "
+    "tiny part files — the debris every streaming/incremental sink "
+    "accumulates), rewritten by operators/scale.py::compact_parquet "
+    "into size-targeted files clustered on event_type "
+    "(sortWithinPartitions — better min/max pruning, no global "
+    "shuffle), and the entry aggregates the COMPACTED artifact against "
+    "the oracle's view of the original table — the hash proves the "
+    "rewrite was content-lossless while the entry itself asserts the "
+    "file count actually collapsed and the crash-safe swap left no "
+    "debris.  Scale shape: compaction is one repartition sized from "
+    "on-disk bytes (the 100 TB knob is target_file_bytes), the swap is "
+    "O(1) renames, and a crashed rewrite rolls back to the "
+    "pre-compaction directory.",
+)
+def q82_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agentic_etl_poc_spark.operators.scale import compact_parquet
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_q82",
+        sf_dir.strip(os.sep).replace(os.sep, "_"),
+    )
+    data = os.path.join(root, "events_fragmented")
+    marker = os.path.join(root, "_STAGED")
+    fp = fixture_fingerprint(sf_dir, ["events"])
+    if not marker_current(marker, fp):
+        ev = table(spark, sf_dir, "events")
+        # 64 tiny files: the fragmentation a per-tick appender leaves
+        ev.repartition(64).write.mode("overwrite").parquet(data)
+        stats = compact_parquet(
+            spark, data, target_file_bytes=1 * 1024 * 1024,
+            sort_by=["event_type"],
+        )
+        if stats["files_after"] >= stats["files_before"]:
+            raise RuntimeError(f"compaction did not reduce files: {stats}")
+        leftovers = [
+            p for p in os.listdir(root)
+            if p.startswith(("compact_", "events_fragmented__precompact"))
+        ]
+        if leftovers:
+            raise RuntimeError(f"compaction left debris: {leftovers}")
+        write_marker(marker, fp)
+    compacted = spark.read.parquet(data)
+    return (
+        compacted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .cast("string")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
