@@ -114,3 +114,34 @@ def test_quarantine_example_runs(spark, tmp_path):
     assert n_bad == result["dq"]["quarantined"]
     # lossless split: every transformed row landed in exactly one artifact
     assert n_clean + n_bad == 1500
+
+
+def test_stream_events_example_runs(spark, tmp_path):
+    """The streaming-plan example drains a staged NDJSON topic through the
+    full lifecycle; a second run with the same checkpoint must be a no-op
+    (exactly-once re-run, the example's headline claim)."""
+    import json as _json
+
+    from agentic_etl_poc_spark.runtime import run_from_plan
+
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T0{i}:00:00", "user_id": i % 3,
+         "event_type": t, "value": 1.5 * i, "props": "{}"}
+        for i, t in enumerate(["click", "view", "error", "purchase"])
+    ]
+    (topic / "tick1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n"
+    )
+    text = open(os.path.join(EXAMPLES, "stream_events.yaml")).read()
+    out = tmp_path / "out"
+    text = text.replace("/tmp/stream_topic", str(topic)).replace(
+        "/tmp/stream_events_out", str(out)
+    )
+    r1 = run_from_plan(spark, text)
+    assert r1["status"] == "ok", r1
+    assert r1["dq"]["rows"] == 3  # 'error' filtered out
+    r2 = run_from_plan(spark, text)
+    assert r2["status"] == "ok", r2
+    assert spark.read.parquet(str(out)).count() == 3
