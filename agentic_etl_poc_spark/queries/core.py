@@ -181,6 +181,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q81_sql_variables",
     "s15_binary_quantization",
     "q82_compaction_roundtrip",
+    "g03_bfs_levels",
     "q68_late_shipment_priority",
     "q69_promo_revenue_share",
     "q70_disjunctive_predicate_join",

@@ -89,6 +89,8 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "g02_triangle_count": "the triangle count and the wedge count are "
     "each one scalar aggregate row (joined for the closure rate); the "
     "wedge join itself is keyed on src",
+    "g03_bfs_levels": "the BFS seed (MIN node) is one scalar aggregate "
+    "row; every frontier round is keyed on node",
 }
 
 #: Entries allowed to carry a pickled row-at-a-time Python eval.
