@@ -254,3 +254,40 @@ load:
     assert spark.read.parquet(str(out)).count() == n1, (
         "re-drain duplicated rows — checkpoint bookkeeping broken"
     )
+
+
+def test_stream_plan_dq_failure_alerts_and_retains_artifact(spark, tmp_path):
+    """Gate-after-materialize semantics: a failing DQ gate on a stream
+    plan returns `failed` and fires the alert, but the drained artifact
+    REMAINS on disk (the checkpoint means the bad increment is never
+    silently re-consumed; cleanup is an operator decision)."""
+    from agentic_etl_poc_spark.queries.streamq import events_stream_dir
+    from agentic_etl_poc_spark.runtime import run_from_plan
+    from tests.conftest import SF_SMOKE
+
+    topic = events_stream_dir(spark, SF_SMOKE)
+    out = tmp_path / "out"
+    alerts = []
+    r = run_from_plan(
+        spark,
+        f"""
+source:
+  kind: stream
+  stream:
+    path: {topic}
+    schema: "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+transform:
+  sql: SELECT event_id, event_type FROM input_df
+checks:
+  min_rows: 999999999
+load:
+  to: parquet
+  file_path: {out}
+alerts:
+  on_fail: "slack://#x"
+""",
+        send_alert=lambda ch, msg: alerts.append((ch, msg)) or "sent",
+    )
+    assert r["status"] == "failed" and "dq" in r
+    assert alerts and alerts[0][0] == "slack://#x"
+    assert spark.read.parquet(str(out)).count() > 0  # artifact retained

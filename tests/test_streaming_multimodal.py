@@ -517,3 +517,88 @@ def test_v05_watermark_drops_late_rows(spark, sf_smoke):
         for op in p["stateOperators"]
     )
     assert dropped > 0, "late replay was never suppressed by the watermark"
+
+
+def test_vad_frames_contract():
+    """The VAD kernel's frame math, pinned at the numpy level: fixed
+    160-sample windows, trailing partial frame dropped, RMS exact on the
+    Q15 grid for alternating-sign constant amplitude, and loud rejection
+    of non-PCM16-mono containers."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from agentic_etl_poc_spark.operators.multimodal import _vad_frames
+
+    def wav(samples: np.ndarray, channels: int = 1, bits: int = 16) -> bytes:
+        data = samples.tobytes()
+        return struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE",
+            b"fmt ", 16, 1, channels, 8000,
+            8000 * channels * bits // 8, channels * bits // 8, bits,
+            b"data", len(data),
+        ) + data
+
+    # 2.5 frames of +/-1000: two full frames of rms exactly 1000, the
+    # 80-sample tail dropped
+    s = np.zeros(400, dtype="<i2")
+    s[0::2] = 1000
+    s[1::2] = -1000
+    rms = _vad_frames(wav(s), 160)
+    assert rms.tolist() == [1000, 1000]
+
+    # fewer samples than one frame -> zero frames, not a crash
+    assert _vad_frames(wav(s[:100]), 160).size == 0
+
+    # silence frames are exactly zero
+    assert _vad_frames(wav(np.zeros(160, dtype="<i2")), 160).tolist() == [0]
+
+    with pytest.raises(ValueError, match="not RIFF"):
+        _vad_frames(b"JUNK" * 10, 160)
+    with pytest.raises(ValueError, match="channels=2"):
+        _vad_frames(wav(s, channels=2), 160)
+
+
+def test_vad_segments_run_detection(spark):
+    """Run detection over a hand-built frame pattern: active-silent-
+    active-active-silent must yield exactly two segments with the right
+    starts, lengths, and peaks — including a segment that runs to the
+    final frame (the off-by-one the trailing sentinel in the kernel
+    guards)."""
+    import struct
+
+    import numpy as np
+
+    from agentic_etl_poc_spark.operators.multimodal import vad_segments
+
+    FRAME = 160
+    amps = [2000, 0, 1500, 3000, 0, 2500]  # frames; last run ends at EOF?
+    samples = np.zeros(len(amps) * FRAME, dtype="<i2")
+    for f, amp in enumerate(amps):
+        seg = samples[f * FRAME : (f + 1) * FRAME]
+        seg[0::2] = amp
+        seg[1::2] = -amp
+    data = samples.tobytes()
+    payload = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, 8000, 16000, 2, 16,
+        b"data", len(data),
+    ) + data
+    df = spark.createDataFrame([(1, bytearray(payload))], "item_id long, payload binary")
+    rows = [
+        r.asDict()
+        for r in vad_segments(df, frame_samples=FRAME, threshold_q15=500)
+        .orderBy("seg_idx")
+        .collect()
+    ]
+    assert rows == [
+        {"item_id": 1, "seg_idx": 0, "start_frame": 0, "n_frames": 1,
+         "peak_q15": 2000},
+        {"item_id": 1, "seg_idx": 1, "start_frame": 2, "n_frames": 2,
+         "peak_q15": 3000},
+        {"item_id": 1, "seg_idx": 2, "start_frame": 5, "n_frames": 1,
+         "peak_q15": 2500},
+    ]
