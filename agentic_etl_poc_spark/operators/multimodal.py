@@ -644,6 +644,14 @@ def _dhash_hex(payload: bytes) -> str:
     else:
         luma = raster.astype(np.float64).reshape(height, width)
     if (height, width) != (DHASH_ROWS, DHASH_COLS):
+        if width < DHASH_COLS or height < DHASH_ROWS:
+            # upsampling would leave empty grid buckets (0/0 -> NaN cells
+            # silently hashing as 0-bits); reject so the registered-codec
+            # fallback path gets the payload instead
+            raise ValueError(
+                f"image {width}x{height} smaller than the "
+                f"{DHASH_COLS}x{DHASH_ROWS} dHash grid"
+            )
         # block-mean downsample via row/column bucket averaging (area
         # interpolation on the integer grid)
         r_idx = (np.arange(height) * DHASH_ROWS) // height

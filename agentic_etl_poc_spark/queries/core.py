@@ -109,10 +109,12 @@ def fixture_fingerprint(sf_dir: str, tables: list[str]) -> str:
                 if not f.startswith(("_", "."))
             ]
             size = sum(os.path.getsize(f) for f in files)
-            mtime = max((int(os.path.getmtime(f)) for f in files), default=0)
+            # nanosecond mtimes: a fixture regenerated within the same
+            # second (same byte size) must still read as changed
+            mtime = max((os.stat(f).st_mtime_ns for f in files), default=0)
         elif os.path.exists(p):
             size = os.path.getsize(p)
-            mtime = int(os.path.getmtime(p))
+            mtime = os.stat(p).st_mtime_ns
         else:
             size = mtime = 0
         parts.append(f"{t}:{mtime}:{size}")
@@ -149,16 +151,17 @@ def register(name: str, oracle: str | None, description: str = ""):
 
 #: Explicit registry order.  The external correctness sweep walks this
 #: order and records only the FIRST ~50 entries per round (rounds 1-5
-#: each recorded exactly 50).  Round-7 rotation, three bands:
+#: each recorded exactly 50).  Round-8 rotation, four bands:
 #:
-#: 1. Slots 1-50 (the sweep window) — new round-7 entries first (never
-#:    driver-sampled entries must sit inside the window), then all 36
+#: 1. Slots 1-50 (the sweep window) — new round-8 entries first (never
+#:    driver-sampled entries must sit inside the window), then all 27
 #:    entries whose latest driver-green row is r04 (they have waited
 #:    longest), cheap-first (builder per-query bench), then the cheapest
 #:    r05-era entries until the window is full.
-#: 2. The remaining r05-era entries, cheap-first — they lead round 8's
-#:    window (with anything new in round 8).
-#: 3. Entries green in the r06 sweep, cheap-first.
+#: 2. The remaining r05-era entries, cheap-first — they lead round 9's
+#:    window (with anything new in round 9).
+#: 3. Entries whose latest green is the r06 sweep, cheap-first.
+#: 4. Entries green in the r07 sweep (freshest), cheap-first.
 #:
 #: tests/test_battery_contract.py::test_sweep_priority_block_leads
 #: recomputes this invariant from the CORRECTNESS_r*.json files and goes
@@ -168,134 +171,84 @@ def register(name: str, oracle: str | None, description: str = ""):
 #: bench.py iterates sorted(battery), so this order never skews
 #: per-query bench attribution.
 SWEEP_ORDER: tuple[str, ...] = (
-    # -- band 1 (sweep window, 50): new round-7 entries first (never
-    # -- driver-sampled must sit inside the window) -------------------
-    "g02_triangle_count",
-    "v12_stream_sliding_window",
-    "s14_radius_search",
-    "q80_aqe_skew_split",
-    "m08_audio_vad",
-    "p09_plan_stream",
-    "d14_incremental_dedup",
-    "u11_arrow_grouped_map",
-    "q81_sql_variables",
-    "s15_binary_quantization",
-    "q82_compaction_roundtrip",
-    "g03_bfs_levels",
-    "q68_late_shipment_priority",
-    "q69_promo_revenue_share",
-    "q70_disjunctive_predicate_join",
-    "q71_important_part_values",
-    "q72_dormant_rich_customers",
-    "q73_parts_supplier_counts",
-    "q74_top_supplier_revenue",
-    "q75_part_promotion_suppliers",
-    "q76_volume_shipping",
-    "q77_market_share",
-    "q78_product_type_profit",
-    "q79_min_cost_supplier",
-    "s13_ivfadc",
-    "q61_small_quantity_avg",
-    "v09_stream_rocksdb_session",
-    "q62_large_volume_customers",
-    "q63_suppliers_kept_waiting",
-    "v10_stream_outer_join",
-    "d13_perceptual_dhash",
-    "q64_customer_distribution",
-    "v11_stream_upsert_sink",
-    "u09_arrow_udtf",
-    "p07_plan_quarantine",
-    "q65_bucketed_colocated_join",
-    "g01_integer_pagerank",
-    "q66_bloom_runtime_filter",
-    "q67_variant_extract",
-    "p08_xml_roundtrip",
-    "u10_python_stream_writer",
-    # -- then the 36 entries whose latest driver-green row is r04,
-    # -- cheap-first (builder per-query bench) ------------------------
-    "t14_tfidf_keywords",
-    "d08_fuzzy_levenshtein",
-    "t07_pii_scan_redact",
-    "q05_left_join_multikey",
-    "m02_frame_fingerprints",
-    "q27_correlated_subquery",
-    "q41_set_ops_all",
-    "u01_grouped_pandas_agg",
-    "q25_pivot_unpivot",
+    # -- band 1 (sweep window, 50): new round-8 entries go at the very
+    # -- front (never driver-sampled must sit inside the window), then
+    # -- the 27 entries whose latest driver-green row is r04 (waited
+    # -- longest), cheap-first (builder per-query bench) --------------
     "q53_retention_cohorts",
-    "t02_quality_score",
+    "q19_range_join",
     "q09_distinct_agg",
-    "t05_pandas_tokens",
+    "q10_window_rank",
+    "d01_dedup_exact",
+    "q17_hourly_json",
+    "t02_quality_score",
+    "s02_ann_lsh",
+    "t03_langid",
+    "q23_approx_distinct",
     "q21_cube_grouping",
     "q11_running_window",
-    "q10_window_rank",
-    "q19_range_join",
-    "d01_dedup_exact",
-    "t03_langid",
-    "q17_hourly_json",
-    "q23_approx_distinct",
-    "t06_boilerplate_ratio",
-    "t11_repetition_score",
     "q24_sessionize_batch",
+    "t05_pandas_tokens",
+    "t06_boilerplate_ratio",
     "s03_ann_ivf",
-    "s02_ann_lsh",
+    "t11_repetition_score",
     "q03_try_dateparse",
-    "u03_pandas_udaf_weighted",
-    "d07_dedup_clusters",
     "q01_pricing_summary",
-    "d06_embedding_neardup",
     "t04_fingerprint",
     "d02_dedup_fingerprint",
+    "u03_pandas_udaf_weighted",
+    "d07_dedup_clusters",
+    "d06_embedding_neardup",
     "d03_ngram_jaccard",
     "d05_simhash",
     "d04_minhash_lsh",
-    # -- then the 11 cheapest entries whose latest driver-green row is
-    # -- r05, cheap-first ---------------------------------------------
+    # -- then the 23 cheapest entries whose latest driver-green row
+    # -- is r05, cheap-first ------------------------------------------
+    "q30_null_semantics",
     "q08_topk_orders",
+    "t12_length_deciles",
     "q39_regexp_groups",
+    "m01_multimodal_metadata",
     "q37_map_functions",
     "q02_cast_coalesce_project",
-    "q30_null_semantics",
-    "q42_json_struct_parse",
-    "t12_length_deciles",
-    "t08_train_test_split",
-    "m01_multimodal_metadata",
-    "q40_union_by_name",
-    "q47_bitwise_agg",
-    # -- band 2: the remaining r05-era entries, cheap-first — these
-    # -- lead round 8 (with anything new in round 8) ------------------
     "t10_source_mixture",
-    "t21_training_shuffle",
+    "t08_train_test_split",
     "q32_histogram",
+    "q16_math_funcs",
+    "q42_json_struct_parse",
+    "t21_training_shuffle",
+    "t09_corpus_stats",
+    "q47_bitwise_agg",
+    "q52_funnel",
+    "t20_quality_upsample",
     "q43_rank_family",
     "q46_ignore_nulls_fill",
-    "t09_corpus_stats",
     "q38_string_agg",
     "q36_explode_outer",
-    "q16_math_funcs",
-    "q33_scd2_versions",
-    "t20_quality_upsample",
-    "s01_knn_bruteforce",
-    "q52_funnel",
+    "q40_union_by_name",
     "q15_string_funcs",
+    # -- band 2: the remaining r05-era entries, cheap-first — these
+    # -- lead round 9 (with anything new in round 9) ------------------
     "q35_not_in_null_trap",
-    "d11_sketch_error",
-    "s10_filtered_knn",
+    "s01_knn_bruteforce",
     "u05_arrow_map_batches",
+    "d11_sketch_error",
+    "q33_scd2_versions",
+    "s10_filtered_knn",
     "t19_token_rarity",
-    "m04_image_decode",
     "m03_audio_decode",
     "m06_audio_resample",
-    "m05_image_resize",
     "t18_sliding_chunks",
-    "t22_bpe_merges",
-    "s09_matryoshka_recall",
+    "m04_image_decode",
+    "m05_image_resize",
     "u07_python_writer",
+    "s09_matryoshka_recall",
     "p04_plan_json_pipeline",
+    "t22_bpe_merges",
     "v06_stream_static_enrich",
     "v03_stream_dedup_exact",
-    "t17_chunk_dedup",
     "u06_python_datasource",
+    "t17_chunk_dedup",
     "p01_curation_pipeline",
     "s11_pq_adc",
     "v05_stream_watermark_eviction",
@@ -303,57 +256,108 @@ SWEEP_ORDER: tuple[str, ...] = (
     "v04_stream_stream_join",
     "p03_plan_incremental",
     "p02_plan_csv_pipeline",
-    # -- band 3: green in the r06 sweep, cheap-first ------------------
+    # -- band 3: latest green in the r06 sweep, cheap-first -----------
     "q58_forecast_revenue",
     "q29_range_frame_interval",
-    "t13_vocab_by_source",
-    "q44_arg_extremes",
-    "q28_array_map_agg",
-    "d10_cluster_survivors",
-    "q07_conditional_agg",
-    "q13_semi_anti_join",
     "q31_date_spine_gapfill",
     "q20_tumbling_window",
-    "q49_latest_record_dedup",
-    "s05_ann_multiprobe",
-    "d09_containment",
-    "s04_ann_recall",
-    "q14_rollup",
-    "s07_int8_quantization",
-    "q04_weekly_rollup",
-    "q55_lateral_topn",
     "q06_join_cast_key_broadcast",
-    "u02_python_udtf",
-    "q12_set_ops",
     "q60_dynamic_partition_pruning",
+    "d10_cluster_survivors",
+    "q07_conditional_agg",
+    "q28_array_map_agg",
+    "t13_vocab_by_source",
     "q26_sliding_window",
-    "u04_arrow_scalar_udf",
-    "t16_sequence_packing",
-    "q34_full_outer_reconcile",
-    "s06_knn_join",
-    "q18_asof_join",
-    "m07_shot_detection",
-    "q51_salted_skew_agg",
+    "q55_lateral_topn",
     "q22_percentiles",
-    "t01_token_stats",
-    "q50_higher_order_funcs",
-    "q54_recursive_year_ladder",
-    "q48_shipping_priority",
+    "q13_semi_anti_join",
+    "s04_ann_recall",
+    "s07_int8_quantization",
+    "q49_latest_record_dedup",
+    "q04_weekly_rollup",
+    "u04_arrow_scalar_udf",
+    "q14_rollup",
+    "q44_arg_extremes",
+    "s05_ann_multiprobe",
+    "u02_python_udtf",
     "q57_returned_items",
+    "q51_salted_skew_agg",
+    "s06_knn_join",
+    "d09_containment",
+    "t16_sequence_packing",
+    "q12_set_ops",
+    "q54_recursive_year_ladder",
+    "q18_asof_join",
+    "q34_full_outer_reconcile",
+    "t01_token_stats",
     "q56_local_supplier_volume",
+    "m07_shot_detection",
+    "q48_shipping_priority",
+    "q50_higher_order_funcs",
+    "q59_salted_skew_join",
     "q45_grouping_sets",
     "t23_bigram_novelty",
-    "q59_salted_skew_join",
-    "t15_benchmark_decontam",
     "p06_plan_multi_step",
+    "t15_benchmark_decontam",
     "v01_stream_tumbling_agg",
-    "s12_quantized_rerank",
     "p05_plan_multi_source",
+    "s12_quantized_rerank",
     "u08_polymorphic_udtf",
     "s08_kmeans_refine",
     "v08_stream_session_window",
     "v02_stream_sessionize",
     "d12_semantic_dedup",
+    # -- band 4: green in the r07 sweep (freshest), cheap-first -------
+    "q66_bloom_runtime_filter",
+    "q80_aqe_skew_split",
+    "q69_promo_revenue_share",
+    "q70_disjunctive_predicate_join",
+    "q61_small_quantity_avg",
+    "q72_dormant_rich_customers",
+    "q81_sql_variables",
+    "q64_customer_distribution",
+    "q82_compaction_roundtrip",
+    "p08_xml_roundtrip",
+    "q68_late_shipment_priority",
+    "t14_tfidf_keywords",
+    "d08_fuzzy_levenshtein",
+    "u09_arrow_udtf",
+    "q05_left_join_multikey",
+    "q75_part_promotion_suppliers",
+    "u01_grouped_pandas_agg",
+    "q74_top_supplier_revenue",
+    "m02_frame_fingerprints",
+    "q27_correlated_subquery",
+    "q25_pivot_unpivot",
+    "u11_arrow_grouped_map",
+    "q73_parts_supplier_counts",
+    "s15_binary_quantization",
+    "q41_set_ops_all",
+    "d14_incremental_dedup",
+    "m08_audio_vad",
+    "t07_pii_scan_redact",
+    "q76_volume_shipping",
+    "s14_radius_search",
+    "q77_market_share",
+    "q78_product_type_profit",
+    "d13_perceptual_dhash",
+    "q71_important_part_values",
+    "q63_suppliers_kept_waiting",
+    "q62_large_volume_customers",
+    "v12_stream_sliding_window",
+    "q79_min_cost_supplier",
+    "p09_plan_stream",
+    "p07_plan_quarantine",
+    "q67_variant_extract",
+    "q65_bucketed_colocated_join",
+    "v09_stream_rocksdb_session",
+    "v11_stream_upsert_sink",
+    "s13_ivfadc",
+    "v10_stream_outer_join",
+    "g03_bfs_levels",
+    "g01_integer_pagerank",
+    "u10_python_stream_writer",
+    "g02_triangle_count",
 )
 
 

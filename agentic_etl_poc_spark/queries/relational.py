@@ -2012,7 +2012,7 @@ JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23'
   AND p_size <= 15
   AND l_quantity < 0.2 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
-                          WHERE l2.l_partkey = l_partkey)
+                          WHERE l2.l_partkey = p_partkey)
 """,
     description="TPC-H Q17 shape (small-quantity-order revenue, adapted "
     "to the fixture schema: p_size<=15 stands in for p_container): a "
@@ -2046,7 +2046,7 @@ def q61_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND p_size <= 15
           AND l_quantity < 0.2 * (SELECT AVG(l2.l_quantity)
                                   FROM q61_lineitem l2
-                                  WHERE l2.l_partkey = l_partkey)
+                                  WHERE l2.l_partkey = p_partkey)
         """
     )
 

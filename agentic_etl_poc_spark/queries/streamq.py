@@ -139,29 +139,42 @@ def events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
 
     ensure_semantics(spark)
     tune_for_data(spark, sf_dir)
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+
+    fp = fixture_fingerprint(sf_dir, ["events"])
     cached = _STAGED.get(sf_dir)
-    if cached is not None and os.path.exists(os.path.join(cached, "_SUCCESS")):
+    if cached is not None and marker_current(
+        os.path.join(cached, "_STAGED_FP"), fp
+    ):
         return cached
     out = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_streamq",
         sf_dir.strip(os.sep).replace(os.sep, "_"),
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    marker = os.path.join(out, "_STAGED_FP")
+    if not marker_current(marker, fp):
         ev = table(spark, sf_dir, "events").persist()
         try:
+            # a stale fingerprint restages the WHOLE family (base + typed
+            # topics): a regenerated events fixture must never pair fresh
+            # base files with stale typed ones
             for event_type in ("view", "click"):
                 typed_out = out + "_" + event_type
-                if not os.path.exists(os.path.join(typed_out, "_SUCCESS")):
-                    (
-                        ev.filter(F.col("event_type") == event_type)
-                        .coalesce(1)
-                        .write.mode("overwrite")
-                        .json(typed_out)
-                    )
+                (
+                    ev.filter(F.col("event_type") == event_type)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .json(typed_out)
+                )
                 _STAGED[f"{sf_dir}::{event_type}"] = typed_out
-            # base LAST: its _SUCCESS marks the whole family staged
             ev.coalesce(1).write.mode("overwrite").json(out)
+            # marker LAST: it stamps the whole family staged
+            write_marker(marker, fp)
         finally:
             ev.unpersist()
     _STAGED[sf_dir] = out
@@ -545,9 +558,10 @@ def _typed_stream_dir(spark: SparkSession, sf_dir: str, event_type: str) -> str:
     actual write happens inside :func:`events_stream_dir`'s one staging
     pass (persisted events frame, all topics in one go)."""
     key = f"{sf_dir}::{event_type}"
-    cached = _STAGED.get(key)
-    if cached is not None and os.path.exists(os.path.join(cached, "_SUCCESS")):
-        return cached
+    # ALWAYS go through events_stream_dir first: it owns the family
+    # fingerprint marker, so a regenerated events fixture restages the
+    # typed topics before this cache could hand out a stale one (cheap
+    # when current — marker read only).
     base = events_stream_dir(spark, sf_dir)
     out = base + "_" + event_type
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -913,10 +927,17 @@ def _tribatch_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     merge path non-vacuous (a single batch would never overwrite)."""
     import shutil
 
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+
     src = events_stream_dir(spark, sf_dir)
     out = src + "_x3"
     marker = os.path.join(out, "_STAGED")
-    if not os.path.exists(marker):
+    fp = fixture_fingerprint(sf_dir, ["events"])
+    if not marker_current(marker, fp):
         import time
 
         os.makedirs(out, exist_ok=True)
@@ -937,8 +958,7 @@ def _tribatch_stream_dir(spark: SparkSession, sf_dir: str) -> str:
         now = time.time()
         for i in range(3):
             os.utime(os.path.join(out, f"{i}.json"), (now - 180 + 60 * i,) * 2)
-        with open(marker, "w") as f:
-            f.write("ok")
+        write_marker(marker, fp)
     return out
 
 

@@ -317,24 +317,46 @@ import contextlib
 def _manifest_lock(manifest_path: str):
     """O_EXCL lock file serializing manifest read-modify-writes.  A lock
     older than _LOCK_STALE_SEC is broken (crashed committer); waiting
-    past _LOCK_WAIT_SEC raises rather than guessing."""
+    past _LOCK_WAIT_SEC raises rather than guessing.
+
+    Stale-lock breaking must be ATOMIC: two waiters that both stat the
+    same stale lock must not both unlink-and-recreate (one would then
+    unlink the other's fresh lock and let two committers into the
+    read-modify-write).  So a breaker claims the stale lock with
+    os.replace() to a private tombstone name — exactly one rename wins —
+    and release only unlinks the lock if it still holds THIS holder's
+    nonce (a lock broken out from under us stays someone else's)."""
     import os
     import time
+    import uuid
 
     lock_path = manifest_path + ".lock"
+    nonce = uuid.uuid4().hex
     deadline = time.monotonic() + _LOCK_WAIT_SEC
     while True:
         try:
             fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            try:
+                os.write(fd, nonce.encode())
+            finally:
+                os.close(fd)
             break
         except FileExistsError:
             try:
-                if time.time() - os.path.getmtime(lock_path) > _LOCK_STALE_SEC:
-                    os.unlink(lock_path)  # crashed committer; break it
-                    continue
+                stale = time.time() - os.path.getmtime(lock_path) > _LOCK_STALE_SEC
             except OSError:
                 continue  # lock vanished between exists and stat
+            if stale:
+                tomb = lock_path + f".tomb-{nonce}"
+                try:
+                    os.replace(lock_path, tomb)  # one breaker wins the rename
+                except OSError:
+                    continue  # another breaker claimed it first
+                try:
+                    os.unlink(tomb)
+                except OSError:
+                    pass
+                continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"ledger manifest lock {lock_path!r} held for "
@@ -345,7 +367,10 @@ def _manifest_lock(manifest_path: str):
         yield
     finally:
         try:
-            os.unlink(lock_path)
+            with open(lock_path) as f:
+                still_mine = f.read() == nonce
+            if still_mine:
+                os.unlink(lock_path)
         except OSError:
             pass
 

@@ -510,3 +510,96 @@ def test_stream_ledger_commit_is_batch_idempotent(tmp_path):
     w.commit([LedgerCommit(filename="stream-0-y.ndjson", n_rows=1)], 1)
     m = json.load(open(os.path.join(out, "_MANIFEST.json")))
     assert m["rows"] == 2 and len(m["files"]) == 2 and m["batches"] == [0, 1]
+
+
+# -- round-8 advisory findings -------------------------------------------
+
+
+def test_manifest_lock_release_keeps_foreign_lock(tmp_path):
+    """A lock broken out from under its holder (stale-break path) must not
+    be unlinked by that holder's release: release only removes the lock
+    when it still carries THIS holder's nonce."""
+    import os
+
+    from agentic_etl_poc_spark.sources.py_datasource import _manifest_lock
+
+    manifest = str(tmp_path / "_MANIFEST.json")
+    lock = manifest + ".lock"
+    with _manifest_lock(manifest):
+        assert os.path.exists(lock)
+        # simulate another committer having broken + re-acquired the lock
+        with open(lock, "w") as f:
+            f.write("someone-else")
+        # leaving the context must NOT unlink the foreign lock
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert f.read() == "someone-else"
+    os.unlink(lock)
+    # normal path: release removes our own lock
+    with _manifest_lock(manifest):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+
+
+def test_manifest_lock_breaks_stale_lock_atomically(tmp_path):
+    """A crashed committer's stale lock is claimed via an atomic rename —
+    acquisition succeeds, and no tombstone debris is left behind."""
+    import os
+
+    from agentic_etl_poc_spark.sources import py_datasource as pds
+
+    manifest = str(tmp_path / "_MANIFEST.json")
+    lock = manifest + ".lock"
+    with open(lock, "w") as f:
+        f.write("crashed-committer")
+    old = 10.0  # far older than _LOCK_STALE_SEC relative to now
+    os.utime(lock, (old, old))
+    with pds._manifest_lock(manifest):
+        with open(lock) as f:
+            assert f.read() != "crashed-committer"  # ours now
+    assert not os.path.exists(lock)
+    assert not [p for p in os.listdir(tmp_path) if ".tomb-" in p]
+
+
+def test_dhash_rejects_sub_grid_images():
+    """Images smaller than the 9x8 dHash grid must raise ValueError (the
+    registered-codec fallback trigger), never NaN-hash to 0-bits."""
+    from agentic_etl_poc_spark.operators.multimodal import _dhash_hex
+
+    tiny = b"P5\n4 4\n255\n" + bytes(16)
+    with pytest.raises(ValueError, match="smaller than"):
+        _dhash_hex(tiny)
+    # a >= grid-size image still hashes
+    ok = b"P5\n9 8\n255\n" + bytes(range(72))
+    assert len(_dhash_hex(ok)) == 16
+
+
+def test_fixture_fingerprint_subsecond_regeneration(tmp_path):
+    """Two same-size regenerations within one second must fingerprint
+    differently (nanosecond mtimes, not whole seconds)."""
+    import os
+
+    from agentic_etl_poc_spark.queries.core import fixture_fingerprint
+
+    p = tmp_path / "events.parquet"
+    p.write_bytes(b"x" * 64)
+    os.utime(p, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_000_000))
+    fp1 = fixture_fingerprint(str(tmp_path), ["events"])
+    # same byte size, same wall second, different nanosecond
+    os.utime(p, ns=(1_700_000_000_000_000_001, 1_700_000_000_000_000_001))
+    fp2 = fixture_fingerprint(str(tmp_path), ["events"])
+    assert fp1 != fp2
+
+
+def test_tribatch_marker_records_fixture_fingerprint(spark, sf_smoke):
+    """The three-file topic's staging marker must carry the events
+    fixture fingerprint (a bare 'ok' marker silently reuses stale
+    staging after fixture regeneration)."""
+    import os
+
+    from agentic_etl_poc_spark.queries.core import fixture_fingerprint
+    from agentic_etl_poc_spark.queries.streamq import _tribatch_stream_dir
+
+    out = _tribatch_stream_dir(spark, sf_smoke)
+    with open(os.path.join(out, "_STAGED")) as f:
+        assert f.read() == fixture_fingerprint(sf_smoke, ["events"])
