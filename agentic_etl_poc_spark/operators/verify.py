@@ -113,7 +113,11 @@ def verify_table(
     from agentic_etl_poc_spark.sources.jdbc_source import fetch_db
 
     try:
-        cnt_df = fetch_db(spark, conn_str, f"SELECT COUNT(*) AS n FROM {table}")
+        # quoted alias: unquoted identifiers case-fold per engine (Derby
+        # uppercases -> row["n"] misses); "n" is verbatim on pg/derby/sqlite
+        cnt_df = fetch_db(
+            spark, conn_str, f'SELECT COUNT(*) AS "n" FROM {table}'
+        )
         rows = int(cnt_df.collect()[0]["n"])
     except Exception as e:  # reference reports engine errors, not raises
         return {"status": False, "error": f"engine_error: {e}"}
@@ -123,7 +127,7 @@ def verify_table(
     if ts_col:
         try:
             ts_df = fetch_db(
-                spark, conn_str, f"SELECT MAX({ts_col}) AS m FROM {table}"
+                spark, conn_str, f'SELECT MAX({ts_col}) AS "m" FROM {table}'
             )
             lag_min = _lag_minutes_from(ts_df.collect()[0]["m"])
             if lag_min is not None:

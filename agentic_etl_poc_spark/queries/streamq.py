@@ -48,6 +48,7 @@ from agentic_etl_poc_spark.queries.core import register
 from agentic_etl_poc_spark.streaming.events import (
     _note_executed_stream_plan,
     dedup_stream,
+    dedup_stream_within_watermark,
     noop_state,
     run_to_memory,
     sessionize,
@@ -386,18 +387,24 @@ def _doubled_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     dedup non-vacuous."""
     import shutil
 
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+
     src = events_stream_dir(spark, sf_dir)
     out = src + "_x2"
     marker = os.path.join(out, "_STAGED")
-    if not os.path.exists(marker):
+    fp = fixture_fingerprint(sf_dir, ["events"])
+    if not marker_current(marker, fp):
         os.makedirs(out, exist_ok=True)
         part = next(
             f for f in sorted(os.listdir(src)) if f.endswith(".json")
         )
         shutil.copy(os.path.join(src, part), os.path.join(out, "a.json"))
         shutil.copy(os.path.join(src, part), os.path.join(out, "b.json"))
-        with open(marker, "w") as f:
-            f.write("ok")
+        write_marker(marker, fp)
     return out
 
 
@@ -455,10 +462,17 @@ def _eviction_stream_dir(spark: SparkSession, sf_dir: str) -> str:
        rows — so the oracle (base-only counts over closed windows)
        proves the suppression.
     """
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+
     src = events_stream_dir(spark, sf_dir)
     out = src + "_evict"
     marker = os.path.join(out, "_STAGED")
-    if not os.path.exists(marker):
+    fp = fixture_fingerprint(sf_dir, ["events"])
+    if not marker_current(marker, fp):
         import shutil
         import time
 
@@ -494,8 +508,7 @@ def _eviction_stream_dir(spark: SparkSession, sf_dir: str) -> str:
             ("a_base.json", "b_settle.json", "c_late.json")
         ):
             os.utime(os.path.join(out, fname), (now - 180 + 60 * i,) * 2)
-        with open(marker, "w") as f:
-            f.write("ok")
+        write_marker(marker, fp)
     return out
 
 
@@ -1119,4 +1132,49 @@ def v12_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
         .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "v13_stream_dedup_within_watermark",
+    oracle=f"""
+SELECT event_id, user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s, event_type
+FROM events
+ORDER BY event_id
+""",
+    description="Streaming exact dedup on the dropDuplicatesWithin"
+    "Watermark API (public Spark 3.5+) — the state-API portability twin "
+    "of v03: same doubled topic, same single-copy batch oracle, but the "
+    "dedup key is event_id ALONE, which plain dropDuplicates cannot "
+    "evict (its state only ages out when the event-time column is in "
+    "the key; v03 keys on (event_id, ts) for that reason).  Within"
+    "Watermark stamps each key's state with its first-arrival event "
+    "time and evicts at watermark > first_seen + delay, so key-only "
+    "dedup state is bounded by the delay horizon — the contract a "
+    "100 TB/day re-delivery suppressor needs.  The drain watermark "
+    "spans the whole staged topic, so every duplicate is within-"
+    "watermark and the survivors equal the batch table exactly; the "
+    "after-eviction re-emission residue is pinned by a unit test "
+    "(tests/test_streaming_multimodal.py).  The reference has no "
+    "streaming at all (etl_agent/operator.py:15-16 reschedules batch "
+    "runs); this entry exists for the scale story.",
+)
+def v13_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    src = _doubled_stream_dir(spark, sf_dir)
+    name = f"v13_dedup_wm_{next(_MEM_SEQ)}"
+    parts = _drain_parts_for(spark, [src], STREAM_DRAIN_PARTITIONS)
+    with _drain_partitions(spark, parts):
+        stream = stream_events(spark, src, watermark="3650 days")
+        run_to_memory(dedup_stream_within_watermark(stream), name)
+    return (
+        spark.table(name)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+            "event_type",
+        )
+        .orderBy("event_id")
     )

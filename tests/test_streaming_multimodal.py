@@ -602,3 +602,75 @@ def test_vad_segments_run_detection(spark):
         {"item_id": 1, "seg_idx": 2, "start_frame": 5, "n_frames": 1,
          "peak_q15": 2500},
     ]
+
+
+def test_stream_dedup_within_watermark_evicts_then_reemits(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's contract, both halves:
+
+    1. duplicates arriving within the watermark delay of the first copy
+       are suppressed — even when the dedup key omits the event-time
+       column (the case plain dropDuplicates cannot bound state for);
+    2. once the watermark passes first_seen + delay, the key's state is
+       EVICTED, and a later re-delivery is emitted again — the documented
+       at-least-once residue of any bounded-state dedup.
+    """
+    import json
+    import time
+
+    from agentic_etl_poc_spark.streaming.events import (
+        dedup_stream_within_watermark,
+    )
+
+    src = str(tmp_path / "wm_dedup")
+    os.makedirs(src)
+
+    def write(fname, rows, age_sec):
+        path = os.path.join(src, fname)
+        with open(path, "w") as f:
+            for eid, ts in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": ts,
+                            "user_id": 1,
+                            "event_type": "view",
+                            "value": 1.0,
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+        now = time.time()
+        os.utime(path, (now - age_sec,) * 2)
+
+    t0 = "2024-01-01 00:00:00"
+    # batch 1: id=1 twice (in-batch duplicate) -> one survivor
+    write("a.json", [(1, t0), (1, t0)], 240)
+    # batch 2: advancer — event time far past t0 + delay, so id=1's state
+    # (expiring at first_seen + 30 min) is evicted once the watermark
+    # moves; id=1 re-sent in the SAME batch is still within the filter's
+    # one-batch watermark lag and stays suppressed
+    write("b.json", [(99, "2024-01-01 06:00:00"), (1, "2024-01-01 00:10:00")], 180)
+    # batch 3: settling batch — the watermark (one-batch lag, pinned on
+    # Spark 4.1 by v05) now reads 05:30 and id=1's state is evicted at
+    # this batch's commit
+    write("b2.json", [(98, "2024-01-01 06:00:00")], 120)
+    # batch 4: id=1 re-delivered with a fresh event time (not late) AFTER
+    # eviction -> emitted again
+    write("c.json", [(1, "2024-01-01 07:00:00")], 60)
+
+    stream = stream_events(
+        spark, src, watermark="30 minutes", max_files_per_trigger=1
+    )
+    run_to_memory(
+        dedup_stream_within_watermark(stream), "wm_dedup_reemit"
+    )
+    got = {
+        (r["event_id"], str(r["ts"]))
+        for r in spark.table("wm_dedup_reemit").collect()
+    }
+    ids = sorted(eid for eid, _ in got)
+    # id=1 appears exactly TWICE: first copy + the post-eviction re-delivery
+    assert ids == [1, 1, 98, 99], got
+    assert (1, "2024-01-01 07:00:00") in got
