@@ -174,6 +174,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     # -- band 1 (sweep window, 50): new round-8 entries go at the very
     # -- front (never driver-sampled must sit inside the window), then
     "v13_stream_dedup_within_watermark",
+    "p10_plan_jdbc_roundtrip",
     # -- the 27 entries whose latest driver-green row is r04 (waited
     # -- longest), cheap-first (builder per-query bench) --------------
     "q53_retention_cohorts",

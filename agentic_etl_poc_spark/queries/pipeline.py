@@ -1179,3 +1179,154 @@ alerts:
         )
         .orderBy("event_type")
     )
+
+
+def derby_url(db_dir: str, create: bool = False) -> str:
+    """Embedded Apache Derby JDBC URL (the Derby jars ship on Spark's own
+    classpath for the Hive metastore, so this is the one JDBC engine every
+    Spark deployment can reach with zero extra jars — the offline stand-in
+    for the reference's Postgres)."""
+    return f"jdbc:derby:{db_dir}" + (";create=true" if create else "")
+
+
+def _derby_orders_db(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the orders table INTO an embedded Derby database (one-time
+    per fixture fingerprint) so the p10 plan can exercise the REAL JDBC
+    source/sink path: ``fetch_db`` pulls from a live database and
+    ``load_to_postgres`` writes back to one, instead of the golden-test
+    SQLite stand-ins.  Strings are pre-coded to integers before the JDBC
+    write: Spark's DerbyDialect maps StringType to CLOB, which Derby
+    refuses to GROUP BY or index — numeric/date columns keep the staged
+    table fully queryable upstream."""
+    import hashlib
+    import os
+    import tempfile
+
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+    from agentic_etl_poc_spark.sinks.jdbc_sink import load_to_postgres
+
+    # Derby writes its boot log to derby.log in user.dir unless told
+    # otherwise; point it at /tmp BEFORE the engine first boots.
+    try:
+        spark._jvm.java.lang.System.setProperty(
+            "derby.stream.error.file",
+            os.path.join(tempfile.gettempdir(), "derby.log"),
+        )
+    except Exception:
+        pass  # already booted in this JVM — the log location is set
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_p10",
+        sf_dir.strip(os.sep).replace(os.sep, "_"),
+    )
+    fp = fixture_fingerprint(sf_dir, ["orders"])
+    # a CHANGED fixture gets a fresh database directory (Derby databases
+    # are not safely rmtree-able while booted in this JVM); the stale one
+    # dies with /tmp
+    db_dir = os.path.join(root, "db_" + hashlib.md5(fp.encode()).hexdigest()[:8])
+    marker = os.path.join(root, f"_STAGED_{os.path.basename(db_dir)}")
+    if not marker_current(marker, fp):
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").alias("total"),
+            "o_orderdate",
+            # '1-URGENT' -> 1 ... '5-LOW' -> 5: integer priority code
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_code"),
+        )
+        # a handful of writer connections is plenty for a dim-scale stage;
+        # embedded Derby serializes page writes anyway
+        load_to_postgres(
+            orders.coalesce(4), derby_url(db_dir, create=True),
+            "orders_src", mode="replace",
+        )
+        write_marker(marker, fp)
+    return db_dir
+
+
+@register(
+    "p10_plan_jdbc_roundtrip",
+    oracle="""
+SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_code,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS VARCHAR) AS total_s
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01'
+GROUP BY 1
+ORDER BY 1
+""",
+    description="LIVE JDBC round-trip through the full plan lifecycle — "
+    "the reference's db-source -> transform -> Postgres-sink path "
+    "(etl_agent/tools.py:51-56 fetch_db, tools.py:60-99 load, "
+    "tools.py:120-168 verify_table) run against a REAL database, not a "
+    "golden test: orders rows are staged into an embedded Apache Derby "
+    "database (the JDBC engine on Spark's own classpath), the plan's "
+    "source.db.query executes IN Derby with the date predicate pushed "
+    "down (only filtered rows cross the wire), the transform aggregates "
+    "decimal-exact in Spark, load_to_postgres writes the result back "
+    "through Spark's JDBC writer (mode=replace: dialect-typed DDL + "
+    "distributed insert), verify_table re-counts IN the sink database, "
+    "and the battery result is fetch_db reading the loaded table back — "
+    "so the oracle hash proves the parquet -> Derby -> Spark -> Derby -> "
+    "Spark loop is value-exact (including DOUBLE totals surviving two "
+    "JDBC crossings and the decimal-string rendering).  Scale shape: a "
+    "production source DB is read with partitionColumn key-range slices "
+    "(fetch_db's partition_column args); the staged dim-scale table "
+    "needs exactly one connection, and the aggregate output is "
+    "dim-sized, so the JDBC hops move kilobytes.",
+)
+def p10_plan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.runtime import run_from_plan
+    from agentic_etl_poc_spark.sources.jdbc_source import fetch_db
+
+    db_dir = _derby_orders_db(spark, sf_dir)
+    url = derby_url(db_dir)
+    plan = f"""
+source:
+  kind: db
+  db:
+    conn_str: "{url}"
+    query: >-
+      SELECT "o_custkey", "prio_code", "total" FROM orders_src
+      WHERE "o_orderdate" >= TIMESTAMP('1995-01-01 00:00:00')
+transform:
+  sql: |
+    SELECT prio_code,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(CAST(SUM(CAST(total AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                AS STRING) AS total_s
+    FROM input_df
+    GROUP BY prio_code
+checks:
+  min_rows: 1
+  nonnull_cols: [prio_code, total_s]
+load:
+  to: postgres
+  conn_str: "{url}"
+  table: orders_agg
+  mode: replace
+verify:
+  min_rows: 1
+alerts:
+  on_fail: "slack://#data-alerts"
+"""
+    result = run_from_plan(spark, plan)
+    if result.get("status") != "ok":
+        raise RuntimeError(f"p10 jdbc plan failed: {result}")
+    # the battery result IS the loaded table, read back from the sink DB
+    # (CLOB -> VARCHAR cast: Spark's DerbyDialect stores StringType as
+    # CLOB, which the JDBC reader cannot hash-compare directly)
+    return fetch_db(
+        spark,
+        url,
+        'SELECT "prio_code", "n_orders", "n_custs", '
+        'CAST("total_s" AS VARCHAR(42)) AS "total_s" FROM orders_agg',
+    ).orderBy("prio_code")

@@ -98,6 +98,68 @@ def windowed_counts(events: DataFrame, window: str = "6 hours") -> DataFrame:
     )
 
 
+def _fold_sessions(
+    rows: pd.DataFrame,
+    carried: tuple | None,
+    gap_seconds: int,
+    user_id,
+) -> tuple[list[list], tuple]:
+    """Gaps-and-islands fold shared by BOTH stateful APIs (``sessionize``
+    on applyInPandasWithState and ``sessionize_tws`` on
+    transformWithStateInPandas): merge one micro-batch of a single user's
+    events into the carried open-session state, returning
+    ``(closed_session_rows, new_open_state)``.
+
+    Vectorized over the batch (the per-row Python loop was the drain's
+    hot path).  Flat numpy — not pandas groupby — because groups are
+    often tiny (one user's events per micro-batch) and per-call pandas
+    overhead would dominate: sort via argsort on the raw arrays (a
+    DataFrame sort allocates a whole frame per group), island boundaries
+    from diff > gap, per-island sums via add.reduceat, boundary
+    timestamps materialized only at island edges."""
+    import numpy as np
+
+    if carried is not None:
+        start, last, n, total = carried
+    else:
+        start = last = None
+        n, total = 0, 0.0
+    closed: list[list] = []
+    gap = _dt.timedelta(seconds=gap_seconds)
+
+    ts_np = rows["ts"].to_numpy()
+    vals = rows["value"].to_numpy(dtype=float)
+    order = np.argsort(ts_np, kind="stable")
+    ts_np = ts_np[order]
+    vals = vals[order]
+    m = len(ts_np)
+    brk_after = np.flatnonzero(
+        np.diff(ts_np) > np.timedelta64(gap_seconds, "s")
+    )
+    starts_idx = np.concatenate(([0], brk_after + 1))
+    ends_idx = np.concatenate((brk_after, [m - 1]))
+    i_n = ends_idx - starts_idx + 1
+    i_total = np.add.reduceat(vals, starts_idx)
+    k = len(starts_idx)
+    first_ts = pd.Timestamp(ts_np[0]).to_pydatetime()
+    if last is not None and first_ts - last > gap:
+        # carried-over session cannot extend: close it as-is
+        closed.append([user_id, start, last, n, total])
+        start = last = None
+        n, total = 0, 0.0
+    for j in range(k):
+        if start is None:
+            start = pd.Timestamp(ts_np[starts_idx[j]]).to_pydatetime()
+        last = pd.Timestamp(ts_np[ends_idx[j]]).to_pydatetime()
+        n += int(i_n[j])
+        total += float(i_total[j])
+        if j < k - 1:  # islands before the final one are closed
+            closed.append([user_id, start, last, n, total])
+            start = last = None
+            n, total = 0, 0.0
+    return closed, (start, last, n, total)
+
+
 def _sessionize_fn(gap_seconds: int):
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -117,53 +179,11 @@ def _sessionize_fn(gap_seconds: int):
 
         chunks = list(pdfs)
         rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-        closed: list[list] = []
-        if state.exists:
-            start, last, n, total = state.get
-        else:
-            start = last = None
-            n, total = 0, 0.0
-        gap = _dt.timedelta(seconds=gap_seconds)
-        # Vectorized gaps-and-islands over the batch (the per-row Python
-        # loop was the drain's hot path).  Flat numpy — not pandas
-        # groupby — because groups are often tiny (one user's events per
-        # micro-batch) and per-call pandas overhead would dominate:
-        # sort via argsort on the raw arrays (a DataFrame sort allocates
-        # a whole frame per group), island boundaries from diff > gap,
-        # per-island sums via add.reduceat, boundary timestamps
-        # materialized only at island edges.
-        import numpy as np
-
-        ts_np = rows["ts"].to_numpy()
-        vals = rows["value"].to_numpy(dtype=float)
-        order = np.argsort(ts_np, kind="stable")
-        ts_np = ts_np[order]
-        vals = vals[order]
-        m = len(ts_np)
-        brk_after = np.flatnonzero(
-            np.diff(ts_np) > np.timedelta64(gap_seconds, "s")
+        carried = state.get if state.exists else None
+        closed, new_state = _fold_sessions(
+            rows, carried, gap_seconds, user_id
         )
-        starts_idx = np.concatenate(([0], brk_after + 1))
-        ends_idx = np.concatenate((brk_after, [m - 1]))
-        i_n = ends_idx - starts_idx + 1
-        i_total = np.add.reduceat(vals, starts_idx)
-        k = len(starts_idx)
-        first_ts = pd.Timestamp(ts_np[0]).to_pydatetime()
-        if last is not None and first_ts - last > gap:
-            # carried-over session cannot extend: close it as-is
-            closed.append([user_id, start, last, n, total])
-            start = last = None
-            n, total = 0, 0.0
-        for j in range(k):
-            if start is None:
-                start = pd.Timestamp(ts_np[starts_idx[j]]).to_pydatetime()
-            last = pd.Timestamp(ts_np[ends_idx[j]]).to_pydatetime()
-            n += int(i_n[j])
-            total += float(i_total[j])
-            if j < k - 1:  # islands before the final one are closed
-                closed.append([user_id, start, last, n, total])
-                start = last = None
-                n, total = 0, 0.0
+        start, last, n, total = new_state
         state.update((start, last, n, total))
         # Event-time timeout (NOT processing-time): fires when the watermark
         # crosses last+gap; a drain trigger (AvailableNow) can therefore
@@ -192,6 +212,102 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def tws_available() -> bool:
+    """True iff transformWithStateInPandas can actually RUN here: its
+    Python state-server client speaks protobuf to the JVM state server
+    (pyspark.sql.streaming.proto), so without ``google.protobuf`` the
+    stream's driver worker crashes at startup
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / "driver worker
+    exited unexpectedly", verified empirically on this Spark 4.1 build).
+    applyInPandasWithState (``sessionize``) has no such dependency."""
+    import importlib.util
+
+    try:
+        # find_spec of a dotted name imports the PARENT package, so a
+        # missing 'google' namespace raises instead of returning None
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def _make_sessionize_processor(gap_seconds: int):
+    """Build the StatefulProcessor mirroring ``_sessionize_fn`` on
+    Spark 4's transformWithStateInPandas — same ``_fold_sessions`` kernel,
+    same emitted schema, so a deployment can migrate state APIs (new
+    100 TB pipelines start on transformWithState) without semantic drift:
+
+    - carried open-session state lives in a named ValueState instead of
+      the single implicit GroupState tuple;
+    - the event-time timeout becomes an explicit registered timer at
+      last_seen + gap (re-registered per batch, old timer deleted);
+    - timer expiry closes the open session exactly as hasTimedOut did.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    out_cols = [f.name for f in SESSION_SCHEMA.fields]
+
+    class _SessionizeProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("sess", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            chunks = list(rows)
+            batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            carried = self._sess.get() if self._sess.exists() else None
+            if carried is not None:
+                # drop a stale timer for the previous open session; the
+                # new one lands at the updated last_seen + gap
+                old_ms = int(carried[1].timestamp() * 1000) + gap_seconds * 1000
+                self._handle.deleteTimer(old_ms)
+            closed, new_state = _fold_sessions(
+                batch, carried, gap_seconds, user_id
+            )
+            self._sess.update(new_state)
+            expiry_ms = (
+                int(new_state[1].timestamp() * 1000) + gap_seconds * 1000
+            )
+            self._handle.registerTimer(
+                max(expiry_ms, timerValues.getCurrentWatermarkInMs() + 1)
+            )
+            if closed:
+                yield pd.DataFrame(closed, columns=out_cols)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # Watermark passed last+gap: the open session can never extend
+            # (later data would be beyond-watermark late) — close it.
+            (user_id,) = key
+            if self._sess.exists():
+                start, last, n, total = self._sess.get()
+                self._sess.clear()
+                yield pd.DataFrame(
+                    [[user_id, start, last, n, total]], columns=out_cols
+                )
+
+        def close(self) -> None:
+            pass  # no external resources to release
+
+    return _SessionizeProcessor()
+
+
+def sessionize_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """``sessionize`` re-expressed on transformWithStateInPandas (Spark 4's
+    arbitrary-stateful successor to applyInPandasWithState) — the state-API
+    portability twin of v02.  Identical semantics by construction: both
+    APIs run the same ``_fold_sessions`` kernel and the same
+    close-on-watermark rule (explicit timer here, EventTimeTimeout there).
+
+    Requires ``google.protobuf`` at runtime (see ``tws_available``);
+    call sites must gate on it in environments that cannot install it."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _make_sessionize_processor(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
     )
 
 

@@ -736,3 +736,46 @@ def test_observed_write_single_action(spark, tmp_path):
     assert stats["null_counts"] == {"v": 100}
     assert stats["nonnull_ok"] is False
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_jdbc_derby_live_roundtrip(spark, tmp_path):
+    """The one §2 path previously proven only by construction/golden
+    tests, run LIVE: load_to_postgres append+replace through Spark's JDBC
+    writer into embedded Derby (the JDBC engine on Spark's own
+    classpath), fetch_db with upstream predicate pushdown, and
+    verify_table counting IN the sink DB.  p10 covers the plan-level
+    lifecycle; this pins the operator-level contracts (mode semantics,
+    quoted-identifier case preservation, error shape for a missing
+    table)."""
+    from agentic_etl_poc_spark.operators.verify import verify_table
+    from agentic_etl_poc_spark.queries.pipeline import derby_url
+    from agentic_etl_poc_spark.sinks.jdbc_sink import load_to_postgres
+    from agentic_etl_poc_spark.sources.jdbc_source import fetch_db
+
+    url_create = derby_url(str(tmp_path / "db"), create=True)
+    url = derby_url(str(tmp_path / "db"))
+    df = spark.createDataFrame(
+        [(1, 10.5), (2, 20.5), (3, 30.5)], "id BIGINT, v DOUBLE"
+    )
+    assert "replace" in load_to_postgres(df, url_create, "t", mode="replace")
+    # pushdown: the WHERE executes in Derby; quoted identifiers keep case
+    got = fetch_db(spark, url, 'SELECT "id", "v" FROM t WHERE "id" >= 2')
+    assert sorted((r["id"], r["v"]) for r in got.collect()) == [
+        (2, 20.5),
+        (3, 30.5),
+    ]
+    # append doubles the rows; replace resets
+    load_to_postgres(df, url, "t", mode="append")
+    assert verify_table(spark, url, "t")["rows"] == 6
+    load_to_postgres(df, url, "t", mode="replace")
+    ver = verify_table(spark, url, "t")
+    assert ver == {
+        "rows": 3,
+        "fresh_ok": True,
+        "lag_minutes": None,
+        "status": True,
+    }
+    # reference contract: engine errors are REPORTED, not raised
+    missing = verify_table(spark, url, "no_such_table")
+    assert missing["status"] is False
+    assert "engine_error" in missing["error"]

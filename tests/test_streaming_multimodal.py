@@ -674,3 +674,90 @@ def test_stream_dedup_within_watermark_evicts_then_reemits(spark, tmp_path):
     # id=1 appears exactly TWICE: first copy + the post-eviction re-delivery
     assert ids == [1, 1, 98, 99], got
     assert (1, "2024-01-01 07:00:00") in got
+
+
+def test_fold_sessions_kernel_islands_and_carry():
+    """The gaps-and-islands kernel both stateful APIs share
+    (streaming/events.py::_fold_sessions): island splitting, carried-state
+    extension, and carried-state closure when the batch starts past the
+    gap."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from agentic_etl_poc_spark.streaming.events import _fold_sessions
+
+    def T(s):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+    batch = pd.DataFrame(
+        {
+            # out of order on purpose: kernel sorts; gap=60s
+            "ts": [T(130), T(0), T(30), T(300)],
+            "value": [3.0, 1.0, 2.0, 4.0],
+        }
+    )
+    # no carried state: islands [0,30], [130], open [300]
+    closed, state = _fold_sessions(batch, None, 60, user_id=7)
+    assert closed == [[7, T(0), T(30), 2, 3.0], [7, T(130), T(130), 1, 3.0]]
+    assert state == (T(300), T(300), 1, 4.0)
+
+    # carried state extended by a batch starting within the gap
+    closed, state = _fold_sessions(
+        pd.DataFrame({"ts": [T(340)], "value": [5.0]}),
+        (T(300), T(300), 1, 4.0),
+        60,
+        user_id=7,
+    )
+    assert closed == []
+    assert state == (T(300), T(340), 2, 9.0)
+
+    # carried state CLOSED as-is when the batch starts past the gap
+    closed, state = _fold_sessions(
+        pd.DataFrame({"ts": [T(1000)], "value": [6.0]}),
+        (T(300), T(340), 2, 9.0),
+        60,
+        user_id=7,
+    )
+    assert closed == [[7, T(300), T(340), 2, 9.0]]
+    assert state == (T(1000), T(1000), 1, 6.0)
+
+
+def test_sessionize_tws_gate_reflects_environment():
+    """tws_available() must mirror whether google.protobuf is importable —
+    the dependency the transformWithStateInPandas state-server client
+    needs (its absence crashes the stream's driver worker at startup)."""
+    import importlib.util
+
+    from agentic_etl_poc_spark.streaming.events import tws_available
+
+    try:
+        present = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        present = False
+    assert tws_available() == present
+
+
+def test_sessionize_tws_matches_applyinpandas(spark, events_json_dir):
+    """State-API portability: the transformWithStateInPandas sessionizer
+    must emit exactly the rows the applyInPandasWithState one does (both
+    run _fold_sessions).  Runs only where google.protobuf exists — on this
+    container the TWS Python state server cannot start without it
+    (documented in COVERAGE.md)."""
+    from agentic_etl_poc_spark.streaming.events import (
+        sessionize_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent: TWS state server cannot start")
+
+    stream = stream_events(spark, events_json_dir, watermark="3650 days")
+    run_to_memory(sessionize(stream, gap_seconds=3600), "tws_base_sessions")
+    stream2 = stream_events(spark, events_json_dir, watermark="3650 days")
+    run_to_memory(sessionize_tws(stream2, gap_seconds=3600), "tws_sessions")
+    base = {
+        tuple(r) for r in spark.table("tws_base_sessions").collect()
+    }
+    got = {tuple(r) for r in spark.table("tws_sessions").collect()}
+    assert got == base

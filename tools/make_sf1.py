@@ -30,7 +30,14 @@ each tile and the original value distributions:
 Output: ``<repo>/testdata_sf1/*.parquet`` (gitignored), readable by
 ``io_tables.table`` like any driver sf dir.  Run:
 
-    python tools/make_sf1.py [out_dir]
+    python tools/make_sf1.py [out_dir] [--tiles N]
+
+``--tiles 100`` writes an sf10 dataset (default 10 = sf1) — the round-8
+"next decade" audit point.  Above 64 tiles the embedding rotation alone
+would repeat (dim=64), so tiles t >= 64 are additionally NEGATED
+(norm-preserving, and cosine(x, -x) = -1, so repeated-rotation tiles
+cannot masquerade as near-duplicates); label shifts keep every tile in
+its own blocking buckets regardless.
 """
 
 from __future__ import annotations
@@ -42,10 +49,11 @@ SRC = "/root/testdata/sf0.1"
 TILES = 10
 
 
-def main(out_dir: str | None = None) -> None:
+def main(out_dir: str | None = None, tiles: int = TILES) -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, here)
     out = out_dir or os.path.join(here, "testdata_sf1")
+    TILES = tiles  # noqa: N806 — local shadow keeps the body unchanged
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -55,13 +63,13 @@ def main(out_dir: str | None = None) -> None:
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
-        .appName("make-sf1")
+        .appName(f"make-sfx{tiles}")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
 
-    def write(df, name, parts=8):
+    def write(df, name, parts=max(8, tiles // 4)):
         df.repartition(parts).write.mode("overwrite").parquet(
             os.path.join(out, f"{name}.parquet")
         )
@@ -107,7 +115,7 @@ def main(out_dir: str | None = None) -> None:
             },
         ),
         "lineitem",
-        parts=16,
+        parts=max(16, tiles // 2),
     )
     write(
         tiled("events", {"event_id": 10_000_000, "user_id": 1_000_000}),
@@ -154,7 +162,11 @@ def main(out_dir: str | None = None) -> None:
         emb = F.col("embedding")
         rotated = F.concat(
             F.slice(emb, shift + 1, dim - shift), F.slice(emb, 1, shift)
-        )
+        ) if shift else emb
+        if t >= dim:
+            # rotation repeats past dim tiles: negate so a repeated
+            # rotation can never read as a near-duplicate (cosine = -1)
+            rotated = F.transform(rotated, lambda x: -x)
         return df.withColumn("embedding", rotated)
 
     write(
@@ -170,4 +182,9 @@ def main(out_dir: str | None = None) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else None)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tiles = TILES
+    for a in sys.argv[1:]:
+        if a.startswith("--tiles"):
+            tiles = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    main(args[0] if args else None, tiles=tiles)
