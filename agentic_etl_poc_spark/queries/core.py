@@ -175,6 +175,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     # -- front (never driver-sampled must sit inside the window), then
     "v13_stream_dedup_within_watermark",
     "p10_plan_jdbc_roundtrip",
+    "v14_stream_quarantine",
     # -- the 27 entries whose latest driver-green row is r04 (waited
     # -- longest), cheap-first (builder per-query bench) --------------
     "q53_retention_cohorts",

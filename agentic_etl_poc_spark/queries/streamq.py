@@ -1136,6 +1136,101 @@ def v12_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "v14_stream_quarantine",
+    oracle="""
+SELECT CASE WHEN event_type = 'error' THEN 'quarantined'
+            ELSE 'clean' END AS side,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS VARCHAR) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY side, event_type
+""",
+    description="Streaming QUARANTINE split via foreachBatch — the "
+    "pattern _run_stream_plan_tail's error message points at (the batch "
+    "plan's checks.quarantine_path cannot re-read a persisted stream): "
+    "each micro-batch of a three-batch drain is split ONCE (persist + "
+    "filter/anti-filter on the quality rule event_type = 'error') and "
+    "written to two parquet areas, clean and quarantined, each batch "
+    "into its own overwrite-mode subdirectory so a checkpoint-replayed "
+    "batch re-commits idempotently (exactly-once effect, v11's "
+    "contract, without sink transactions).  The battery result "
+    "re-reads BOTH artifacts and aggregates; matching the single batch "
+    "oracle over the raw topic proves the split was lossless AND "
+    "disjoint — every row lands on exactly one side.  Scale shape: the "
+    "split is map-only (no shuffle before either sink), the per-batch "
+    "persist computes the source scan once for both sides, and "
+    "quarantine volume is bounded by the bad-row rate, not the stream "
+    "rate.",
+)
+def v14_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from agentic_etl_poc_spark import plan_capture
+
+    src = _tribatch_stream_dir(spark, sf_dir)
+    run_root = tempfile.mkdtemp(prefix="v14_quarantine_")
+    clean_root = os.path.join(run_root, "clean")
+    quar_root = os.path.join(run_root, "quarantined")
+    parts = _drain_parts_for(spark, [src], STREAM_DRAIN_PARTITIONS)
+    bad = F.col("event_type") == "error"
+
+    def split(batch_df, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            ok_rows = batch_df.filter(~bad)
+            bad_rows = batch_df.filter(bad)
+            plan_capture.note("quarantine_clean", ok_rows)
+            plan_capture.note("quarantine_bad", bad_rows)
+            # per-batch overwrite subdirs: a replayed batch rewrites its
+            # own output instead of double-appending
+            ok_rows.write.mode("overwrite").parquet(
+                os.path.join(clean_root, f"b{batch_id}")
+            )
+            bad_rows.write.mode("overwrite").parquet(
+                os.path.join(quar_root, f"b{batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    with _drain_partitions(spark, parts):
+        stream = stream_events(
+            spark, src, watermark="3650 days", max_files_per_trigger=1
+        )
+        q = (
+            stream.writeStream.foreachBatch(split)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(run_root, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        _note_executed_stream_plan(q)
+
+    clean = spark.read.option("recursiveFileLookup", "true").parquet(
+        clean_root
+    )
+    quar = spark.read.option("recursiveFileLookup", "true").parquet(
+        quar_root
+    )
+    both = clean.withColumn("side", F.lit("clean")).unionByName(
+        quar.withColumn("side", F.lit("quarantined"))
+    )
+    return (
+        both.groupBy("side", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .cast("string")
+            .alias("total_value"),
+        )
+        .orderBy("side", "event_type")
+    )
+
+
+@register(
     "v13_stream_dedup_within_watermark",
     oracle=f"""
 SELECT event_id, user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s, event_type

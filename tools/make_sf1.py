@@ -63,6 +63,9 @@ def main(out_dir: str | None = None, tiles: int = TILES) -> None:
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
+        # ad-hoc builders default to a 1 GiB heap, which a 100-tile
+        # lineitem shuffle overruns — size the single local JVM properly
+        .config("spark.driver.memory", "16g")
         .appName(f"make-sfx{tiles}")
         .getOrCreate()
     )
