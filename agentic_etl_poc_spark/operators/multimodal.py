@@ -364,6 +364,77 @@ def image_resize(
     return df.select("item_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+def image_center_crop(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    pad: bool = True,
+    fake: bool = False,
+) -> DataFrame:
+    """Center-crop to (width, height) with optional LETTERBOX padding —
+    the other half of CLIP-style preprocessing (resize shorter side, then
+    center-crop; ``image_resize`` is the first half).  A source smaller
+    than the target on either axis is centered on a zero (black) canvas
+    when ``pad=True``, else rejected with ValueError (which also routes
+    to a registered codec, matching the other kernels' fallback shape).
+
+    Real kernel: PNM decode → numpy window slice (and zero-canvas paste
+    for letterboxing) → P5/P6 re-encode.  Map-only at scale: no shuffle,
+    Arrow batches both directions."""
+
+    def crop_real(data: bytes) -> bytes:
+        magic, w0, h0, maxval, off = _pnm_header(data)
+        channels = 3 if magic == b"P6" else 1
+        dtype = np.uint8 if maxval < 256 else np.dtype(">u2")
+        raster = np.frombuffer(
+            data, dtype=dtype, count=w0 * h0 * channels, offset=off
+        ).reshape(h0, w0, channels)
+        if (w0 < width or h0 < height) and not pad:
+            raise ValueError(
+                f"source {w0}x{h0} smaller than crop "
+                f"{width}x{height} and pad=False"
+            )
+        cw, ch = min(width, w0), min(height, h0)
+        sx, sy = (w0 - cw) // 2, (h0 - ch) // 2  # source window origin
+        dx, dy = (width - cw) // 2, (height - ch) // 2  # letterbox origin
+        out = np.zeros((height, width, channels), dtype=dtype)
+        out[dy : dy + ch, dx : dx + cw, :] = raster[
+            sy : sy + ch, sx : sx + cw, :
+        ]
+        header = b"%s\n%d %d\n%d\n" % (magic, width, height, maxval)
+        return header + out.tobytes()
+
+    cropper = _with_codec(
+        "image_center_crop", lambda data, w, h: crop_real(data)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                data = bytes(payload)
+                if fake:
+                    header = hashlib.md5(data).digest()
+                    cropped = (header + data)[: max(16, width * height)]
+                else:
+                    cropped = cropper(data, width, height)
+                out.append(
+                    (
+                        int(item_id), cropped, width, height,
+                        len(data), len(cropped),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "item_id", "payload", "width", "height",
+                    "src_bytes", "dst_bytes",
+                ],
+            )
+
+    return df.select("item_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def _walk_riff(payload: bytes) -> tuple[tuple, bytes]:
     """Strict RIFF/WAVE chunk walk shared by the decode and resample
     kernels: returns (fmt tuple, data bytes).  Every malformation raises

@@ -176,6 +176,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     "v13_stream_dedup_within_watermark",
     "p10_plan_jdbc_roundtrip",
     "v14_stream_quarantine",
+    "q83_parameterized_sql",
+    "m09_image_center_crop",
     # -- the 27 entries whose latest driver-green row is r04 (waited
     # -- longest), cheap-first (builder per-query bench) --------------
     "q53_retention_cohorts",

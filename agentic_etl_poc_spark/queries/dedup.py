@@ -40,6 +40,20 @@ from agentic_etl_poc_spark.queries.core import register
 
 EMB_DIM = 64
 
+#: Degenerate-LSH-bucket guard: a band bucket with more than this many
+#: members contributes no candidate pairs.  A bucket of B docs asserts
+#: B(B-1)/2 pairwise verifications — quadratic in B — and buckets that
+#: large are signature-collision artifacts of low-diversity shingle sets
+#: (boilerplate/templates), which the pipeline's exact pass (d01) already
+#: catches; every production LSH deployment caps or re-shards them.  The
+#: round-8 sf10 audit measured the alternative: uncapped, background
+#: bigram similarity made candidates grow x97 for x10 docs (22.5M pairs,
+#: 86% from buckets > 20) and d04/d11 walls grow x16-30.  The cap is
+#: mirrored EXACTLY in the DuckDB oracles, and 32 is far above any real
+#: bucket at the driver's scales (max observed: 4 at sf0.01, 11 at
+#: sf0.1), so driver-checked results are unchanged.
+MINHASH_BUCKET_CAP = 32
+
 # -- shared corpus-with-injected-near-dups construction -----------------
 
 DUCK_CORPUS = """
@@ -282,9 +296,16 @@ bands AS (
          string_agg(CAST(m AS VARCHAR), '-' ORDER BY i) AS sig
   FROM minhash GROUP BY doc_id, i // {MINHASH_ROWS_PER_BAND}
 ),
+kept AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig,
+           COUNT(*) OVER (PARTITION BY band, sig) AS bsz
+    FROM bands
+  ) WHERE bsz <= {MINHASH_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
-  FROM bands b1 JOIN bands b2
+  FROM kept b1 JOIN kept b2
     ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
@@ -385,6 +406,18 @@ def _band_candidates(minhash: DataFrame) -> DataFrame:
     stack = ", ".join(f"{k}, sig{k}" for k in range(n_bands))
     bands = minhash.select("doc_id", *band_sigs).select(
         "doc_id", F.expr(f"stack({n_bands}, {stack}) as (band, sig)")
+    )
+    # degenerate-bucket guard (see MINHASH_BUCKET_CAP): the bucket count
+    # is a window over the SAME (band, sig) key the self-join shuffles
+    # on, so the filter adds no extra exchange
+    from pyspark.sql.window import Window
+
+    bands = (
+        bands.withColumn(
+            "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+        )
+        .filter(F.col("bsz") <= MINHASH_BUCKET_CAP)
+        .drop("bsz")
     )
     b1 = bands.alias("b1")
     b2 = bands.alias("b2")
@@ -849,9 +882,16 @@ bands AS (
          string_agg(CAST(m AS VARCHAR), '-' ORDER BY i) AS sig
   FROM minhash GROUP BY doc_id, i // {MINHASH_ROWS_PER_BAND}
 ),
+kept AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig,
+           COUNT(*) OVER (PARTITION BY band, sig) AS bsz
+    FROM bands
+  ) WHERE bsz <= {MINHASH_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
-  FROM bands b1 JOIN bands b2
+  FROM kept b1 JOIN kept b2
     ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
 ),
 matches AS (

@@ -3449,3 +3449,52 @@ def q82_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q83_parameterized_sql",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+            AS DECIMAL(28,6)) AS VARCHAR) AS total_s
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderstatus = 'O'
+GROUP BY ALL
+ORDER BY ALL
+""",
+    description="NAMED-PARAMETER SQL (spark.sql(query, args={...}), the "
+    "injection-safe programmatic twin of q81's session-variable surface: "
+    "the reference interpolates user values into SQL strings, "
+    "etl_agent/tools.py:23-56) plus GROUP BY ALL / ORDER BY ALL "
+    "resolution — every non-aggregate output column groups, every output "
+    "column orders, the ergonomics both modern engines (Spark 3.4+/"
+    "DuckDB) share, so the oracle states the SAME shorthand and the hash "
+    "proves both engines resolve ALL to the same column set.  The "
+    "parameters bind as typed literals (a date and a string) before "
+    "analysis, so Catalyst constant-folds them and the predicate pushes "
+    "into the parquet scan exactly as if written inline.  Scale shape: "
+    "pushed scan filter, one partial-aggregated shuffle on the 5-value "
+    "priority key.",
+)
+def q83_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q83_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                    AS DECIMAL(28,6)) AS STRING) AS total_s
+        FROM q83_orders
+        WHERE o_orderdate >= :cutoff AND o_orderstatus = :status
+        GROUP BY ALL
+        ORDER BY ALL
+        """,
+        args={
+            "cutoff": datetime.datetime(1996, 1, 1),
+            "status": "O",
+        },
+    )

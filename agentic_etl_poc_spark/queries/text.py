@@ -1503,6 +1503,113 @@ def m05_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("item_id")
 
 
+@register(
+    "m09_image_center_crop",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         8 + CAST(doc_id % 9 AS INT) AS w0,
+         6 + CAST(doc_id % 5 AS INT) AS h0
+  FROM documents WHERE doc_id % 7 = 0
+),
+px AS (
+  SELECT doc_id, w0, h0,
+         ((h0 - 4) // 2 + y) AS sy,
+         ((w0 - 6) // 2 + x) AS sx
+  FROM g
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS y)
+  CROSS JOIN (SELECT unnest(range(0, 6)) AS x)
+)
+SELECT doc_id AS item_id,
+       CAST(6 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST(9 + length(CAST(w0 AS VARCHAR)) + length(CAST(h0 AS VARCHAR))
+            + w0 * h0 AS BIGINT) AS src_bytes,
+       CAST(35 AS BIGINT) AS dst_bytes,
+       CAST(SUM((doc_id * 31 + sy * 7 + sx * 3) % 256) AS BIGINT) AS checksum
+FROM px
+GROUP BY doc_id, w0, h0
+ORDER BY item_id
+""",
+    description="Real CENTER-CROP kernel round-trip, hash-verified — the "
+    "second half of CLIP-style preprocessing (m05's resize is the first): "
+    "Spark synthesizes a P5 image per item whose pixel (y,x) carries "
+    "(doc_id*31 + y*7 + x*3) % 256, pushes it through the REAL crop "
+    "(operators/multimodal.py::image_center_crop — numpy window slice, "
+    "P5 re-encode; sources here are always >= the 6x4 target, the "
+    "letterbox pad path is unit-tested separately), re-decodes the "
+    "CROPPED payload and reports its raster checksum; the oracle replays "
+    "the centered window arithmetically (src origin = (dim - crop) // 2, "
+    "identical integer expressions both engines).  This pins the crop's "
+    "actual window selection and re-encode byte layout (35 = 11-byte "
+    "header + 24 raster bytes).  Map-only: synth -> crop -> checksum are "
+    "three mapInPandas stages, zero shuffles before the output sort.",
+)
+def m09_image_center_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from agentic_etl_poc_spark.operators.multimodal import (
+        _pnm_header,
+        image_center_crop,
+    )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 8 + i % 9
+                h = 6 + i % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                raster = ((i * 31 + yy * 7 + xx * 3) % 256).astype(np.uint8)
+                payload = b"P5\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["item_id", "payload"])
+
+    payloads = d.mapInPandas(synth, schema="item_id bigint, payload binary")
+    cropped = image_center_crop(payloads, width=6, height=4, fake=False)
+
+    def checksum(batches):
+        for pdf in batches:
+            rows = []
+            for item_id, payload, width, height, sb, db in zip(
+                pdf["item_id"], pdf["payload"], pdf["width"], pdf["height"],
+                pdf["src_bytes"], pdf["dst_bytes"],
+            ):
+                data = bytes(payload)
+                _, w, h, _, off = _pnm_header(data)
+                raster = np.frombuffer(data, np.uint8, count=w * h, offset=off)
+                rows.append(
+                    (
+                        int(item_id), int(width), int(height),
+                        int(sb), int(db),
+                        int(raster.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "item_id", "width", "height",
+                    "src_bytes", "dst_bytes", "checksum",
+                ],
+            )
+
+    out = cropped.mapInPandas(
+        checksum,
+        schema=(
+            "item_id bigint, width int, height int, "
+            "src_bytes bigint, dst_bytes bigint, checksum bigint"
+        ),
+    )
+    return out.orderBy("item_id")
+
+
 def _duck_bpe_round(prev_state: str, n: int) -> str:
     """One unrolled BPE round: pair frequencies over ``prev_state``
     (seq, c), the top merge, and the merged next state."""

@@ -761,3 +761,36 @@ def test_sessionize_tws_matches_applyinpandas(spark, events_json_dir):
     }
     got = {tuple(r) for r in spark.table("tws_sessions").collect()}
     assert got == base
+
+
+def test_image_center_crop_letterbox_and_reject(spark):
+    """The crop kernel's letterbox path (source smaller than target is
+    centered on a zero canvas) and its pad=False rejection — the paths
+    m09's oracle never exercises (its sources are always >= the crop)."""
+    import numpy as np
+
+    from agentic_etl_poc_spark.operators.multimodal import (
+        _pnm_header,
+        image_center_crop,
+    )
+
+    w0, h0 = 4, 2
+    raster = np.arange(1, w0 * h0 + 1, dtype=np.uint8).reshape(h0, w0)
+    payload = b"P5\n4 2\n255\n" + raster.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "item_id bigint, payload binary"
+    )
+    out = image_center_crop(df, width=6, height=4, fake=False).collect()[0]
+    data = bytes(out["payload"])
+    _, w, h, _, off = _pnm_header(data)
+    assert (w, h) == (6, 4)
+    canvas = np.frombuffer(data, np.uint8, count=24, offset=off).reshape(4, 6)
+    assert canvas.sum() == raster.sum()
+    assert (canvas[1:3, 1:5] == raster).all()  # centered at (dy, dx) = (1, 1)
+    assert canvas[0].sum() == 0 and canvas[3].sum() == 0  # letterbox rows
+
+    with pytest.raises(Exception) as ei:
+        image_center_crop(
+            df, width=6, height=4, pad=False, fake=False
+        ).collect()
+    assert "smaller than crop" in str(ei.value)
