@@ -178,6 +178,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "v14_stream_quarantine",
     "q83_parameterized_sql",
     "m09_image_center_crop",
+    "d15_lsh_semantic_dedup",
     # -- the 27 entries whose latest driver-green row is r04 (waited
     # -- longest), cheap-first (builder per-query bench) --------------
     "q53_retention_cohorts",

@@ -32,6 +32,7 @@ from agentic_etl_poc_spark.functions.hashing import (
     MINHASH_ROWS_PER_BAND,
     cosine,
     duck_cosine,
+    duck_dot_fold,
     duck_md5_48,
     md5_48,
 )
@@ -1319,3 +1320,125 @@ def d14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("doc_id")
+
+
+D15_TAU = 0.8
+#: Target cell occupancy for d15's LSH cells: the number of sign bits is
+#: derived from it as b = bit_length(n div OCC), so the 2^b cells hold
+#: ~OCC vectors each REGARDLESS of corpus size — pairwise work stays
+#: linear where d12's sqrt(n) cells give n^1.5 (its faithful-SemDeDup
+#: contract; see BASELINE.md round 8).
+D15_TARGET_OCC = 64
+
+
+@register(
+    "d15_lsh_semantic_dedup",
+    oracle=f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+bb AS (
+  SELECT length(printf('%b', greatest(n // {D15_TARGET_OCC}, 1))) AS b
+  FROM nn
+),
+projs AS (
+  SELECT vec_id AS j, embedding AS pvec FROM embeddings, bb
+  WHERE vec_id < bb.b
+),
+cells AS (
+  SELECT e.vec_id,
+         SUM(CASE WHEN {duck_dot_fold('e.embedding', 'p.pvec', EMB_DIM)} > 0
+                  THEN (1::BIGINT << CAST(p.j AS INT)) ELSE 0 END) AS cell_id
+  FROM embeddings e CROSS JOIN projs p
+  GROUP BY e.vec_id
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cell_id
+  FROM embeddings e JOIN cells c USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM assigned x JOIN assigned y
+    ON x.cell_id = y.cell_id AND y.vec_id < x.vec_id
+  WHERE {duck_cosine('x.embedding', 'y.embedding', EMB_DIM)} > {D15_TAU}
+)
+SELECT a.vec_id,
+       CAST(a.cell_id AS BIGINT) AS cell_id,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+""",
+    description="LSH-cell semantic dedup — the LINEAR-ASSIGNMENT scale "
+    "path next to d12's faithful sqrt(n)-SemDeDup (whose n*k centroid "
+    "argmax and n*sqrt(n) pair scan are n^1.5 by design, confirmed at "
+    "the sf10 audit): cells are random-hyperplane SIGN BUCKETS (bit j = "
+    "sign of the exact sequential-fold dot with the j-th embedding as "
+    "the projection direction), with the bit count derived from the "
+    f"corpus size as b = bit_length(n div {D15_TARGET_OCC}) — an exact "
+    "integer both engines compute identically (length(bin(x)) / "
+    "length(printf('%b', x))), so expected occupancy stays ~"
+    f"{D15_TARGET_OCC} at every scale and no transcendental ever "
+    "reaches the hash.  Within a cell the d10 first-wins rule drops "
+    f"every vector with a lower-id cosine>{D15_TAU} neighbor.  Cost "
+    "shape: assignment is n*b dots (b grows as log n), the pair scan "
+    "is n*occupancy (constant occupancy) — n log n total vs d12's "
+    "n^1.5; the trade is recall at cell boundaries (near-twins split "
+    "by a hyperplane are missed), which is why production systems run "
+    "it multi-probe or as the cheap first pass.  Scale shape: "
+    "projections broadcast (b rows), assignment aggregates map-side on "
+    "vec_id, the pair join shuffles on cell_id.",
+)
+def d15_lsh_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.functions.hashing import cosine, dot_fold
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bf = e.agg(
+        F.length(
+            F.bin(
+                F.greatest(
+                    (F.count(F.lit(1)) / D15_TARGET_OCC).cast("bigint"),
+                    F.lit(1).cast("bigint"),
+                )
+            )
+        ).alias("b")
+    )
+    projs = (
+        e.crossJoin(F.broadcast(bf))
+        .filter(F.col("vec_id") < F.col("b"))
+        .select(F.col("vec_id").alias("j"), F.col("embedding").alias("pvec"))
+    )
+    bit_term = F.when(
+        dot_fold(F.col("embedding"), F.col("pvec")) > 0,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    assigned = (
+        e.crossJoin(F.broadcast(projs))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(bit_term).alias("cell_id"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    x = assigned.alias("x")
+    y = assigned.alias("y")
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cell_id") == F.col("y.cell_id"))
+            & (F.col("y.vec_id") < F.col("x.vec_id")),
+        )
+        .filter(cosine(F.col("x.embedding"), F.col("y.embedding")) > D15_TAU)
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumnRenamed("vec_id", "dv"),
+            F.col("vec_id") == F.col("dv"),
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.col("cell_id").cast("bigint").alias("cell_id"),
+            F.col("dv").isNotNull().alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )

@@ -69,6 +69,8 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "hash exchange)",
     "d12_semantic_dedup": "corpus-count scalar (k = ⌊√n⌋) seeds the "
     "centroid filter; one row",
+    "d15_lsh_semantic_dedup": "corpus-count scalar (b = bit_length"
+    "(n div occ)) seeds the projection filter; one row",
     "t16_sequence_packing": "phase-2 prefix sum runs over tiny per-block "
     "totals only (documented two-phase design)",
     "t19_token_rarity": "NTILE rarity labels over one row per doc; scale "
