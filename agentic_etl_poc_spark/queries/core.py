@@ -208,8 +208,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "d03_ngram_jaccard",
     "d05_simhash",
     "d04_minhash_lsh",
-    # -- then the 23 cheapest entries whose latest driver-green row
-    # -- is r05, cheap-first ------------------------------------------
+    # -- then the 17 cheapest entries whose latest driver-green row
+    # -- is r05, cheap-first, filling the window to exactly 50
+    # -- (6 round-8 entries + 27 r04-era + 17 r05-era) ----------------
     "q30_null_semantics",
     "q08_topk_orders",
     "t12_length_deciles",
@@ -227,14 +228,14 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q47_bitwise_agg",
     "q52_funnel",
     "t20_quality_upsample",
+    # -- band 2: the remaining r05-era entries, cheap-first — these
+    # -- lead round 9 (with anything new in round 9) ------------------
     "q43_rank_family",
     "q46_ignore_nulls_fill",
     "q38_string_agg",
     "q36_explode_outer",
     "q40_union_by_name",
     "q15_string_funcs",
-    # -- band 2: the remaining r05-era entries, cheap-first — these
-    # -- lead round 9 (with anything new in round 9) ------------------
     "q35_not_in_null_trap",
     "s01_knn_bruteforce",
     "u05_arrow_map_batches",

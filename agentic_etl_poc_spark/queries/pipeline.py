@@ -1231,21 +1231,35 @@ def _derby_orders_db(spark: SparkSession, sf_dir: str) -> str:
     db_dir = os.path.join(root, "db_" + hashlib.md5(fp.encode()).hexdigest()[:8])
     marker = os.path.join(root, f"_STAGED_{os.path.basename(db_dir)}")
     if not marker_current(marker, fp):
-        orders = table(spark, sf_dir, "orders").select(
-            "o_orderkey",
-            "o_custkey",
-            F.col("o_totalprice").alias("total"),
-            "o_orderdate",
-            # '1-URGENT' -> 1 ... '5-LOW' -> 5: integer priority code
-            F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_code"),
-        )
-        # a handful of writer connections is plenty for a dim-scale stage;
-        # embedded Derby serializes page writes anyway
-        load_to_postgres(
-            orders.coalesce(4), derby_url(db_dir, create=True),
-            "orders_src", mode="replace",
-        )
-        write_marker(marker, fp)
+        # Cross-PROCESS stage lock: embedded Derby allows only one JVM to
+        # boot a database, so two processes that both see a stale marker
+        # (parallel pytest + battery) must not create it concurrently —
+        # unlike the parquet stagers, whose overwrite writes tolerate the
+        # race.  flock: kernel-released on crash, nothing stale to break.
+        import fcntl
+
+        os.makedirs(root, exist_ok=True)
+        lock_fd = os.open(os.path.join(root, "_stage.lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            if not marker_current(marker, fp):  # may have staged while we waited
+                orders = table(spark, sf_dir, "orders").select(
+                    "o_orderkey",
+                    "o_custkey",
+                    F.col("o_totalprice").alias("total"),
+                    "o_orderdate",
+                    # '1-URGENT' -> 1 ... '5-LOW' -> 5: integer priority code
+                    F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_code"),
+                )
+                # a handful of writer connections is plenty for a dim-scale
+                # stage; embedded Derby serializes page writes anyway
+                load_to_postgres(
+                    orders.coalesce(4), derby_url(db_dir, create=True),
+                    "orders_src", mode="replace",
+                )
+                write_marker(marker, fp)
+        finally:
+            os.close(lock_fd)
     return db_dir
 
 

@@ -172,7 +172,6 @@ def events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
                     .write.mode("overwrite")
                     .json(typed_out)
                 )
-                _STAGED[f"{sf_dir}::{event_type}"] = typed_out
             ev.coalesce(1).write.mode("overwrite").json(out)
             # marker LAST: it stamps the whole family staged
             write_marker(marker, fp)
@@ -570,7 +569,6 @@ def _typed_stream_dir(spark: SparkSession, sf_dir: str, event_type: str) -> str:
     the two-topics shape a stream-stream join reads in production.  The
     actual write happens inside :func:`events_stream_dir`'s one staging
     pass (persisted events frame, all topics in one go)."""
-    key = f"{sf_dir}::{event_type}"
     # ALWAYS go through events_stream_dir first: it owns the family
     # fingerprint marker, so a regenerated events fixture restages the
     # typed topics before this cache could hand out a stale one (cheap
@@ -587,7 +585,6 @@ def _typed_stream_dir(spark: SparkSession, sf_dir: str, event_type: str) -> str:
             .write.mode("overwrite")
             .json(out)
         )
-    _STAGED[key] = out
     return out
 
 
@@ -1208,11 +1205,21 @@ def v14_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         _note_executed_stream_plan(q)
 
-    clean = spark.read.option("recursiveFileLookup", "true").parquet(
-        clean_root
+    # explicit schema: a side whose every batch filtered to ZERO rows has
+    # only _SUCCESS markers under it (no part files), and a schema-less
+    # read would fail inference instead of returning the correct empty
+    # frame (latent on fixtures with no 'error' rows)
+    from agentic_etl_poc_spark.streaming.events import EVENT_SCHEMA
+
+    clean = (
+        spark.read.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(clean_root)
     )
-    quar = spark.read.option("recursiveFileLookup", "true").parquet(
-        quar_root
+    quar = (
+        spark.read.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(quar_root)
     )
     both = clean.withColumn("side", F.lit("clean")).unionByName(
         quar.withColumn("side", F.lit("quarantined"))

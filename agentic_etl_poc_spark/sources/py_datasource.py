@@ -307,7 +307,6 @@ def register_writer(spark) -> None:
 
 
 _LOCK_WAIT_SEC = 30.0
-_LOCK_STALE_SEC = 300.0
 
 
 import contextlib
@@ -315,64 +314,43 @@ import contextlib
 
 @contextlib.contextmanager
 def _manifest_lock(manifest_path: str):
-    """O_EXCL lock file serializing manifest read-modify-writes.  A lock
-    older than _LOCK_STALE_SEC is broken (crashed committer); waiting
-    past _LOCK_WAIT_SEC raises rather than guessing.
+    """Kernel-owned flock() serializing manifest read-modify-writes.
 
-    Stale-lock breaking must be ATOMIC: two waiters that both stat the
-    same stale lock must not both unlink-and-recreate (one would then
-    unlink the other's fresh lock and let two committers into the
-    read-modify-write).  So a breaker claims the stale lock with
-    os.replace() to a private tombstone name — exactly one rename wins —
-    and release only unlinks the lock if it still holds THIS holder's
-    nonce (a lock broken out from under us stays someone else's)."""
+    Earlier revisions used an O_EXCL lock FILE with mtime-based
+    stale-break; every repair still left a window (review round 8: a
+    breaker's os.replace could steal a lock a fresh holder had JUST
+    recreated, admitting two committers).  fcntl.flock closes the whole
+    class: the kernel releases the lock when the holder's fd closes —
+    including on crash — so there is no stale state to break and no
+    check-then-act anywhere.  The lock file itself is permanent,
+    content-free bookkeeping (never unlinked: unlinking would let a new
+    opener lock a different inode than a current holder).  Waiting past
+    _LOCK_WAIT_SEC raises rather than guessing.  Scope note: flock is
+    advisory and per-machine, which matches this sink (the commit runs
+    driver-side); a multi-driver deployment would commit manifests via
+    a conditional put on the object store instead."""
+    import fcntl
     import os
     import time
-    import uuid
 
     lock_path = manifest_path + ".lock"
-    nonce = uuid.uuid4().hex
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
     deadline = time.monotonic() + _LOCK_WAIT_SEC
-    while True:
-        try:
-            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            try:
-                os.write(fd, nonce.encode())
-            finally:
-                os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                stale = time.time() - os.path.getmtime(lock_path) > _LOCK_STALE_SEC
-            except OSError:
-                continue  # lock vanished between exists and stat
-            if stale:
-                tomb = lock_path + f".tomb-{nonce}"
-                try:
-                    os.replace(lock_path, tomb)  # one breaker wins the rename
-                except OSError:
-                    continue  # another breaker claimed it first
-                try:
-                    os.unlink(tomb)
-                except OSError:
-                    pass
-                continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"ledger manifest lock {lock_path!r} held for "
-                    f">{_LOCK_WAIT_SEC}s by a concurrent commit"
-                )
-            time.sleep(0.05)
     try:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"ledger manifest lock {lock_path!r} held for "
+                        f">{_LOCK_WAIT_SEC}s by a concurrent commit"
+                    ) from None
+                time.sleep(0.05)
         yield
     finally:
-        try:
-            with open(lock_path) as f:
-                still_mine = f.read() == nonce
-            if still_mine:
-                os.unlink(lock_path)
-        except OSError:
-            pass
+        os.close(fd)  # releases the flock
 
 
 def _write_manifest_atomic(manifest_path: str, manifest: dict) -> None:

@@ -259,11 +259,14 @@ def _make_sessionize_processor(gap_seconds: int):
             chunks = list(rows)
             batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
             carried = self._sess.get() if self._sess.exists() else None
-            if carried is not None:
-                # drop a stale timer for the previous open session; the
-                # new one lands at the updated last_seen + gap
-                old_ms = int(carried[1].timestamp() * 1000) + gap_seconds * 1000
-                self._handle.deleteTimer(old_ms)
+            # Drop every timer actually registered for this key before
+            # re-registering (registerTimer accumulates; GroupState's
+            # setTimeoutTimestamp replaced).  Recomputing last+gap here
+            # would MISS a timer that was registered clamped to
+            # watermark+1 — the stale survivor would fire later and
+            # close a since-extended session.
+            for t_ms in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t_ms)
             closed, new_state = _fold_sessions(
                 batch, carried, gap_seconds, user_id
             )

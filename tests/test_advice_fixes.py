@@ -370,9 +370,10 @@ checks:
 
 
 def test_ledger_append_merge_is_lock_guarded(spark, tmp_path):
-    """Round-6 advisory: concurrent append commits to one ledger path
-    serialize on the manifest lock — a held lock makes the second commit
-    wait (and a stale lock is broken, not waited on forever)."""
+    """Round-6 advisory (lock protocol upgraded to flock in round 8):
+    concurrent append commits to one ledger path serialize on the
+    manifest lock — a held lock makes the second commit wait, and a
+    crashed holder's lock releases with its fd (kernel-owned)."""
     import json
     import os
     import threading
@@ -390,16 +391,18 @@ def test_ledger_append_merge_is_lock_guarded(spark, tmp_path):
     manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
     assert manifest["rows"] == 3
 
-    # hold the lock; a second append must block until release, then merge
+    # hold the flock; a second append must block until release, then merge
+    import fcntl
+
     lock = os.path.join(path, "_MANIFEST.json.lock")
-    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    os.close(fd)
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
     released = {"at": None}
 
     def release():
         time.sleep(1.0)
         released["at"] = time.monotonic()
-        os.unlink(lock)
+        os.close(fd)  # kernel releases the flock (crash semantics too)
 
     t = threading.Thread(target=release)
     t.start()
@@ -515,50 +518,43 @@ def test_stream_ledger_commit_is_batch_idempotent(tmp_path):
 # -- round-8 advisory findings -------------------------------------------
 
 
-def test_manifest_lock_release_keeps_foreign_lock(tmp_path):
-    """A lock broken out from under its holder (stale-break path) must not
-    be unlinked by that holder's release: release only removes the lock
-    when it still carries THIS holder's nonce."""
-    import os
-
-    from agentic_etl_poc_spark.sources.py_datasource import _manifest_lock
-
-    manifest = str(tmp_path / "_MANIFEST.json")
-    lock = manifest + ".lock"
-    with _manifest_lock(manifest):
-        assert os.path.exists(lock)
-        # simulate another committer having broken + re-acquired the lock
-        with open(lock, "w") as f:
-            f.write("someone-else")
-        # leaving the context must NOT unlink the foreign lock
-    assert os.path.exists(lock)
-    with open(lock) as f:
-        assert f.read() == "someone-else"
-    os.unlink(lock)
-    # normal path: release removes our own lock
-    with _manifest_lock(manifest):
-        assert os.path.exists(lock)
-    assert not os.path.exists(lock)
-
-
-def test_manifest_lock_breaks_stale_lock_atomically(tmp_path):
-    """A crashed committer's stale lock is claimed via an atomic rename —
-    acquisition succeeds, and no tombstone debris is left behind."""
+def test_manifest_lock_mutual_exclusion_and_crash_release(tmp_path):
+    """The flock-based manifest lock (round-8 review replaced the O_EXCL
+    + mtime-stale-break file lock, whose every repair still left a
+    check-then-act window): a held lock blocks a second acquirer with
+    TimeoutError; closing the holder's fd — which is what the kernel
+    does for a crashed process — releases it with no stale state to
+    break and no debris."""
+    import fcntl
     import os
 
     from agentic_etl_poc_spark.sources import py_datasource as pds
 
     manifest = str(tmp_path / "_MANIFEST.json")
     lock = manifest + ".lock"
-    with open(lock, "w") as f:
-        f.write("crashed-committer")
-    old = 10.0  # far older than _LOCK_STALE_SEC relative to now
-    os.utime(lock, (old, old))
-    with pds._manifest_lock(manifest):
-        with open(lock) as f:
-            assert f.read() != "crashed-committer"  # ours now
-    assert not os.path.exists(lock)
-    assert not [p for p in os.listdir(tmp_path) if ".tomb-" in p]
+    orig_wait = pds._LOCK_WAIT_SEC
+    pds._LOCK_WAIT_SEC = 0.3
+    try:
+        # hold the lock from a "foreign" fd: acquisition must time out
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        try:
+            import pytest
+
+            with pytest.raises(TimeoutError):
+                with pds._manifest_lock(manifest):
+                    pass  # pragma: no cover — must not be reached
+        finally:
+            os.close(fd)  # crashed-holder semantics: kernel releases
+        # released: acquisition now succeeds immediately
+        with pds._manifest_lock(manifest):
+            pass
+        # the lock FILE persists by design (unlinking would let a new
+        # opener lock a different inode than a concurrent holder)
+        assert os.path.exists(lock)
+        assert not [p for p in os.listdir(tmp_path) if ".tomb-" in p]
+    finally:
+        pds._LOCK_WAIT_SEC = orig_wait
 
 
 def test_dhash_rejects_sub_grid_images():

@@ -794,3 +794,61 @@ def test_image_center_crop_letterbox_and_reject(spark):
             df, width=6, height=4, pad=False, fake=False
         ).collect()
     assert "smaller than crop" in str(ei.value)
+
+
+def test_stream_quarantine_split_empty_side_reads_back(spark, tmp_path):
+    """v14's split must survive a CLEAN stream: a side whose every batch
+    filtered to zero rows has no parquet part files under it, and the
+    read-back needs the explicit schema to return an empty frame instead
+    of failing inference (round-8 review finding)."""
+    import json
+    import os
+
+    from agentic_etl_poc_spark.streaming.events import EVENT_SCHEMA
+
+    src = str(tmp_path / "clean_topic")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for i in range(5):
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": i, "ts": "2024-01-01 00:00:00",
+                        "user_id": 1, "event_type": "view",
+                        "value": 1.0, "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+    clean_root = str(tmp_path / "clean")
+    quar_root = str(tmp_path / "quar")
+    bad = F.col("event_type") == "error"
+
+    def split(batch_df, batch_id):
+        batch_df.filter(~bad).write.mode("overwrite").parquet(
+            os.path.join(clean_root, f"b{batch_id}")
+        )
+        batch_df.filter(bad).write.mode("overwrite").parquet(
+            os.path.join(quar_root, f"b{batch_id}")
+        )
+
+    stream = stream_events(spark, src, watermark="1 minute")
+    q = (
+        stream.writeStream.foreachBatch(split)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    quar = (
+        spark.read.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(quar_root)
+    )
+    clean = (
+        spark.read.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(clean_root)
+    )
+    assert quar.count() == 0
+    assert clean.count() == 5

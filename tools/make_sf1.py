@@ -185,9 +185,10 @@ def main(out_dir: str | None = None, tiles: int = TILES) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    tiles = TILES
-    for a in sys.argv[1:]:
-        if a.startswith("--tiles"):
-            tiles = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    main(args[0] if args else None, tiles=tiles)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir", nargs="?", default=None)
+    ap.add_argument("--tiles", type=int, default=TILES)
+    ns = ap.parse_args()
+    main(ns.out_dir, tiles=ns.tiles)
