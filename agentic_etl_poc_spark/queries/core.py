@@ -179,6 +179,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q83_parameterized_sql",
     "m09_image_center_crop",
     "d15_lsh_semantic_dedup",
+    "v15_stream_dim_refresh",
     # -- the 27 entries whose latest driver-green row is r04 (waited
     # -- longest), cheap-first (builder per-query bench) --------------
     "q53_retention_cohorts",
@@ -208,9 +209,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "d03_ngram_jaccard",
     "d05_simhash",
     "d04_minhash_lsh",
-    # -- then the 17 cheapest entries whose latest driver-green row
+    # -- then the 16 cheapest entries whose latest driver-green row
     # -- is r05, cheap-first, filling the window to exactly 50
-    # -- (6 round-8 entries + 27 r04-era + 17 r05-era) ----------------
+    # -- (7 round-8 entries + 27 r04-era + 16 r05-era) ----------------
     "q30_null_semantics",
     "q08_topk_orders",
     "t12_length_deciles",
@@ -227,9 +228,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "t09_corpus_stats",
     "q47_bitwise_agg",
     "q52_funnel",
-    "t20_quality_upsample",
     # -- band 2: the remaining r05-era entries, cheap-first — these
     # -- lead round 9 (with anything new in round 9) ------------------
+    "t20_quality_upsample",
     "q43_rank_family",
     "q46_ignore_nulls_fill",
     "q38_string_agg",

@@ -1280,3 +1280,129 @@ def v13_stream_dedup_within_watermark(
         )
         .orderBy("event_id")
     )
+
+
+def _twophase_stream_files(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage events split into two NDJSON files by event_id parity (the
+    two 'days' of v15's incremental-drain scenario), one-time per fixture
+    fingerprint.  Returns the two staged file paths; v15 copies them into
+    a fresh per-run topic because the topic MUTATES mid-entry."""
+    import shutil
+
+    from agentic_etl_poc_spark.queries.core import (
+        fixture_fingerprint,
+        marker_current,
+        write_marker,
+    )
+
+    src = events_stream_dir(spark, sf_dir)
+    out = src + "_2ph"
+    marker = os.path.join(out, "_STAGED")
+    fp = fixture_fingerprint(sf_dir, ["events"])
+    if not marker_current(marker, fp):
+        os.makedirs(out, exist_ok=True)
+        ev = table(spark, sf_dir, "events")
+        for i, fname in enumerate(("phase1.json", "phase2.json")):
+            tmp = os.path.join(out, f"_tmp_{i}")
+            (
+                ev.filter(F.col("event_id") % 2 == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .json(tmp)
+            )
+            part = next(
+                f for f in sorted(os.listdir(tmp)) if f.endswith(".json")
+            )
+            shutil.move(os.path.join(tmp, part), os.path.join(out, fname))
+            shutil.rmtree(tmp)
+        write_marker(marker, fp)
+    return os.path.join(out, "phase1.json"), os.path.join(out, "phase2.json")
+
+
+@register(
+    "v15_stream_dim_refresh",
+    oracle=f"""
+SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS dim_ver,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(CASE WHEN event_id % 2 = 0 THEN TRIM(n_name)
+                ELSE TRIM(n_name) || '_v2' END) AS first_label
+FROM events JOIN nation ON n_nationkey = user_id % 25
+GROUP BY 1, 2
+ORDER BY dim_ver, event_type
+""",
+    description="Checkpointed INCREMENTAL drains against a REFRESHED "
+    "dimension — the nightly-enrichment production pattern made "
+    "oracle-checkable (v06 proves one static join; this pins the part "
+    "its docstring only claimed: the static side picks up updates "
+    "between runs, and the checkpoint processes each input exactly "
+    "once).  Drain 1: phase-1 events (even ids) AvailableNow-drained "
+    "through a broadcast left join against dim v1 into a parquet sink.  "
+    "Between drains the topic gains the phase-2 file and the dimension "
+    "is REPLACED with v2 (labels suffixed '_v2').  Drain 2 reuses the "
+    "SAME checkpoint, so it consumes ONLY the new file — phase-1 rows "
+    "are not reprocessed against the new dim (exactly-once), and "
+    "phase-2 rows are enriched with v2.  The artifact re-aggregated "
+    "must therefore show even-id groups carrying v1 labels and odd-id "
+    "groups carrying v2 labels, which is exactly what the batch oracle "
+    "states with a parity CASE.  Scale shape: the dim broadcasts per "
+    "batch (stream side never shuffles), the sink is Spark's "
+    "transactional file-sink protocol, and an incremental tick costs "
+    "only the new files.",
+)
+def v15_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from agentic_etl_poc_spark.streaming.events import (
+        enrich_with_dim,
+        run_available_now,
+    )
+
+    ph1, ph2 = _twophase_stream_files(spark, sf_dir)
+    run_root = tempfile.mkdtemp(prefix="v15_dimref_")
+    topic = os.path.join(run_root, "topic")
+    out_dir = os.path.join(run_root, "enriched")
+    ckpt = os.path.join(run_root, "ckpt")
+    os.makedirs(topic)
+
+    def dim(version: int) -> DataFrame:
+        label = F.trim(F.col("n_name"))
+        if version == 2:
+            label = F.concat(label, F.lit("_v2"))
+        return table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("k"),
+            label.alias("first_label"),
+            F.lit(version).alias("dim_ver"),
+        )
+
+    parts = _drain_parts_for(spark, [topic], STREAM_DRAIN_PARTITIONS)
+
+    def drain(version: int) -> None:
+        with _drain_partitions(spark, parts):
+            stream = stream_events(spark, topic, watermark="3650 days")
+            enriched = enrich_with_dim(
+                stream.withColumn("k", F.col("user_id") % 25),
+                dim(version),
+                "k",
+            ).select("event_id", "event_type", "first_label", "dim_ver")
+            run_available_now(enriched, ckpt, out_dir)
+
+    # day 1: phase-1 file only, dim v1
+    shutil.copy(ph1, os.path.join(topic, "a_phase1.json"))
+    drain(1)
+    # day 2: new file arrives AND the dimension is refreshed; the shared
+    # checkpoint makes the second drain consume ONLY the new file
+    shutil.copy(ph2, os.path.join(topic, "b_phase2.json"))
+    drain(2)
+
+    artifact = spark.read.parquet(out_dir)
+    return (
+        artifact.groupBy("dim_ver", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("first_label").alias("first_label"),
+        )
+        .select("dim_ver", "event_type", "n", "first_label")
+        .orderBy("dim_ver", "event_type")
+    )
