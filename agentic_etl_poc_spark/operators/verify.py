@@ -28,6 +28,21 @@ from pyspark.sql import functions as F
 DEFAULT_MAX_LAG_MINUTES = 180
 
 
+def _quote_ident(name: str, conn_str: str) -> str:
+    """Dialect-aware identifier quoting for the verify queries.
+
+    Double quotes are ANSI identifier quotes (Postgres / Derby / SQLite /
+    DuckDB); the MySQL family treats them as string literals unless
+    ANSI_QUOTES is on, so it gets backticks.  Dotted names
+    (``schema.table``) quote each part.  Already-quoted input passes
+    through untouched so callers with exotic names keep control.
+    """
+    q = "`" if "mysql" in conn_str.split("://", 1)[0].lower() else '"'
+    if name.startswith(("`", '"')):
+        return name
+    return ".".join(f"{q}{part}{q}" for part in name.split("."))
+
+
 def _lag_minutes_from(ts: _dt.datetime | None) -> float | None:
     if ts is None:
         return None
@@ -112,11 +127,19 @@ def verify_table(
     """Post-load check of a DB sink — COUNT/MAX pushed down via JDBC."""
     from agentic_etl_poc_spark.sources.jdbc_source import fetch_db
 
+    # Aliases are quoted dialect-aware (unquoted identifiers case-fold
+    # per engine — Derby uppercases -> row["n"] misses; MySQL needs
+    # backticks because double quotes are string literals there).  The
+    # TABLE identifier stays deliberately UNQUOTED: Spark's JDBC writer
+    # issues CREATE TABLE with the name unquoted, so the stored name
+    # case-folds per engine — verify must case-fold the same way to find
+    # it (quoting a lowercase name here would miss Derby's ORDERS_AGG).
+    # Pre-quoted names pass through _quote_ident untouched, so callers
+    # verifying a mixed-case table they created themselves can quote it.
+    qa = _quote_ident("n", conn_str)
     try:
-        # quoted alias: unquoted identifiers case-fold per engine (Derby
-        # uppercases -> row["n"] misses); "n" is verbatim on pg/derby/sqlite
         cnt_df = fetch_db(
-            spark, conn_str, f'SELECT COUNT(*) AS "n" FROM {table}'
+            spark, conn_str, f"SELECT COUNT(*) AS {qa} FROM {table}"
         )
         rows = int(cnt_df.collect()[0]["n"])
     except Exception as e:  # reference reports engine errors, not raises
@@ -127,7 +150,10 @@ def verify_table(
     if ts_col:
         try:
             ts_df = fetch_db(
-                spark, conn_str, f'SELECT MAX({ts_col}) AS "m" FROM {table}'
+                spark,
+                conn_str,
+                f"SELECT MAX({ts_col}) AS {_quote_ident('m', conn_str)} "
+                f"FROM {table}",
             )
             lag_min = _lag_minutes_from(ts_df.collect()[0]["m"])
             if lag_min is not None:

@@ -599,3 +599,35 @@ def test_tribatch_marker_records_fixture_fingerprint(spark, sf_smoke):
     out = _tribatch_stream_dir(spark, sf_smoke)
     with open(os.path.join(out, "_STAGED")) as f:
         assert f.read() == fixture_fingerprint(sf_smoke, ["events"])
+
+
+def test_quote_ident_is_dialect_aware():
+    """Round-8 advisory: double-quoted aliases break MySQL-family engines
+    (double quotes are string literals without ANSI_QUOTES); the verify
+    queries route identifier quoting through a dialect helper."""
+    from agentic_etl_poc_spark.operators.verify import _quote_ident
+
+    assert _quote_ident("n", "jdbc:derby:/tmp/db") == '"n"'
+    assert _quote_ident("n", "postgresql://u:p@h:5432/db") == '"n"'
+    assert _quote_ident("n", "mysql+pymysql://u:p@h:3306/db") == "`n`"
+    assert _quote_ident("n", "jdbc:mysql://h:3306/db") == "`n`"
+    # dotted names quote each part; pre-quoted input passes through
+    assert _quote_ident("s.t", "postgresql://u@h/db") == '"s"."t"'
+    assert _quote_ident('"Already"', "postgresql://u@h/db") == '"Already"'
+
+
+def test_make_sf1_tiles_cap_fails_loudly():
+    """Round-8 advisory: past 2*dim=128 tiles the embedding rotation and
+    negation transforms both repeat, silently reintroducing identical
+    tiles — an out-of-range --tiles must fail before writing anything."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "make_sf1",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "make_sf1.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with pytest.raises(SystemExit, match="128"):
+        mod.main("/nonexistent/never-written", tiles=129)

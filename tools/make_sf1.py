@@ -53,7 +53,16 @@ def main(out_dir: str | None = None, tiles: int = TILES) -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, here)
     out = out_dir or os.path.join(here, "testdata_sf1")
-    TILES = tiles  # noqa: N806 — local shadow keeps the body unchanged
+    # rotate_embedding disambiguates tiles with rotation (t < 64) then
+    # rotation+negation (64 <= t < 128); past 2*dim both transforms repeat
+    # and identical embedding tiles would silently reintroduce artificial
+    # near-dups — fail loudly instead
+    if tiles > 128:
+        raise SystemExit(
+            f"--tiles {tiles} > 128: embedding tile transforms repeat past "
+            "2*dim=128 tiles (rotation + negation both cycle); add a third "
+            "transform before scaling further"
+        )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -85,11 +94,11 @@ def main(out_dir: str | None = None, tiles: int = TILES) -> None:
     tile = F.lit(None)  # replaced per-union below
 
     def tiled(name, shifts, extra=None):
-        """Union of TILES copies with per-tile key shifts.
+        """Union of ``tiles`` copies with per-tile key shifts.
         shifts: {col: offset_per_tile}; extra: fn(df, t) -> df."""
         base = table(spark, SRC, name)
         pieces = []
-        for t in range(TILES):
+        for t in range(tiles):
             df = base
             for col, off in shifts.items():
                 df = df.withColumn(col, F.col(col) + F.lit(t * off))
