@@ -41,18 +41,23 @@ from agentic_etl_poc_spark.queries.core import register
 
 EMB_DIM = 64
 
-#: Degenerate-LSH-bucket guard: a band bucket with more than this many
-#: members contributes no candidate pairs.  A bucket of B docs asserts
-#: B(B-1)/2 pairwise verifications — quadratic in B — and buckets that
-#: large are signature-collision artifacts of low-diversity shingle sets
-#: (boilerplate/templates), which the pipeline's exact pass (d01) already
-#: catches; every production LSH deployment caps or re-shards them.  The
-#: round-8 sf10 audit measured the alternative: uncapped, background
-#: bigram similarity made candidates grow x97 for x10 docs (22.5M pairs,
-#: 86% from buckets > 20) and d04/d11 walls grow x16-30.  The cap is
-#: mirrored EXACTLY in the DuckDB oracles, and 32 is far above any real
-#: bucket at the driver's scales (max observed: 4 at sf0.01, 11 at
-#: sf0.1), so driver-checked results are unchanged.
+#: Degenerate-LSH-bucket guard: a band bucket keeps only a DETERMINISTIC
+#: SAMPLE of its lowest-MINHASH_BUCKET_CAP doc_ids (row_number over the
+#: bucket key).  A bucket of B docs asserts B(B-1)/2 pairwise
+#: verifications — quadratic in B — and buckets that large are
+#: signature-collision artifacts of low-diversity shingle sets
+#: (boilerplate/templates); every production LSH deployment caps or
+#: re-shards them.  The round-8 sf10 audit measured the alternative:
+#: uncapped, background bigram similarity made candidates grow x97 for
+#: x10 docs (22.5M pairs, 86% from buckets > 20) and d04/d11 walls grow
+#: x16-30.  Sampling (round-8 advisory) rather than dropping the whole
+#: bucket keeps a near-dup cluster larger than the cap CONNECTED through
+#: its lowest ids — round 8's drop-the-bucket rule lost every candidate
+#: pair such a cluster produced, and the exact pass (d01) only backstops
+#: byte-identical members.  The rule is mirrored EXACTLY in the DuckDB
+#: oracles, and 32 is above any real bucket at the driver's scales (max
+#: observed: 4 at sf0.01, 11 at sf0.1), so driver-checked results are
+#: unchanged.
 MINHASH_BUCKET_CAP = 32
 
 # -- shared corpus-with-injected-near-dups construction -----------------
@@ -300,9 +305,9 @@ bands AS (
 kept AS (
   SELECT doc_id, band, sig FROM (
     SELECT doc_id, band, sig,
-           COUNT(*) OVER (PARTITION BY band, sig) AS bsz
+           ROW_NUMBER() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rk
     FROM bands
-  ) WHERE bsz <= {MINHASH_BUCKET_CAP}
+  ) WHERE rk <= {MINHASH_BUCKET_CAP}
 ),
 cand AS (
   SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
@@ -408,17 +413,20 @@ def _band_candidates(minhash: DataFrame) -> DataFrame:
     bands = minhash.select("doc_id", *band_sigs).select(
         "doc_id", F.expr(f"stack({n_bands}, {stack}) as (band, sig)")
     )
-    # degenerate-bucket guard (see MINHASH_BUCKET_CAP): the bucket count
-    # is a window over the SAME (band, sig) key the self-join shuffles
-    # on, so the filter adds no extra exchange
+    # degenerate-bucket guard (see MINHASH_BUCKET_CAP): a deterministic
+    # lowest-CAP sample per bucket, via a row_number over the SAME
+    # (band, sig) key the self-join shuffles on — no extra exchange
     from pyspark.sql.window import Window
 
     bands = (
         bands.withColumn(
-            "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("band", "sig").orderBy("doc_id")
+            ),
         )
-        .filter(F.col("bsz") <= MINHASH_BUCKET_CAP)
-        .drop("bsz")
+        .filter(F.col("rk") <= MINHASH_BUCKET_CAP)
+        .drop("rk")
     )
     b1 = bands.alias("b1")
     b2 = bands.alias("b2")
@@ -886,9 +894,9 @@ bands AS (
 kept AS (
   SELECT doc_id, band, sig FROM (
     SELECT doc_id, band, sig,
-           COUNT(*) OVER (PARTITION BY band, sig) AS bsz
+           ROW_NUMBER() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rk
     FROM bands
-  ) WHERE bsz <= {MINHASH_BUCKET_CAP}
+  ) WHERE rk <= {MINHASH_BUCKET_CAP}
 ),
 cand AS (
   SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2

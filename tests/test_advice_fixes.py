@@ -631,3 +631,45 @@ def test_make_sf1_tiles_cap_fails_loudly():
     spec.loader.exec_module(mod)
     with pytest.raises(SystemExit, match="128"):
         mod.main("/nonexistent/never-written", tiles=129)
+
+
+def test_minhash_hot_bucket_keeps_lowest_cap_sample(spark, tmp_path):
+    """Round-8 advisory: an LSH band bucket larger than MINHASH_BUCKET_CAP
+    must keep a deterministic lowest-CAP sample (so a big near-dup cluster
+    stays connected through its lowest ids), not drop every candidate pair
+    the bucket produced — the old rule made >CAP-member near-dup clusters
+    invisible to the whole MinHash family."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agentic_etl_poc_spark.queries.dedup import (
+        MINHASH_BUCKET_CAP,
+        minhash_verified_pairs,
+    )
+    n = MINHASH_BUCKET_CAP + 8  # one bucket, 8 past the cap
+    text = " ".join(f"w{i}" for i in range(25))
+    ids = list(range(1, n + 1))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": [text] * n,
+                "lang": ["en"] * n,
+                "source": ["synth"] * n,
+                "n_chars": pa.array([len(text)] * n, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    pairs = {
+        (r.id1, r.id2)
+        for r in minhash_verified_pairs(spark, str(tmp_path)).collect()
+    }
+    origs = {p for p in pairs if p[0] <= n and p[1] <= n}
+    sample = set(range(1, MINHASH_BUCKET_CAP + 1))
+    # the lowest-CAP members pair among themselves (old rule: zero pairs)
+    assert (1, MINHASH_BUCKET_CAP) in origs
+    assert len(origs) == MINHASH_BUCKET_CAP * (MINHASH_BUCKET_CAP - 1) // 2
+    # members past the sample contribute no pairs, bounding the bucket's
+    # work at CAP^2/2
+    assert all(p[0] in sample and p[1] in sample for p in origs)
