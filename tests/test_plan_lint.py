@@ -71,6 +71,9 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "centroid filter; one row",
     "d15_lsh_semantic_dedup": "corpus-count scalar (b = bit_length"
     "(n div occ)) seeds the projection filter; one row",
+    "d16_semantic_recall_audit": "inherits d12's and d15's corpus-count "
+    "scalar seeds, and the audit's own output IS one global row of "
+    "recall counters",
     "t16_sequence_packing": "phase-2 prefix sum runs over tiny per-block "
     "totals only (documented two-phase design)",
     "t19_token_rarity": "NTILE rarity labels over one row per doc; scale "
