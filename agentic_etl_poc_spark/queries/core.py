@@ -174,6 +174,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     # round-9 additions (placeholder slot — full round-9 rotation follows
     # once all new entries land)
     "d16_semantic_recall_audit",
+    "p11_jdbc_partitioned_read",
     # -- band 1 (sweep window, 50): new round-8 entries go at the very
     # -- front (never driver-sampled must sit inside the window), then
     "v13_stream_dedup_within_watermark",

@@ -1344,3 +1344,83 @@ alerts:
         'SELECT "prio_code", "n_orders", "n_custs", '
         'CAST("total_s" AS VARCHAR(42)) AS "total_s" FROM orders_agg',
     ).orderBy("prio_code")
+
+
+@register(
+    "p11_jdbc_partitioned_read",
+    oracle="""
+SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_code,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS VARCHAR) AS total_s,
+       CAST(4 AS BIGINT) AS n_scan_parts
+FROM orders
+GROUP BY 1
+ORDER BY 1
+""",
+    description="PARTITIONED JDBC ingest — the 100-TB source-database "
+    "read shape the round-8 verdict ordered proven driver-visibly: p10 "
+    "reads Derby through one connection; production reads a source DB "
+    "with partitionColumn key-range slices so N executors each pull "
+    "their own WHERE-bounded range concurrently (reference fetch_db, "
+    "etl_agent/tools.py:51-56, which SQLAlchemy-streams through one "
+    "connection — the single-node ceiling this entry's plan removes).  "
+    "Flow: orders staged into embedded Derby (shared p10 stager), a "
+    "1-row MIN/MAX bounds probe (the standard production pre-query), "
+    "then fetch_db with partition_column/num_partitions=4 — Spark "
+    "turns the user SQL into a derived table and issues 4 bounded "
+    "upstream queries (fetch_db refuses query+partitionColumn "
+    "combined, which Spark rejects; the derived-table rewrite is the "
+    "documented scale path).  The PLAN ASSERTION is in the hashed "
+    "result: n_scan_parts = COUNT(DISTINCT spark_partition_id()) "
+    "computed in the partial-aggregate stage of the raw scan (before "
+    "any exchange), and the oracle pins it to exactly 4 — if the read "
+    "ever collapses to one JDBC connection the driver row goes red, "
+    "not just a unit test.  The aggregate itself replays p10's "
+    "decimal-exact priority rollup so the Derby round-trip stays "
+    "value-checked too.",
+)
+def p11_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.sources.jdbc_source import fetch_db
+
+    from agentic_etl_poc_spark import plan_capture
+
+    db_dir = _derby_orders_db(spark, sf_dir)
+    url = derby_url(db_dir)
+    # bounds probe: one scalar row IN the source DB (the production
+    # pre-query every partitioned-ingest job runs)
+    bounds = fetch_db(
+        spark,
+        url,
+        'SELECT MIN("o_orderkey") AS "lo", MAX("o_orderkey") AS "hi" '
+        "FROM orders_src",
+    )
+    plan_capture.note("jdbc_bounds_probe", bounds)
+    b = bounds.collect()[0]
+    raw = fetch_db(
+        spark,
+        url,
+        'SELECT "o_orderkey", "prio_code", "total" FROM orders_src',
+        partition_column='"o_orderkey"',
+        lower_bound=int(b["lo"]),
+        upper_bound=int(b["hi"]) + 1,
+        num_partitions=4,
+    )
+    # partition evidence: distinct scan-partition ids, projected in the
+    # scan stage (pre-exchange) then counted — Spark 4 forbids the
+    # non-deterministic spark_partition_id() directly inside an agg
+    scan_stats = raw.select(
+        F.spark_partition_id().alias("scan_pid")
+    ).agg(F.countDistinct("scan_pid").cast("bigint").alias("n_scan_parts"))
+    return (
+        raw.groupBy("prio_code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("total").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .cast("string")
+            .alias("total_s"),
+        )
+        .crossJoin(F.broadcast(scan_stats))
+        .orderBy("prio_code")
+    )

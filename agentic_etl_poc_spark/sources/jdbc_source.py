@@ -74,14 +74,27 @@ def fetch_db(
     num_partitions: int | None = None,
 ) -> DataFrame:
     url, props = to_jdbc_url(conn_str)
-    reader = spark.read.format("jdbc").option("url", url).option("query", query)
-    for k, v in props.items():
-        reader = reader.option(k, v)
+    reader = spark.read.format("jdbc").option("url", url)
     if partition_column:
+        # Spark rejects `query` + `partitionColumn` together: a
+        # partitioned read needs `dbtable`, so the user's SQL becomes a
+        # derived table and Spark appends one key-range WHERE clause per
+        # partition — N executors each pull their own slice upstream
+        # instead of one connection streaming everything.
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partitioned fetch_db needs lower_bound/upper_bound for "
+                f"{partition_column!r} (probe them with a MIN/MAX query)"
+            )
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) AS spark_src")
+            .option("partitionColumn", partition_column)
             .option("lowerBound", lower_bound)
             .option("upperBound", upper_bound)
             .option("numPartitions", num_partitions or 8)
         )
+    else:
+        reader = reader.option("query", query)
+    for k, v in props.items():
+        reader = reader.option(k, v)
     return reader.load()

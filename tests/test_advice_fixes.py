@@ -673,3 +673,19 @@ def test_minhash_hot_bucket_keeps_lowest_cap_sample(spark, tmp_path):
     # members past the sample contribute no pairs, bounding the bucket's
     # work at CAP^2/2
     assert all(p[0] in sample and p[1] in sample for p in origs)
+
+
+def test_fetch_db_partitioned_requires_bounds(spark):
+    """Partitioned fetch_db must fail loudly without key bounds (Spark
+    itself rejects query+partitionColumn, so the derived-table rewrite
+    only happens when the bounds are supplied)."""
+    from agentic_etl_poc_spark.sources.jdbc_source import fetch_db
+
+    with pytest.raises(ValueError, match="lower_bound/upper_bound"):
+        fetch_db(
+            spark,
+            "jdbc:derby:/tmp/nonexistent",
+            "SELECT 1 AS x FROM t",
+            partition_column="x",
+            num_partitions=4,
+        )
