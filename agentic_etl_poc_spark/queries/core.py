@@ -175,6 +175,7 @@ SWEEP_ORDER: tuple[str, ...] = (
     # once all new entries land)
     "d16_semantic_recall_audit",
     "p11_jdbc_partitioned_read",
+    "t24_bpe_apply",
     # -- band 1 (sweep window, 50): new round-8 entries go at the very
     # -- front (never driver-sampled must sit inside the window), then
     "v13_stream_dedup_within_watermark",

@@ -1678,6 +1678,12 @@ ORDER BY round
     "vocabulary table.",
 )
 def t22_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merge_table(spark, sf_dir).orderBy("round")
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-round BPE merge table (round, pair, merged, freq), pre-sort —
+    t22's training chain, shared with t24 which APPLIES the merges."""
     d = table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
     vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
@@ -1725,7 +1731,129 @@ def t22_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tops[0]
     for t in tops[1:]:
         out = out.unionByName(t)
-    return out.orderBy("round")
+    return out
+
+
+def _duck_apply_merge(src: str, top: str) -> str:
+    """One trained merge applied to per-word ``seq`` columns — the SAME
+    three fixed replace-all passes as training (_duck_bpe_round), so the
+    left-to-right skip semantics match the Python kernel byte-for-byte."""
+    one = "{s}"
+    for _ in range(3):
+        one = (
+            f"replace({one}, ' ' || {top}.pair || ' ', "
+            f"' ' || replace({top}.pair, ' ', '') || ' ')"
+        )
+    return one.format(s=f"{src}.seq")
+
+
+@register(
+    "t24_bpe_apply",
+    oracle=f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+vocab AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+s0 AS (
+  SELECT ' ' || array_to_string(
+           list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
+         || ' ' AS seq, c
+  FROM vocab
+),
+{_duck_bpe_round('s0', 1)},
+{_duck_bpe_round('s1', 2)},
+{_duck_bpe_round('s2', 3)},
+docs AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE length(w) > 0
+),
+w0 AS (
+  SELECT doc_id, length(w) AS wlen,
+         ' ' || array_to_string(
+           list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
+         || ' ' AS seq
+  FROM docs
+),
+a1 AS (SELECT doc_id, wlen, {_duck_apply_merge('w0', 't')} AS seq
+       FROM w0 CROSS JOIN top1 t),
+a2 AS (SELECT doc_id, wlen, {_duck_apply_merge('a1', 't')} AS seq
+       FROM a1 CROSS JOIN top2 t),
+a3 AS (SELECT doc_id, wlen, {_duck_apply_merge('a2', 't')} AS seq
+       FROM a2 CROSS JOIN top3 t)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wlen) AS BIGINT) AS pre_tokens,
+       CAST(SUM(len(string_split(trim(seq), ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(wlen) - SUM(len(string_split(trim(seq), ' '))) AS BIGINT)
+         AS n_merged
+FROM a3
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    description="Distributed BPE tokenizer APPLY — the other half of the "
+    "tokenizer story t22 trains (the round-8 verdict's ordered gap: a "
+    "training-data pipeline tokenizes the corpus nightly with a FIXED "
+    "merge table; training runs once, apply runs at 100 TB).  The merge "
+    "table comes from t22's exact training chain (bpe_merge_table) and "
+    "is collected to the driver — 3 rows, the trained-artifact "
+    "broadcast every production tokenizer job ships to workers — then "
+    "applied corpus-wide in a mapInPandas kernel: per word, split to "
+    "characters and apply each merge in RANK ORDER with the SAME three "
+    "fixed replace-all passes training used (t22's greedy-approximate "
+    "contract), so the Python kernel, the Spark training chain, and "
+    "the DuckDB replay are byte-identical by construction.  Output per "
+    "doc: word count, pre-merge symbol count, post-merge token count, "
+    "and merges applied — all exact integers.  Scale shape: the only "
+    "corpus-sized shuffles are training's vocab agg and the output "
+    "sort; the apply itself is map-only (Arrow-batched kernel, merge "
+    "list in the task closure), exactly how a 1000-executor tokenize "
+    "pass runs.",
+)
+def t24_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    # the trained artifact: 3 (pair, merged) rows in rank order — a
+    # driver-side fetch of the tokenizer itself, not of data
+    merges = [
+        (r["pair"], r["merged"])
+        for r in bpe_merge_table(spark, sf_dir)
+        .orderBy("round")
+        .select("pair", "merged")
+        .collect()
+    ]
+
+    def apply_merges(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_words = pre = post = 0
+                for w in str(text).split(" "):
+                    if not w:
+                        continue
+                    n_words += 1
+                    pre += len(w)
+                    seq = " " + " ".join(w) + " "
+                    for pair, merged in merges:
+                        pat = f" {pair} "
+                        rep = f" {merged} "
+                        for _ in range(3):
+                            seq = seq.replace(pat, rep)
+                    post += len(seq.split())
+                rows.append((int(doc_id), n_words, pre, post, pre - post))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_words", "pre_tokens", "n_tokens", "n_merged",
+                ],
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        apply_merges,
+        schema=(
+            "doc_id bigint, n_words bigint, pre_tokens bigint, "
+            "n_tokens bigint, n_merged bigint"
+        ),
+    ).orderBy("doc_id")
 
 
 #: m06 synth bounds: n_src in [16, 48] -> n_out = n_src*3//2 in [24, 72].
