@@ -151,17 +151,24 @@ def register(name: str, oracle: str | None, description: str = ""):
 
 #: Explicit registry order.  The external correctness sweep walks this
 #: order and records only the FIRST ~50 entries per round (rounds 1-5
-#: each recorded exactly 50).  Round-8 rotation, four bands:
+#: each recorded exactly 50).  Round-9 rotation, four bands:
 #:
-#: 1. Slots 1-50 (the sweep window) — new round-8 entries first (never
-#:    driver-sampled entries must sit inside the window), then all 27
-#:    entries whose latest driver-green row is r04 (they have waited
-#:    longest), cheap-first (builder per-query bench), then the cheapest
-#:    r05-era entries until the window is full.
-#: 2. The remaining r05-era entries, cheap-first — they lead round 9's
-#:    window (with anything new in round 9).
-#: 3. Entries whose latest green is the r06 sweep, cheap-first.
-#: 4. Entries green in the r07 sweep (freshest), cheap-first.
+#: 1. Slots 1-50 (the sweep window) — never-driver-sampled round-9
+#:    entries first (d16/p11/t24), then q61 (the one entry whose latest
+#:    driver row, r07, predates its own corrected semantics — the
+#:    round-8 verdict's explicit order), then the full 34-entry cohort
+#:    whose latest green is r05 (waited longest), cheap-first (builder
+#:    per-query bench), then d12 (its oracle text was refactored into
+#:    the shared chain this round; results identical, but a fresh row
+#:    re-pins the hash) and the 11 cheapest r06-era entries to fill the
+#:    window to exactly 50.
+#: 2. d15 and d04 LEAD band 2: both changed semantics this round (d15
+#:    decorrelated+capped cells, d04 sample-not-drop buckets) but are
+#:    r08-green, so the tripwire bars them from THIS window — they must
+#:    be the first picks of round 10's window, exactly as q61 was this
+#:    round.  Then the remaining r06-era entries, cheap-first.
+#: 3. Entries whose latest green is the r07 sweep, cheap-first.
+#: 4. Entries green in the r08 sweep (freshest), cheap-first.
 #:
 #: tests/test_battery_contract.py::test_sweep_priority_block_leads
 #: recomputes this invariant from the CORRECTNESS_r*.json files and goes
@@ -171,197 +178,142 @@ def register(name: str, oracle: str | None, description: str = ""):
 #: bench.py iterates sorted(battery), so this order never skews
 #: per-query bench attribution.
 SWEEP_ORDER: tuple[str, ...] = (
-    # round-9 additions (placeholder slot — full round-9 rotation follows
-    # once all new entries land)
+    # -- band 1 (sweep window, 50): round-9 entries, q61, the r05-era
+    # -- cohort cheap-first, d12, then the cheapest r06-era fill ------
     "d16_semantic_recall_audit",
     "p11_jdbc_partitioned_read",
     "t24_bpe_apply",
-    # -- band 1 (sweep window, 50): new round-8 entries go at the very
-    # -- front (never driver-sampled must sit inside the window), then
-    "v13_stream_dedup_within_watermark",
-    "p10_plan_jdbc_roundtrip",
-    "v14_stream_quarantine",
-    "q83_parameterized_sql",
-    "m09_image_center_crop",
-    "d15_lsh_semantic_dedup",
-    "v15_stream_dim_refresh",
-    # -- the 27 entries whose latest driver-green row is r04 (waited
-    # -- longest), cheap-first (builder per-query bench) --------------
-    "q53_retention_cohorts",
-    "q19_range_join",
-    "q09_distinct_agg",
-    "q10_window_rank",
-    "d01_dedup_exact",
-    "q17_hourly_json",
-    "t02_quality_score",
-    "s02_ann_lsh",
-    "t03_langid",
-    "q23_approx_distinct",
-    "q21_cube_grouping",
-    "q11_running_window",
-    "q24_sessionize_batch",
-    "t05_pandas_tokens",
-    "t06_boilerplate_ratio",
-    "s03_ann_ivf",
-    "t11_repetition_score",
-    "q03_try_dateparse",
-    "q01_pricing_summary",
-    "t04_fingerprint",
-    "d02_dedup_fingerprint",
-    "u03_pandas_udaf_weighted",
-    "d07_dedup_clusters",
-    "d06_embedding_neardup",
-    "d03_ngram_jaccard",
-    "d05_simhash",
-    "d04_minhash_lsh",
-    # -- then the 16 cheapest entries whose latest driver-green row
-    # -- is r05, cheap-first, filling the window to exactly 50
-    # -- (7 round-8 entries + 27 r04-era + 16 r05-era) ----------------
-    "q30_null_semantics",
-    "q08_topk_orders",
-    "t12_length_deciles",
-    "q39_regexp_groups",
-    "m01_multimodal_metadata",
-    "q37_map_functions",
-    "q02_cast_coalesce_project",
-    "t10_source_mixture",
-    "t08_train_test_split",
-    "q32_histogram",
-    "q16_math_funcs",
-    "q42_json_struct_parse",
-    "t21_training_shuffle",
-    "t09_corpus_stats",
-    "q47_bitwise_agg",
-    "q52_funnel",
-    # -- band 2: the remaining r05-era entries, cheap-first — these
-    # -- lead round 9 (with anything new in round 9) ------------------
+    "q61_small_quantity_avg",
+    "q40_union_by_name",
     "t20_quality_upsample",
-    "q43_rank_family",
+    "q36_explode_outer",
     "q46_ignore_nulls_fill",
     "q38_string_agg",
-    "q36_explode_outer",
-    "q40_union_by_name",
     "q15_string_funcs",
+    "q43_rank_family",
+    "q33_scd2_versions",
     "q35_not_in_null_trap",
     "s01_knn_bruteforce",
     "u05_arrow_map_batches",
-    "d11_sketch_error",
-    "q33_scd2_versions",
-    "s10_filtered_knn",
     "t19_token_rarity",
+    "s10_filtered_knn",
+    "d11_sketch_error",
     "m03_audio_decode",
-    "m06_audio_resample",
-    "t18_sliding_chunks",
     "m04_image_decode",
+    "m06_audio_resample",
     "m05_image_resize",
+    "t18_sliding_chunks",
+    "t22_bpe_merges",
     "u07_python_writer",
     "s09_matryoshka_recall",
     "p04_plan_json_pipeline",
-    "t22_bpe_merges",
     "v06_stream_static_enrich",
     "v03_stream_dedup_exact",
-    "u06_python_datasource",
     "t17_chunk_dedup",
-    "p01_curation_pipeline",
-    "s11_pq_adc",
     "v05_stream_watermark_eviction",
+    "u06_python_datasource",
+    "p01_curation_pipeline",
     "v07_stream_python_source",
+    "s11_pq_adc",
     "v04_stream_stream_join",
     "p03_plan_incremental",
     "p02_plan_csv_pipeline",
-    # -- band 3: latest green in the r06 sweep, cheap-first -----------
+    "d12_semantic_dedup",
     "q58_forecast_revenue",
     "q29_range_frame_interval",
-    "q31_date_spine_gapfill",
-    "q20_tumbling_window",
     "q06_join_cast_key_broadcast",
-    "q60_dynamic_partition_pruning",
-    "d10_cluster_survivors",
+    "q20_tumbling_window",
     "q07_conditional_agg",
-    "q28_array_map_agg",
-    "t13_vocab_by_source",
-    "q26_sliding_window",
-    "q55_lateral_topn",
-    "q22_percentiles",
-    "q13_semi_anti_join",
-    "s04_ann_recall",
-    "s07_int8_quantization",
-    "q49_latest_record_dedup",
     "q04_weekly_rollup",
     "u04_arrow_scalar_udf",
-    "q14_rollup",
+    "t13_vocab_by_source",
+    "q31_date_spine_gapfill",
+    "q13_semi_anti_join",
     "q44_arg_extremes",
-    "s05_ann_multiprobe",
-    "u02_python_udtf",
-    "q57_returned_items",
-    "q51_salted_skew_agg",
-    "s06_knn_join",
-    "d09_containment",
-    "t16_sequence_packing",
+    # -- band 2: d15 + d04 first (semantics changed in round 9, barred
+    # -- from this window by the freshly-green rule -> they lead round
+    # -- 10), then the remaining r06-era entries, cheap-first ---------
+    "d15_lsh_semantic_dedup",
+    "d04_minhash_lsh",
+    "q28_array_map_agg",
+    "q26_sliding_window",
+    "d10_cluster_survivors",
+    "s07_int8_quantization",
     "q12_set_ops",
-    "q54_recursive_year_ladder",
-    "q18_asof_join",
+    "t16_sequence_packing",
     "q34_full_outer_reconcile",
+    "q60_dynamic_partition_pruning",
+    "u02_python_udtf",
+    "q22_percentiles",
     "t01_token_stats",
-    "q56_local_supplier_volume",
+    "q14_rollup",
+    "q51_salted_skew_agg",
+    "q18_asof_join",
+    "s05_ann_multiprobe",
+    "s04_ann_recall",
+    "q55_lateral_topn",
+    "d09_containment",
+    "q57_returned_items",
+    "s06_knn_join",
+    "q49_latest_record_dedup",
+    "q54_recursive_year_ladder",
     "m07_shot_detection",
-    "q48_shipping_priority",
     "q50_higher_order_funcs",
-    "q59_salted_skew_join",
+    "q48_shipping_priority",
     "q45_grouping_sets",
+    "q56_local_supplier_volume",
+    "q59_salted_skew_join",
     "t23_bigram_novelty",
-    "p06_plan_multi_step",
     "t15_benchmark_decontam",
     "v01_stream_tumbling_agg",
+    "p06_plan_multi_step",
     "p05_plan_multi_source",
     "s12_quantized_rerank",
     "u08_polymorphic_udtf",
-    "s08_kmeans_refine",
     "v08_stream_session_window",
+    "s08_kmeans_refine",
     "v02_stream_sessionize",
-    "d12_semantic_dedup",
-    # -- band 4: green in the r07 sweep (freshest), cheap-first -------
-    "q66_bloom_runtime_filter",
+    # -- band 3: latest green in the r07 sweep, cheap-first -----------
     "q80_aqe_skew_split",
+    "q66_bloom_runtime_filter",
     "q69_promo_revenue_share",
-    "q70_disjunctive_predicate_join",
-    "q61_small_quantity_avg",
-    "q72_dormant_rich_customers",
-    "q81_sql_variables",
-    "q64_customer_distribution",
     "q82_compaction_roundtrip",
+    "q81_sql_variables",
     "p08_xml_roundtrip",
-    "q68_late_shipment_priority",
     "t14_tfidf_keywords",
-    "d08_fuzzy_levenshtein",
-    "u09_arrow_udtf",
-    "q05_left_join_multikey",
-    "q75_part_promotion_suppliers",
+    "q72_dormant_rich_customers",
+    "q70_disjunctive_predicate_join",
     "u01_grouped_pandas_agg",
-    "q74_top_supplier_revenue",
-    "m02_frame_fingerprints",
-    "q27_correlated_subquery",
-    "q25_pivot_unpivot",
-    "u11_arrow_grouped_map",
-    "q73_parts_supplier_counts",
-    "s15_binary_quantization",
+    "q64_customer_distribution",
+    "q05_left_join_multikey",
+    "u09_arrow_udtf",
     "q41_set_ops_all",
-    "d14_incremental_dedup",
+    "q74_top_supplier_revenue",
+    "d08_fuzzy_levenshtein",
+    "m02_frame_fingerprints",
+    "q68_late_shipment_priority",
+    "u11_arrow_grouped_map",
+    "q25_pivot_unpivot",
+    "s15_binary_quantization",
+    "q27_correlated_subquery",
+    "q75_part_promotion_suppliers",
     "m08_audio_vad",
     "t07_pii_scan_redact",
-    "q76_volume_shipping",
+    "q73_parts_supplier_counts",
     "s14_radius_search",
+    "q76_volume_shipping",
     "q77_market_share",
-    "q78_product_type_profit",
     "d13_perceptual_dhash",
+    "q78_product_type_profit",
+    "d14_incremental_dedup",
     "q71_important_part_values",
+    "v12_stream_sliding_window",
     "q63_suppliers_kept_waiting",
     "q62_large_volume_customers",
-    "v12_stream_sliding_window",
-    "q79_min_cost_supplier",
     "p09_plan_stream",
-    "p07_plan_quarantine",
+    "q79_min_cost_supplier",
     "q67_variant_extract",
+    "p07_plan_quarantine",
     "q65_bucketed_colocated_join",
     "v09_stream_rocksdb_session",
     "v11_stream_upsert_sink",
@@ -369,8 +321,57 @@ SWEEP_ORDER: tuple[str, ...] = (
     "v10_stream_outer_join",
     "g03_bfs_levels",
     "g01_integer_pagerank",
-    "u10_python_stream_writer",
     "g02_triangle_count",
+    "u10_python_stream_writer",
+    # -- band 4: green in the r08 sweep (freshest), cheap-first -------
+    "q08_topk_orders",
+    "q39_regexp_groups",
+    "q37_map_functions",
+    "q16_math_funcs",
+    "t12_length_deciles",
+    "q30_null_semantics",
+    "q02_cast_coalesce_project",
+    "t10_source_mixture",
+    "q42_json_struct_parse",
+    "t08_train_test_split",
+    "m01_multimodal_metadata",
+    "t21_training_shuffle",
+    "q83_parameterized_sql",
+    "q32_histogram",
+    "t09_corpus_stats",
+    "q47_bitwise_agg",
+    "q52_funnel",
+    "m09_image_center_crop",
+    "t02_quality_score",
+    "q10_window_rank",
+    "q53_retention_cohorts",
+    "q19_range_join",
+    "q09_distinct_agg",
+    "q11_running_window",
+    "q21_cube_grouping",
+    "q17_hourly_json",
+    "t03_langid",
+    "q24_sessionize_batch",
+    "q23_approx_distinct",
+    "t05_pandas_tokens",
+    "s02_ann_lsh",
+    "d01_dedup_exact",
+    "t11_repetition_score",
+    "s03_ann_ivf",
+    "q03_try_dateparse",
+    "t06_boilerplate_ratio",
+    "v13_stream_dedup_within_watermark",
+    "v15_stream_dim_refresh",
+    "q01_pricing_summary",
+    "t04_fingerprint",
+    "d02_dedup_fingerprint",
+    "u03_pandas_udaf_weighted",
+    "p10_plan_jdbc_roundtrip",
+    "v14_stream_quarantine",
+    "d03_ngram_jaccard",
+    "d07_dedup_clusters",
+    "d06_embedding_neardup",
+    "d05_simhash",
 )
 
 
