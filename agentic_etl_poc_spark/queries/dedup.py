@@ -1363,32 +1363,33 @@ D15_CELL_CAP = 4 * D15_TARGET_OCC
 #: from an ``emb_corpus(vec_id, embedding)`` CTE the caller prepends —
 #: shared verbatim by the d15 oracle (raw embeddings passthrough) and
 #: d16's recall audit (embeddings + planted near-twins).
-DUCK_D15_CHAIN = f"""d15_nn AS (SELECT COUNT(*) AS n FROM emb_corpus),
+DUCK_D15_CHAIN = f"""d15_nn AS (
+  SELECT COUNT(*) AS n, MIN(vec_id) AS lo, MAX(vec_id) AS hi
+  FROM emb_corpus
+),
 d15_bb AS (
-  SELECT n, b, n // b AS stride FROM (
-    SELECT n, length(printf('%b', greatest(n // {D15_TARGET_OCC}, 1))) AS b
+  SELECT n, lo, hi, b, greatest((hi - lo + 1) // b, 1) AS rstride FROM (
+    SELECT n, lo, hi,
+           length(printf('%b', greatest(n // {D15_TARGET_OCC}, 1))) AS b
     FROM d15_nn
   )
 ),
 d15_projs AS (
-  SELECT u.j, u.uvec, v.vvec
+  SELECT j,
+         list_transform(range(1, {EMB_DIM} + 1),
+           i -> CAST(uvec[i] AS DOUBLE) - CAST(vvec[i] AS DOUBLE)) AS wvec
   FROM (
-    SELECT e.vec_id // bb.stride AS j, e.embedding AS uvec
+    SELECT (e.vec_id - bb.lo) // bb.rstride AS j,
+           arg_min(e.embedding, e.vec_id) AS uvec,
+           arg_max(e.embedding, e.vec_id) AS vvec
     FROM emb_corpus e, d15_bb bb
-    WHERE e.vec_id % bb.stride = 0 AND e.vec_id // bb.stride < bb.b
-  ) u
-  JOIN (
-    SELECT (e.vec_id - bb.stride // 2) // bb.stride AS j,
-           e.embedding AS vvec
-    FROM emb_corpus e, d15_bb bb
-    WHERE e.vec_id % bb.stride = bb.stride // 2
-      AND (e.vec_id - bb.stride // 2) // bb.stride < bb.b
-  ) v USING (j)
+    WHERE (e.vec_id - bb.lo) // bb.rstride < bb.b
+    GROUP BY 1
+  )
 ),
 d15_cells AS (
   SELECT e.vec_id,
-         SUM(CASE WHEN {duck_dot_fold('e.embedding', 'p.uvec', EMB_DIM)}
-                       - {duck_dot_fold('e.embedding', 'p.vvec', EMB_DIM)} > 0
+         SUM(CASE WHEN {duck_dot_fold('e.embedding', 'p.wvec', EMB_DIM)} > 0
                   THEN (1::BIGINT << CAST(p.j AS INT)) ELSE 0 END) AS cell_id
   FROM emb_corpus e CROSS JOIN d15_projs p
   GROUP BY e.vec_id
@@ -1432,10 +1433,14 @@ ORDER BY a.vec_id
     "identically (length(bin(x)) / length(printf('%b', x))), so "
     f"expected occupancy stays ~{D15_TARGET_OCC} at every scale and no "
     "transcendental ever reaches the hash.  Hyperplane j's normal is "
-    "the DIFFERENCE of two index-strided corpus embeddings (u at "
-    "j*stride, v half a stride later, stride = n div b): bit j = "
-    "sign(dot(e,u) - dot(e,v)) = sign(dot(e, u-v)), computed as two "
-    "exact sequential-fold dots.  Differencing strided picks is the "
+    "the DIFFERENCE of two far-apart corpus embeddings: the vec_id "
+    "range [lo, hi] splits into b equal-width buckets and bucket j "
+    "contributes w_j = first(j) - last(j) (argmin/argmax by vec_id, "
+    "value-range keyed, so sparse/tiled id layouts still yield b "
+    "distinct projections — positional strides found ONE projection "
+    "on the sf1 tiler's +1M-per-tile ids); bit j = sign(dot(e, w_j)), "
+    "one exact sequential-fold dot per pair, w_j materialized once.  "
+    "Differencing far-apart picks is the "
     "round-8 verdict's decorrelation fix — round 8 used the FIRST b "
     "embeddings as normals, so on a low-diversity corpus every "
     "hyperplane tilted toward the shared mean direction and cells "
@@ -1469,6 +1474,8 @@ def d15_flags_for(e: DataFrame) -> DataFrame:
 
     bf = e.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("vec_id").cast("bigint").alias("lo"),
+        F.max("vec_id").cast("bigint").alias("hi"),
         F.length(
             F.bin(
                 F.greatest(
@@ -1479,34 +1486,45 @@ def d15_flags_for(e: DataFrame) -> DataFrame:
         )
         .cast("bigint")
         .alias("b"),
-    ).select("n", "b", F.expr("n DIV b").alias("stride"))
-    u = (
+    ).select(
+        "n",
+        "lo",
+        "hi",
+        "b",
+        F.expr("greatest((hi - lo + 1) DIV b, CAST(1 AS BIGINT))").alias(
+            "rstride"
+        ),
+    )
+    # projection picks are keyed by the vec_id VALUE RANGE (b equal-width
+    # buckets over [lo, hi]; u = first, v = last vector of each bucket),
+    # never by positional arithmetic on the ids themselves: vec_ids need
+    # not be dense — the sf1/sf10 tilers shift each tile by 1,000,000,
+    # and the first cut of this rework (picks at vec_id = j*stride)
+    # found ONE projection there, leaving 2 giant cells whose capped
+    # pair scan cost 29 s at sf1.  The difference vector is materialized
+    # ONCE per bucket (IEEE double subtraction of float-cast elements is
+    # exact and correctly rounded, so both engines build bit-identical
+    # wvec values), keeping the assignment at one fold per
+    # (vector, projection) pair.
+    projs = (
         e.crossJoin(F.broadcast(bf))
-        .filter(
-            (F.col("vec_id") % F.col("stride") == 0)
-            & (F.expr("vec_id DIV stride") < F.col("b"))
+        .filter(F.expr("(vec_id - lo) DIV rstride") < F.col("b"))
+        .groupBy(F.expr("(vec_id - lo) DIV rstride").alias("j"))
+        .agg(
+            F.min_by("embedding", "vec_id").alias("uvec"),
+            F.max_by("embedding", "vec_id").alias("vvec"),
         )
         .select(
-            F.expr("vec_id DIV stride").alias("j"),
-            F.col("embedding").alias("uvec"),
+            "j",
+            F.zip_with(
+                F.col("uvec"),
+                F.col("vvec"),
+                lambda a, b: a.cast("double") - b.cast("double"),
+            ).alias("wvec"),
         )
     )
-    v = (
-        e.crossJoin(F.broadcast(bf))
-        .filter(
-            (F.col("vec_id") % F.col("stride") == F.expr("stride DIV 2"))
-            & (F.expr("(vec_id - stride DIV 2) DIV stride") < F.col("b"))
-        )
-        .select(
-            F.expr("(vec_id - stride DIV 2) DIV stride").alias("j"),
-            F.col("embedding").alias("vvec"),
-        )
-    )
-    projs = u.join(v, "j")
     bit_term = F.when(
-        dot_fold(F.col("embedding"), F.col("uvec"))
-        - dot_fold(F.col("embedding"), F.col("vvec"))
-        > 0,
+        dot_fold(F.col("embedding"), F.col("wvec")) > 0,
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
     ).otherwise(F.lit(0).cast("bigint"))
     # nsq piggybacks on the assignment agg so the pair scan's cosine is
@@ -1621,8 +1639,10 @@ FROM flags
     "planted_pairs, d12_caught, d15_caught, both_caught, and "
     "d15_vs_d12_pct = 100*both DIV d12 (integer division — no float "
     "ratio ever reaches the hash).  Measured sf0.01: d12 catches 40/50, "
-    "d15 30/50, agreement 25 -> 62% — the quantified cost of the n log "
-    "n scale path, and the number multi-probe exists to recover.  "
+    "d15 45/50, agreement 36 -> 90% — and the audit already earned its "
+    "keep: the first d15 rework (first-b-embedding normals) scored "
+    "30/50 / 62% here, and the value-range difference picks were "
+    "chosen because this entry made the recall cost visible.  "
     "Scale shape: both kernels keep their entry plans (broadcast "
     "centroids/projections, one cell-keyed exchange each); the audit "
     "adds only a twin-id modulo join on dim-sized drop sets.",
