@@ -32,15 +32,28 @@ def _quote_ident(name: str, conn_str: str) -> str:
     """Dialect-aware identifier quoting for the verify queries.
 
     Double quotes are ANSI identifier quotes (Postgres / Derby / SQLite /
-    DuckDB); the MySQL family treats them as string literals unless
-    ANSI_QUOTES is on, so it gets backticks.  Dotted names
-    (``schema.table``) quote each part.  Already-quoted input passes
+    DuckDB) — that path delegates to the sink's shared ``quote_ident``
+    (dot-splitting + embedded-quote doubling); the MySQL family treats
+    double quotes as string literals unless ANSI_QUOTES is on, so it
+    gets backticks.  The dialect is read from the URL SCHEME only
+    (``jdbc:`` prefix stripped, SQLAlchemy ``+driver`` suffix dropped) —
+    a substring match over the whole string would misfire on paths like
+    ``jdbc:derby:/data/mysql_migration``.  Already-quoted input passes
     through untouched so callers with exotic names keep control.
     """
-    q = "`" if "mysql" in conn_str.split("://", 1)[0].lower() else '"'
+    from agentic_etl_poc_spark.sinks.jdbc_sink import quote_ident
+
     if name.startswith(("`", '"')):
         return name
-    return ".".join(f"{q}{part}{q}" for part in name.split("."))
+    s = conn_str.lower()
+    if s.startswith("jdbc:"):
+        s = s[len("jdbc:"):]
+    scheme = s.split(":", 1)[0].split("+", 1)[0]
+    if scheme in ("mysql", "mariadb"):
+        return ".".join(
+            "`" + p.replace("`", "``") + "`" for p in name.split(".")
+        )
+    return quote_ident(name)
 
 
 def _lag_minutes_from(ts: _dt.datetime | None) -> float | None:

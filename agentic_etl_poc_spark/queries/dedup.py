@@ -1590,19 +1590,24 @@ D16_EPS = 0.25
 @register(
     "d16_semantic_recall_audit",
     oracle=f"""
-WITH emb_corpus AS (
+WITH d16_off AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings),
+emb_corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000,
+  SELECT vec_id + o.off,
          list_transform(range(1, {EMB_DIM} + 1),
            i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + {D16_EPS}
                      ELSE CAST(embedding[i] AS DOUBLE) END)
-  FROM embeddings WHERE vec_id % 10 = 0
+  FROM embeddings, d16_off o WHERE vec_id % 10 = 0
 ),
 {DUCK_D12_CHAIN},
 {DUCK_D15_CHAIN},
-c12 AS (SELECT DISTINCT vec_id % 1000000 AS p FROM d12_dropped),
-c15 AS (SELECT DISTINCT vec_id % 1000000 AS p FROM d15_dropped),
+c12 AS (SELECT DISTINCT CASE WHEN d.vec_id >= o.off THEN d.vec_id - o.off
+                             ELSE d.vec_id END AS p
+        FROM d12_dropped d, d16_off o),
+c15 AS (SELECT DISTINCT CASE WHEN d.vec_id >= o.off THEN d.vec_id - o.off
+                             ELSE d.vec_id END AS p
+        FROM d15_dropped d, d16_off o),
 flags AS (
   SELECT e.vec_id AS p, (c12.p IS NOT NULL) AS f12, (c15.p IS NOT NULL) AS f15
   FROM embeddings e
@@ -1638,44 +1643,69 @@ FROM flags
     "always drops the twin.  Output is one row of exact integers: "
     "planted_pairs, d12_caught, d15_caught, both_caught, and "
     "d15_vs_d12_pct = 100*both DIV d12 (integer division — no float "
-    "ratio ever reaches the hash).  Measured sf0.01: d12 catches 40/50, "
-    "d15 45/50, agreement 36 -> 90% — and the audit already earned its "
-    "keep: the first d15 rework (first-b-embedding normals) scored "
-    "30/50 / 62% here, and the value-range difference picks were "
-    "chosen because this entry made the recall cost visible.  "
+    "ratio ever reaches the hash).  The twin-id offset is DERIVED from "
+    "the corpus (max vec_id + 1): a fixed +1e6 collided with the sf1 "
+    "tiler's per-tile id stride and corrupted the audit at scale.  "
+    "Measured sf0.01: d12 catches 40/50, d15 38/50, agreement 31 -> "
+    "77%; at sf1 (b = 9 bits) d12 catches 1326/2000, d15 734 -> 38% — "
+    "recall falls as b grows with log n because every extra hyperplane "
+    "is another chance to split a twin pair, the quantified law that "
+    "makes production systems run sign-LSH multi-probe or as a cheap "
+    "first pass.  The audit already earned its keep: the first d15 "
+    "rework (first-b-embedding normals) scored 30/50 / 62% at sf0.01, "
+    "and the value-range difference picks were chosen because this "
+    "entry made the recall cost visible.  "
     "Scale shape: both kernels keep their entry plans (broadcast "
     "centroids/projections, one cell-keyed exchange each); the audit "
     "adds only a twin-id modulo join on dim-sized drop sets.",
 )
 def d16_semantic_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # twin-id offset DERIVED from the corpus (max id + 1), never a fixed
+    # constant: the sf1/sf10 tilers shift each tile's vec_ids by
+    # 1,000,000, so a fixed +1,000,000 twin id collided with the next
+    # tile's real ids — two different embeddings under one vec_id, a
+    # nondeterministically corrupted audit at exactly the scales the
+    # growth table records
+    offf = F.broadcast(
+        raw.agg((F.max("vec_id") + 1).cast("bigint").alias("off"))
+    )
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    twins = raw.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(
-            F.col("embedding"),
-            lambda x, i: F.when(i == 0, x.cast("double") + D16_EPS).otherwise(
-                x.cast("double")
-            ),
-        ).alias("embedding"),
+    twins = (
+        raw.filter(F.col("vec_id") % 10 == 0)
+        .crossJoin(offf)
+        .select(
+            (F.col("vec_id") + F.col("off")).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(
+                    i == 0, x.cast("double") + D16_EPS
+                ).otherwise(x.cast("double")),
+            ).alias("embedding"),
+        )
     )
     corpus = raw.select("vec_id", as_double.alias("embedding")).unionByName(
         twins
     )
-    c12 = (
-        d12_flags_for(corpus)
-        .filter(F.col("is_dup"))
-        .select((F.col("vec_id") % 1000000).alias("p"))
-        .distinct()
-        .withColumn("f12", F.lit(True))
-    )
-    c15 = (
-        d15_flags_for(corpus)
-        .filter(F.col("is_dup"))
-        .select((F.col("vec_id") % 1000000).alias("p"))
-        .distinct()
-        .withColumn("f15", F.lit(True))
-    )
+
+    def catch_set(flags: DataFrame, col: str) -> DataFrame:
+        return (
+            flags.filter(F.col("is_dup"))
+            .crossJoin(offf)
+            .select(
+                F.when(
+                    F.col("vec_id") >= F.col("off"),
+                    F.col("vec_id") - F.col("off"),
+                )
+                .otherwise(F.col("vec_id"))
+                .alias("p")
+            )
+            .distinct()
+            .withColumn(col, F.lit(True))
+        )
+
+    c12 = catch_set(d12_flags_for(corpus), "f12")
+    c15 = catch_set(d15_flags_for(corpus), "f15")
     planted = raw.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("p")
     )

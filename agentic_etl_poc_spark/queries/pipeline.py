@@ -1372,13 +1372,16 @@ ORDER BY 1
     "upstream queries (fetch_db refuses query+partitionColumn "
     "combined, which Spark rejects; the derived-table rewrite is the "
     "documented scale path).  The PLAN ASSERTION is in the hashed "
-    "result: n_scan_parts = COUNT(DISTINCT spark_partition_id()) "
-    "computed in the partial-aggregate stage of the raw scan (before "
-    "any exchange), and the oracle pins it to exactly 4 — if the read "
-    "ever collapses to one JDBC connection the driver row goes red, "
-    "not just a unit test.  The aggregate itself replays p10's "
-    "decimal-exact priority rollup so the Derby round-trip stays "
-    "value-checked too.",
+    "result: spark_partition_id() is projected in the scan stage into "
+    "a per-(priority, partition) partial aggregate that is "
+    "materialized ONCE (localCheckpoint — static planning would give "
+    "the rollup and the partition-count consumers each their own "
+    "4-query JDBC subtree, doubling the transfer this entry prices), "
+    "and n_scan_parts = COUNT(DISTINCT pid) over it is oracle-pinned "
+    "to exactly 4 — if the read ever collapses to one JDBC connection "
+    "the driver row goes red, not just a unit test.  The rollup "
+    "re-aggregates the decimal partials exactly, so the Derby "
+    "round-trip stays value-checked too.",
 )
 def p11_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_etl_poc_spark.sources.jdbc_source import fetch_db
@@ -1406,17 +1409,40 @@ def p11_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper_bound=int(b["hi"]) + 1,
         num_partitions=4,
     )
-    # partition evidence: distinct scan-partition ids, projected in the
-    # scan stage (pre-exchange) then counted — Spark 4 forbids the
-    # non-deterministic spark_partition_id() directly inside an agg
-    scan_stats = raw.select(
-        F.spark_partition_id().alias("scan_pid")
-    ).agg(F.countDistinct("scan_pid").cast("bigint").alias("n_scan_parts"))
-    return (
-        raw.groupBy("prio_code")
+    # ONE pass over the partitioned scan: per-(prio_code, scan-partition)
+    # partial sums first — the rollup re-aggregates them and the
+    # partition evidence counts distinct pids from the SAME frame, so
+    # both consumers share one exchange subtree (scan + partial agg
+    # included) via ReuseExchange instead of each issuing its own 4
+    # bounded Derby queries.  spark_partition_id() is projected before
+    # the agg (Spark 4 forbids the non-deterministic expression inside
+    # one) and decimal partial sums re-aggregate exactly.
+    pid_stats = (
+        raw.select(
+            "prio_code",
+            "total",
+            F.spark_partition_id().alias("scan_pid"),
+        )
+        .groupBy("prio_code", "scan_pid")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum(F.col("total").cast("decimal(28,6)"))
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("total").cast("decimal(28,6)")).alias("tot"),
+        )
+    )
+    plan_capture.note("jdbc_partitioned_scan", pid_stats)
+    # materialize the (prio, pid) partials ONCE (a ~partitions*groups-row
+    # frame): static planning gives each consumer its own JDBC scan
+    # subtree (4 scan nodes in the formatted plan), which would double
+    # the upstream transfer the entry exists to price
+    pid_stats = pid_stats.localCheckpoint(eager=True)
+    scan_stats = pid_stats.agg(
+        F.countDistinct("scan_pid").cast("bigint").alias("n_scan_parts")
+    )
+    return (
+        pid_stats.groupBy("prio_code")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("tot")
             .cast("decimal(28,6)")
             .cast("string")
             .alias("total_s"),

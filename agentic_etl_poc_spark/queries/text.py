@@ -1826,7 +1826,11 @@ def t24_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 n_words = pre = post = 0
-                for w in str(text).split(" "):
+                # NULL text contributes no words (DuckDB's string_split
+                # of NULL unnests to zero rows — str(None) would count a
+                # literal 'None' word)
+                words = text.split(" ") if isinstance(text, str) else []
+                for w in words:
                     if not w:
                         continue
                     n_words += 1
@@ -1838,6 +1842,11 @@ def t24_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for _ in range(3):
                             seq = seq.replace(pat, rep)
                     post += len(seq.split())
+                if n_words == 0:
+                    # the oracle's docs CTE (length(w) > 0) drops such
+                    # docs entirely — emitting a zero row here would be
+                    # a row-count mismatch
+                    continue
                 rows.append((int(doc_id), n_words, pre, post, pre - post))
             yield pd.DataFrame(
                 rows,

@@ -689,3 +689,60 @@ def test_fetch_db_partitioned_requires_bounds(spark):
             partition_column="x",
             num_partitions=4,
         )
+
+
+def test_quote_ident_scheme_not_substring():
+    """Self-review: the dialect sniff must read the URL scheme, not
+    substring-match the whole string — 'mysql' in a Derby database PATH
+    must not select backticks (a Derby syntax error)."""
+    from agentic_etl_poc_spark.operators.verify import _quote_ident
+
+    assert _quote_ident("n", "jdbc:derby:/data/mysql_migration/db") == '"n"'
+    assert _quote_ident("n", "jdbc:sqlite:/tmp/mysql_dump.db") == '"n"'
+    assert _quote_ident("n", "jdbc:mariadb://h:3306/db") == "`n`"
+    # embedded quotes are escaped on both paths (shared sink helper for
+    # ANSI, doubling for backticks)
+    assert _quote_ident('we"ird', "postgresql://u@h/db") == '"we""ird"'
+    assert _quote_ident("we`ird", "mysql://u@h/db") == "`we``ird`"
+
+
+def test_t24_empty_and_null_docs_match_oracle(spark, tmp_path):
+    """Self-review: a document with empty/whitespace-only or NULL text
+    must be OMITTED by the t24 kernel exactly as the oracle's
+    length(w) > 0 docs CTE omits it — not emitted as a zero-count row
+    (row-count mismatch) or counted as the literal word 'None'."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agentic_etl_poc_spark.queries import load_all
+    from tests.oracle_diff import compare
+
+    # multi-char words so the 3 training merges exist (a single-char
+    # vocabulary has no adjacent pairs and both engines degenerate)
+    texts = ["alpha beta alpha beta gamma", "", "   ", None,
+             "gamma gamma alpha beta"]
+    ids = list(range(1, len(texts) + 1))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": texts,
+                "lang": ["en"] * len(ids),
+                "source": ["synth"] * len(ids),
+                "n_chars": pa.array(
+                    [len(t) if t else 0 for t in texts], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    spec = load_all()["t24_bpe_apply"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    result = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
+    assert result["ok"], result["detail"]
+    assert result["rows_spark"] == 2  # only the two real docs survive
