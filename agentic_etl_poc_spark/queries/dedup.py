@@ -1468,6 +1468,41 @@ def d15_flags_for(e: DataFrame) -> DataFrame:
     """d15's per-vector (vec_id, cell_id, is_dup) frame, pre-sort, over an
     arbitrary (vec_id, embedding) corpus — shared by the d15 entry (raw
     embeddings) and d16's recall audit (embeddings + planted twins)."""
+    from agentic_etl_poc_spark.functions.hashing import dot_fold
+
+    assigned, y, _ = _d15_parts(e)
+    x = assigned.alias("x")
+    pair_cos = dot_fold(F.col("x.embedding"), F.col("y.embedding")) / F.sqrt(
+        F.col("x.nsq") * F.col("y.nsq")
+    )
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cell_id") == F.col("y.cell_id"))
+            & (F.col("y.vec_id") < F.col("x.vec_id")),
+        )
+        .filter(pair_cos > D15_TAU)
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumnRenamed("vec_id", "dv"),
+        F.col("vec_id") == F.col("dv"),
+        "left",
+    ).select(
+        "vec_id",
+        F.col("cell_id").cast("bigint").alias("cell_id"),
+        F.col("dv").isNotNull().alias("is_dup"),
+    )
+
+
+def _d15_parts(e: DataFrame):
+    """The shared sign-cell machinery over an arbitrary (vec_id,
+    embedding) corpus: returns (assigned, ranked-sample y, bf) where
+    assigned = (vec_id, cell_id, embedding, nsq) repartitioned on the
+    pair-scan key, y = the lowest-D15_CELL_CAP ids per cell, and bf = the
+    1-row (n, lo, hi, b, rstride) scalar frame.  Consumed by d15
+    (single-probe), d16 (recall audit), and d17 (multi-probe)."""
     from pyspark.sql.window import Window
 
     from agentic_etl_poc_spark.functions.hashing import dot_fold
@@ -1553,29 +1588,7 @@ def d15_flags_for(e: DataFrame) -> DataFrame:
         .filter(F.col("rk") <= D15_CELL_CAP)
         .alias("y")
     )
-    x = assigned.alias("x")
-    pair_cos = dot_fold(F.col("x.embedding"), F.col("y.embedding")) / F.sqrt(
-        F.col("x.nsq") * F.col("y.nsq")
-    )
-    dropped = (
-        x.join(
-            y,
-            (F.col("x.cell_id") == F.col("y.cell_id"))
-            & (F.col("y.vec_id") < F.col("x.vec_id")),
-        )
-        .filter(pair_cos > D15_TAU)
-        .select(F.col("x.vec_id").alias("vec_id"))
-        .distinct()
-    )
-    return assigned.join(
-        dropped.withColumnRenamed("vec_id", "dv"),
-        F.col("vec_id") == F.col("dv"),
-        "left",
-    ).select(
-        "vec_id",
-        F.col("cell_id").cast("bigint").alias("cell_id"),
-        F.col("dv").isNotNull().alias("is_dup"),
-    )
+    return assigned, y, bf
 
 
 #: d16 near-twin perturbation: component 1 shifted by this much.  On the
@@ -1587,10 +1600,62 @@ def d15_flags_for(e: DataFrame) -> DataFrame:
 D16_EPS = 0.25
 
 
-@register(
-    "d16_semantic_recall_audit",
-    oracle=f"""
-WITH d16_off AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings),
+def _twin_corpus(raw: DataFrame):
+    """(corpus, offf): the raw embeddings plus a planted near-twin of
+    every 10th vector, and the broadcastable 1-row twin-id offset frame.
+    The offset is DERIVED from the corpus (max id + 1), never a fixed
+    constant: the sf1/sf10 tilers shift each tile's vec_ids by
+    1,000,000, so a fixed +1,000,000 twin id collided with the next
+    tile's real ids — two different embeddings under one vec_id, a
+    nondeterministically corrupted audit at exactly the scales the
+    growth table records.  Shared by d16 and d17."""
+    offf = F.broadcast(
+        raw.agg((F.max("vec_id") + 1).cast("bigint").alias("off"))
+    )
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    twins = (
+        raw.filter(F.col("vec_id") % 10 == 0)
+        .crossJoin(offf)
+        .select(
+            (F.col("vec_id") + F.col("off")).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(
+                    i == 0, x.cast("double") + D16_EPS
+                ).otherwise(x.cast("double")),
+            ).alias("embedding"),
+        )
+    )
+    corpus = raw.select("vec_id", as_double.alias("embedding")).unionByName(
+        twins
+    )
+    return corpus, offf
+
+
+def _catch_set(dropped: DataFrame, offf: DataFrame, col: str) -> DataFrame:
+    """Per-pair catch flags: demap twin ids back to the planted original
+    (ids >= off are twins) and dedup — a pair counts as caught when
+    EITHER member is in the drop set."""
+    return (
+        dropped.crossJoin(offf)
+        .select(
+            F.when(
+                F.col("vec_id") >= F.col("off"),
+                F.col("vec_id") - F.col("off"),
+            )
+            .otherwise(F.col("vec_id"))
+            .alias("p")
+        )
+        .distinct()
+        .withColumn(col, F.lit(True))
+    )
+
+
+
+#: The planted-twin audit corpus (raw embeddings + a perturbed copy of
+#: every 10th vector at vec_id + (max id + 1)) — shared by the d16 and
+#: d17 oracles; mirrors _twin_corpus exactly.
+DUCK_TWIN_CORPUS = f"""d16_off AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings),
 emb_corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
@@ -1599,7 +1664,13 @@ emb_corpus AS (
            i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + {D16_EPS}
                      ELSE CAST(embedding[i] AS DOUBLE) END)
   FROM embeddings, d16_off o WHERE vec_id % 10 = 0
-),
+)"""
+
+
+@register(
+    "d16_semantic_recall_audit",
+    oracle=f"""
+WITH {DUCK_TWIN_CORPUS},
 {DUCK_D12_CHAIN},
 {DUCK_D15_CHAIN},
 c12 AS (SELECT DISTINCT CASE WHEN d.vec_id >= o.off THEN d.vec_id - o.off
@@ -1661,51 +1732,13 @@ FROM flags
 )
 def d16_semantic_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # twin-id offset DERIVED from the corpus (max id + 1), never a fixed
-    # constant: the sf1/sf10 tilers shift each tile's vec_ids by
-    # 1,000,000, so a fixed +1,000,000 twin id collided with the next
-    # tile's real ids — two different embeddings under one vec_id, a
-    # nondeterministically corrupted audit at exactly the scales the
-    # growth table records
-    offf = F.broadcast(
-        raw.agg((F.max("vec_id") + 1).cast("bigint").alias("off"))
+    corpus, offf = _twin_corpus(raw)
+    c12 = _catch_set(
+        d12_flags_for(corpus).filter(F.col("is_dup")), offf, "f12"
     )
-    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    twins = (
-        raw.filter(F.col("vec_id") % 10 == 0)
-        .crossJoin(offf)
-        .select(
-            (F.col("vec_id") + F.col("off")).alias("vec_id"),
-            F.transform(
-                F.col("embedding"),
-                lambda x, i: F.when(
-                    i == 0, x.cast("double") + D16_EPS
-                ).otherwise(x.cast("double")),
-            ).alias("embedding"),
-        )
+    c15 = _catch_set(
+        d15_flags_for(corpus).filter(F.col("is_dup")), offf, "f15"
     )
-    corpus = raw.select("vec_id", as_double.alias("embedding")).unionByName(
-        twins
-    )
-
-    def catch_set(flags: DataFrame, col: str) -> DataFrame:
-        return (
-            flags.filter(F.col("is_dup"))
-            .crossJoin(offf)
-            .select(
-                F.when(
-                    F.col("vec_id") >= F.col("off"),
-                    F.col("vec_id") - F.col("off"),
-                )
-                .otherwise(F.col("vec_id"))
-                .alias("p")
-            )
-            .distinct()
-            .withColumn(col, F.lit(True))
-        )
-
-    c12 = catch_set(d12_flags_for(corpus), "f12")
-    c15 = catch_set(d15_flags_for(corpus), "f15")
     planted = raw.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("p")
     )
@@ -1730,4 +1763,139 @@ def d16_semantic_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(100 * SUM(CAST(f12 AND f15 AS BIGINT)) "
             "DIV GREATEST(SUM(CAST(f12 AS BIGINT)), 1) AS BIGINT)"
         ).alias("d15_vs_d12_pct"),
+    )
+
+
+@register(
+    "d17_multiprobe_semantic_dedup",
+    oracle=f"""
+WITH {DUCK_TWIN_CORPUS},
+{DUCK_D15_CHAIN},
+d17_probes AS (
+  SELECT a.vec_id, a.embedding,
+         unnest(list_prepend(a.cell_id,
+           list_transform(range(0, bb.b),
+             j -> xor(a.cell_id, 1::BIGINT << CAST(j AS INT))))) AS pc
+  FROM d15_assigned a, d15_bb bb
+),
+d17_dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM d17_probes x JOIN d15_ranked y
+    ON x.pc = y.cell_id AND y.vec_id < x.vec_id AND y.rk <= {D15_CELL_CAP}
+  WHERE {duck_cosine('x.embedding', 'y.embedding', EMB_DIM)} > {D15_TAU}
+),
+c15 AS (SELECT DISTINCT CASE WHEN d.vec_id >= o.off THEN d.vec_id - o.off
+                             ELSE d.vec_id END AS p
+        FROM d15_dropped d, d16_off o),
+c17 AS (SELECT DISTINCT CASE WHEN d.vec_id >= o.off THEN d.vec_id - o.off
+                             ELSE d.vec_id END AS p
+        FROM d17_dropped d, d16_off o),
+flags AS (
+  SELECT e.vec_id AS p, (c15.p IS NOT NULL) AS f15, (c17.p IS NOT NULL) AS f17
+  FROM embeddings e
+  LEFT JOIN c15 ON c15.p = e.vec_id
+  LEFT JOIN c17 ON c17.p = e.vec_id
+  WHERE e.vec_id % 10 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS planted_pairs,
+       CAST(SUM(CASE WHEN f15 THEN 1 ELSE 0 END) AS BIGINT)
+         AS single_probe_caught,
+       CAST(SUM(CASE WHEN f17 THEN 1 ELSE 0 END) AS BIGINT)
+         AS multi_probe_caught,
+       CAST(SUM(CASE WHEN f17 AND NOT f15 THEN 1 ELSE 0 END) AS BIGINT)
+         AS recovered_pairs,
+       CAST(100 * SUM(CASE WHEN f17 THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+         AS multi_recall_pct
+FROM flags
+""",
+    description="MULTI-PROBE sign-LSH semantic dedup — the production "
+    "answer to the recall law d16 quantified (single-probe recall falls "
+    "as b grows with log n because every extra hyperplane can split a "
+    "twin pair): each vector probes its own cell PLUS the b Hamming-1 "
+    "neighbor cells (own cell_id with one sign bit flipped — exactly "
+    "the cells a near-boundary twin lands in), comparing against the "
+    "same lowest-D15_CELL_CAP deterministic sample per probed cell "
+    "under the d10 first-wins rule.  Cost shape: the probe join is "
+    "(b+1)*n rows keyed on the probed cell — still n log n total where "
+    "d12 is n^1.5 — and the cell machinery (assignment, rank sample) "
+    "is the exact frame d15 builds, so the entry prices ONLY the "
+    "incremental probes.  Measured on the planted-twin corpus "
+    "(pair-level flags, same demap as d16): sf0.01 single-probe 38/50 "
+    "-> multi-probe 49/50 (98%); sf1 (b = 9) single 734/2000 -> multi "
+    "1559 (77%) — RECOVERING 825 pairs and overtaking even d12's "
+    "1326/2000 there, at a fraction of its n^1.5 cost.  Output is one "
+    "row of exact integers; no float ratio reaches the hash.  Scale "
+    "shape: probes explode map-side from the assigned frame, the probe "
+    "join shuffles on the probed cell id, and the y-side reuses d15's "
+    "cell_id exchange.",
+)
+def d17_multiprobe_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.functions.hashing import dot_fold
+
+    raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus, offf = _twin_corpus(raw)
+    assigned, y, bf = _d15_parts(corpus)
+    probes = (
+        assigned.crossJoin(F.broadcast(bf.select("b")))
+        .select(
+            "vec_id",
+            "embedding",
+            "nsq",
+            F.explode(
+                F.concat(
+                    F.array(F.col("cell_id")),
+                    F.expr(
+                        "transform(sequence(0, CAST(b - 1 AS INT)), "
+                        "j -> cell_id ^ shiftleft(CAST(1 AS BIGINT), j))"
+                    ),
+                )
+            ).alias("pc"),
+        )
+        .alias("x")
+    )
+    pair_cos = dot_fold(F.col("x.embedding"), F.col("y.embedding")) / F.sqrt(
+        F.col("x.nsq") * F.col("y.nsq")
+    )
+    d17_dropped = (
+        probes.join(
+            y,
+            (F.col("x.pc") == F.col("y.cell_id"))
+            & (F.col("y.vec_id") < F.col("x.vec_id")),
+        )
+        .filter(pair_cos > D15_TAU)
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    # single-probe drop set over the SAME corpus for the in-row recovery
+    # counters (d15_flags_for rebuilds the cell machinery; the probe
+    # entry prices the multi-probe side above)
+    d15_dropped = d15_flags_for(corpus).filter(F.col("is_dup"))
+    c15 = _catch_set(d15_dropped, offf, "f15")
+    c17 = _catch_set(d17_dropped, offf, "f17")
+    planted = raw.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("p")
+    )
+    flags = (
+        planted.join(c15, "p", "left")
+        .join(c17, "p", "left")
+        .select(
+            "p",
+            F.coalesce("f15", F.lit(False)).alias("f15"),
+            F.coalesce("f17", F.lit(False)).alias("f17"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("planted_pairs"),
+        F.sum(F.col("f15").cast("bigint"))
+        .cast("bigint")
+        .alias("single_probe_caught"),
+        F.sum(F.col("f17").cast("bigint"))
+        .cast("bigint")
+        .alias("multi_probe_caught"),
+        F.sum((F.col("f17") & ~F.col("f15")).cast("bigint"))
+        .cast("bigint")
+        .alias("recovered_pairs"),
+        F.expr(
+            "CAST(100 * SUM(CAST(f17 AS BIGINT)) DIV COUNT(*) AS BIGINT)"
+        ).alias("multi_recall_pct"),
     )

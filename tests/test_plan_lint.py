@@ -74,6 +74,9 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "d16_semantic_recall_audit": "inherits d12's and d15's corpus-count "
     "scalar seeds, and the audit's own output IS one global row of "
     "recall counters",
+    "d17_multiprobe_semantic_dedup": "inherits d15's corpus-count scalar "
+    "seeds (twice: single- and multi-probe drop sets share the cell "
+    "machinery) and the output IS one global row of recall counters",
     "t16_sequence_packing": "phase-2 prefix sum runs over tiny per-block "
     "totals only (documented two-phase design)",
     "t19_token_rarity": "NTILE rarity labels over one row per doc; scale "
