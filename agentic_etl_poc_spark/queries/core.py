@@ -181,6 +181,8 @@ SWEEP_ORDER: tuple[str, ...] = (
     # -- band 1 (sweep window, 50): round-9 entries, q61, the r05-era
     # -- cohort cheap-first, d12, then the cheapest r06-era fill (d17
     # -- joined later in round 9, pushing the last fill to band 2) ----
+    "p12_jdbc_live_upsert",
+    "t25_bpe_n16",
     "d17_multiprobe_semantic_dedup",
     "d16_semantic_recall_audit",
     "p11_jdbc_partitioned_read",

@@ -1450,3 +1450,129 @@ def p11_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(scan_stats))
         .orderBy("prio_code")
     )
+
+
+#: p12's per-plan transform: monthly rollup of the fetched slice.  The ym
+#: key is INT (year*100+month) so the Derby merge joins on an integer,
+#: never a CLOB (Derby refuses CLOB comparisons).
+_P12_TRANSFORM = """
+SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS INT) AS ym,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(total AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS STRING) AS total_s,
+       '{src}' AS src
+FROM input_df
+GROUP BY YEAR(o_orderdate) * 100 + MONTH(o_orderdate)
+"""
+
+
+def _duck_p12_slice(pred: str) -> str:
+    return f"""
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+              AS DECIMAL(28,6)) AS VARCHAR) AS total_s
+  FROM orders WHERE {pred}
+  GROUP BY 1"""
+
+
+@register(
+    "p12_jdbc_live_upsert",
+    oracle=f"""
+WITH s1 AS ({_duck_p12_slice(
+        "o_orderdate < DATE '1997-01-01' AND o_orderkey % 3 <> 0")}),
+s2 AS ({_duck_p12_slice("o_orderdate >= DATE '1996-01-01'")})
+SELECT COALESCE(s2.ym, s1.ym) AS ym,
+       COALESCE(s2.n_orders, s1.n_orders) AS n_orders,
+       COALESCE(s2.total_s, s1.total_s) AS total_s,
+       CASE WHEN s2.ym IS NOT NULL THEN 's2' ELSE 's1' END AS src
+FROM s1 FULL OUTER JOIN s2 ON s1.ym = s2.ym
+ORDER BY 1
+""",
+    description="LIVE upsert on a real database — the one §2.2 load mode "
+    "p10 left golden-tested only (reference etl_agent/tools.py:83-96: "
+    "stage table + merge in one transaction): two full plan lifecycles "
+    "run back-to-back against embedded Derby, each fetch_db-ing a slice "
+    "of orders_src WITH THE PREDICATE PUSHED INTO DERBY, rolling it up "
+    "to a monthly (ym) grain in Spark, and load_to_postgres'ing with "
+    "mode=upsert — Spark's distributed writer stages to cust_agg_stg, "
+    "then ONE driver-side transaction runs Derby MERGE INTO "
+    "(create-if-absent DDL + merge together; sinks/jdbc_sink.py's Derby "
+    "dialect, executed through the Spark JVM where the embedded engine "
+    "lives).  Plan 1 loads a 2/3 orderkey-sample of months < 1997 "
+    "(src='s1'); plan 2 re-loads months >= 1996 complete (src='s2') — "
+    "so the final table proves all three merge behaviors at once: "
+    "pre-1996 rows survive untouched (s1 sample values), 1996 rows are "
+    "UPDATED in place (sample counts -> full counts, src flips to s2), "
+    "and 1997-98 rows are pure INSERTs.  The oracle recomputes that "
+    "exact final state from parquet (full outer join of the two "
+    "slices), so the driver hash pins every merged cell — an "
+    "insert-only, replace, or ignore-on-conflict merge all go red.  "
+    "The battery result is the loaded table read back through JDBC.  "
+    "Scale shape: the data plane stays distributed (bounded source "
+    "read, partial-agg rollup, parallel stage write); the merge is one "
+    "in-database statement moving zero rows through the driver — "
+    "exactly the Postgres/lakehouse MERGE pattern at 100 TB.",
+)
+def p12_jdbc_live_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.runtime import run_from_plan
+    from agentic_etl_poc_spark.sinks.jdbc_sink import derby_exec
+    from agentic_etl_poc_spark.sources.jdbc_source import fetch_db
+
+    db_dir = _derby_orders_db(spark, sf_dir)
+    url = derby_url(db_dir)
+    # deterministic re-runs: start from an absent target so upsert #1 is
+    # pure insert and upsert #2 is the mixed update/insert the entry
+    # proves (42Y55 = table does not exist, fine on first run)
+    derby_exec(spark, url, ["DROP TABLE cust_agg"], ignore_states=("42Y55",))
+    slices = [
+        (
+            "s1",
+            "SELECT \"o_orderdate\", \"total\" FROM orders_src "
+            "WHERE \"o_orderdate\" < TIMESTAMP('1997-01-01 00:00:00') "
+            "AND MOD(\"o_orderkey\", 3) <> 0",
+        ),
+        (
+            "s2",
+            "SELECT \"o_orderdate\", \"total\" FROM orders_src "
+            "WHERE \"o_orderdate\" >= TIMESTAMP('1996-01-01 00:00:00')",
+        ),
+    ]
+    for src, q in slices:
+        sql_block = "\n".join(
+            "    " + ln
+            for ln in _P12_TRANSFORM.format(src=src).strip().splitlines()
+        )
+        plan = f"""
+source:
+  kind: db
+  db:
+    conn_str: "{url}"
+    query: >-
+      {q}
+transform:
+  sql: |
+{sql_block}
+checks:
+  min_rows: 1
+  nonnull_cols: [ym, total_s]
+load:
+  to: postgres
+  conn_str: "{url}"
+  table: cust_agg
+  mode: upsert
+  key_cols: [ym]
+verify:
+  min_rows: 1
+alerts:
+  on_fail: "slack://#data-alerts"
+"""
+        result = run_from_plan(spark, plan)
+        if result.get("status") != "ok":
+            raise RuntimeError(f"p12 upsert plan ({src}) failed: {result}")
+    return fetch_db(
+        spark,
+        url,
+        'SELECT "ym", "n_orders", CAST("total_s" AS VARCHAR(42)) AS "total_s", '
+        'CAST("src" AS VARCHAR(8)) AS "src" FROM cust_agg',
+    ).orderBy("ym")

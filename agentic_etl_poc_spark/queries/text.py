@@ -1612,9 +1612,16 @@ def m09_image_center_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_bpe_round(prev_state: str, n: int) -> str:
     """One unrolled BPE round: pair frequencies over ``prev_state``
-    (seq, c), the top merge, and the merged next state."""
+    (seq, c), the top merge, and the merged next state.
+
+    The state CTEs are MATERIALIZED: each round references the previous
+    state twice (pair agg + merge rewrite), so DuckDB's default CTE
+    inlining doubles the expansion per round — at t25's 16 rounds that
+    is 2^16 scans of the base parquet (observed as 'Too many open
+    files'); materialization makes the chain linear, which is also how
+    the Spark side executes it."""
     return f"""
-pairs{n} AS (
+pairs{n} AS MATERIALIZED (
   SELECT pr AS pair, CAST(SUM(c) AS BIGINT) AS freq
   FROM (
     SELECT c,
@@ -1625,8 +1632,9 @@ pairs{n} AS (
   )
   GROUP BY pr
 ),
-top{n} AS (SELECT pair, freq FROM pairs{n} ORDER BY freq DESC, pair LIMIT 1),
-s{n} AS (
+top{n} AS MATERIALIZED (
+  SELECT pair, freq FROM pairs{n} ORDER BY freq DESC, pair LIMIT 1),
+s{n} AS MATERIALIZED (
   SELECT replace(replace(replace(seq,
            ' ' || t.pair || ' ', ' ' || replace(t.pair, ' ', '') || ' '),
            ' ' || t.pair || ' ', ' ' || replace(t.pair, ' ', '') || ' '),
@@ -1734,6 +1742,79 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: t25's merge-round count.  Real tokenizers carry thousands of merges;
+#: 16 is enough to exercise the driver-coordinated training loop (one
+#: top-1 collect per round — inherent to BPE, each round's argmax gates
+#: the next) and to measure apply cost vs merge-table size against t24's
+#: N=3 (expected linear in N: the kernel is N sequential replace passes
+#: per word).
+BPE_N16 = 16
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_rounds: int
+) -> list[tuple[str, str, int]]:
+    """Driver-coordinated BPE training for an arbitrary round count:
+    returns the rank-ordered merge table [(pair, merged, freq), ...].
+
+    t22 unrolls its 3 rounds into ONE lazy Catalyst DAG; that stops
+    scaling in round count (the plan nests a limit+aggregate per round),
+    so past a handful of rounds training becomes what production BPE is
+    everywhere: a driver LOOP whose per-round Spark job aggregates pair
+    frequencies over the vocabulary state and collects the single argmax
+    row — 1 row per round crosses the driver, never data.  The state
+    (word-type seq + count, Heaps-law bounded) is localCheckpointed once
+    after the corpus-sized vocab agg so round jobs never re-tokenize the
+    corpus, and re-checkpointed every 4 rounds to keep the replace-chain
+    lineage flat.  Merge semantics are byte-identical to t22's chain
+    (same 3-pass replace-all, same freq-desc/pair-asc tie-break), so
+    rounds 1-3 must equal t22's table exactly (pinned by a unit test).
+    Raises if the vocabulary runs out of pairs before ``n_rounds`` (the
+    oracle's unrolled CTE chain cannot represent early stopping; at the
+    battery's scales 16 rounds never run dry)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    state = vocab.select(
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")
+        ).alias("seq"),
+        "c",
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for rnd in range(1, n_rounds + 1):
+        syms = F.split(F.trim(F.col("seq")), " ")
+        n = F.size(syms)
+        prs = F.zip_with(
+            F.slice(syms, 1, n - 1),
+            F.slice(syms, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        top = (
+            state.select("c", F.explode(prs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("c").cast("bigint").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise RuntimeError(
+                f"BPE vocabulary ran out of pairs at round {rnd}/{n_rounds}"
+            )
+        pair, freq = top[0]["pair"], int(top[0]["freq"])
+        merged = pair.replace(" ", "")
+        merges.append((pair, merged, freq))
+        pat, rep = F.lit(f" {pair} "), F.lit(f" {merged} ")
+        merged_seq = F.col("seq")
+        for _ in range(3):
+            merged_seq = F.replace(merged_seq, pat, rep)
+        state = state.select(merged_seq.alias("seq"), "c")
+        if rnd % 4 == 0 and rnd < n_rounds:
+            state = state.localCheckpoint(eager=True)
+    return merges
+
+
 def _duck_apply_merge(src: str, top: str) -> str:
     """One trained merge applied to per-word ``seq`` columns — the SAME
     three fixed replace-all passes as training (_duck_bpe_round), so the
@@ -1809,8 +1890,6 @@ ORDER BY doc_id
     "pass runs.",
 )
 def t24_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
     # the trained artifact: 3 (pair, merged) rows in rank order — a
     # driver-side fetch of the tokenizer itself, not of data
     merges = [
@@ -1820,6 +1899,15 @@ def t24_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pair", "merged")
         .collect()
     ]
+    return _bpe_apply_frame(spark, sf_dir, merges).orderBy("doc_id")
+
+
+def _bpe_apply_frame(spark: SparkSession, sf_dir: str, merges) -> DataFrame:
+    """Corpus-wide BPE apply (map-only Arrow kernel) for an arbitrary
+    rank-ordered merge list — t24 (N=3) and t25 (N=16) share it, so the
+    apply-cost-vs-merge-table-size comparison prices ONLY the merge
+    count.  Per-doc exact integers: word/pre-token/token/merge counts."""
+    import pandas as pd
 
     def apply_merges(batches):
         for pdf in batches:
@@ -1862,7 +1950,90 @@ def t24_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, n_words bigint, pre_tokens bigint, "
             "n_tokens bigint, n_merged bigint"
         ),
-    ).orderBy("doc_id")
+    )
+
+
+#: t25's oracle replays the SAME chain unrolled: 16 training rounds
+#: (pair-freq agg -> top-1 -> 3-pass replace) then 16 apply passes in
+#: rank order — mechanical expansion of the t22/t24 CTE generators, so
+#: one merge-semantics definition serves every N.
+_T25_TRAIN_CTES = ",\n".join(
+    _duck_bpe_round(f"s{i - 1}", i) for i in range(1, BPE_N16 + 1)
+)
+_T25_APPLY_CTES = ",\n".join(
+    "a{i} AS (SELECT doc_id, wlen, {expr} AS seq\n"
+    "       FROM {src} CROSS JOIN top{i} t)".format(
+        i=i,
+        src="w0" if i == 1 else f"a{i - 1}",
+        expr=_duck_apply_merge("w0" if i == 1 else f"a{i - 1}", "t"),
+    )
+    for i in range(1, BPE_N16 + 1)
+)
+
+
+@register(
+    "t25_bpe_n16",
+    oracle=f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+vocab AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+s0 AS (
+  SELECT ' ' || array_to_string(
+           list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
+         || ' ' AS seq, c
+  FROM vocab
+),
+{_T25_TRAIN_CTES},
+docs AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE length(w) > 0
+),
+w0 AS (
+  SELECT doc_id, length(w) AS wlen,
+         ' ' || array_to_string(
+           list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
+         || ' ' AS seq
+  FROM docs
+),
+{_T25_APPLY_CTES}
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wlen) AS BIGINT) AS pre_tokens,
+       CAST(SUM(len(string_split(trim(seq), ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(wlen) - SUM(len(string_split(trim(seq), ' '))) AS BIGINT)
+         AS n_merged
+FROM a{BPE_N16}
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    description=f"BPE at tokenizer-realistic depth — train {BPE_N16} merge "
+    "rounds and apply them corpus-wide (the round-9 verdict's ordered "
+    "extension of t22/t24, which pin the chain at N=3 with a fully lazy "
+    "plan): past a handful of rounds BPE training IS a driver loop — "
+    "each round's argmax gates the next, so the driver collects exactly "
+    "ONE (pair, freq) row per round (bpe_train_merges) while the "
+    "pair-frequency aggregate runs distributed over the localCheckpointed "
+    "vocabulary state (Heaps-law bounded; the corpus is tokenized ONCE, "
+    "never re-read per round).  Merge semantics are byte-identical to "
+    "t22's chain (same 3-pass replace-all, same freq-desc/pair-asc "
+    "tie-break; rounds 1-3 equal t22's table exactly, unit-pinned), and "
+    f"the apply is t24's map-only Arrow kernel with a {BPE_N16}-entry "
+    "merge list — the DuckDB oracle replays all "
+    f"{BPE_N16} training rounds AND apply passes unrolled, so the hash "
+    "pins every merge decision through the per-doc token counts.  "
+    "Scale shape: training's corpus-sized work is one vocab agg; each "
+    "round then costs one map-side-combinable agg + a 1-row collect "
+    "over the vocab frame (thousands of rounds = thousands of small "
+    "jobs, the production profile); apply stays map-only with the merge "
+    "list in the task closure — cost grows linearly in N (t24 vs t25 "
+    "isolation probes price it), independent of executor count.",
+)
+def t25_bpe_n16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = [
+        (pair, merged)
+        for pair, merged, _ in bpe_train_merges(spark, sf_dir, BPE_N16)
+    ]
+    return _bpe_apply_frame(spark, sf_dir, merges).orderBy("doc_id")
 
 
 #: m06 synth bounds: n_src in [16, 48] -> n_out = n_src*3//2 in [24, 72].

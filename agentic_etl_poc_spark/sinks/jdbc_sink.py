@@ -56,7 +56,9 @@ def load_to_postgres(
             raise ValueError("upsert mode requires key_cols")
         stage = f"{table}_stg"
         _jdbc_writer(df, conn_str, stage, "overwrite").save()
-        _merge_on_conflict(conn_str, table, stage, key_cols, df.columns)
+        _merge_on_conflict(
+            conn_str, table, stage, key_cols, df.columns, spark=df.sparkSession
+        )
     else:
         raise ValueError(f"unknown load mode: {mode!r}")
     return f"loaded {row_count:,} rows into {table} ({mode})"
@@ -103,15 +105,127 @@ def merge_statements(
     ]
 
 
+def merge_statements_derby(
+    table: str, stage: str, key_cols: list[str], columns: list[str]
+) -> list[str]:
+    """The upsert merge in the Apache Derby dialect (``MERGE INTO``,
+    Derby >= 10.11 — 10.16 ships on Spark's classpath).  Differences from
+    the Postgres/SQLite dialect that merge_statements targets:
+
+    - no ``IF NOT EXISTS`` — the executor (_merge_derby) checks table
+      existence via DatabaseMetaData and runs the DDL statements only on
+      first creation, all inside the same transaction as the merge,
+    - ``CREATE TABLE ... AS SELECT ... WITH NO DATA`` instead of
+      ``WHERE 1=0`` (Derby's CTAS form),
+    - ``MERGE INTO target USING stage ON keys WHEN [NOT] MATCHED``
+      instead of ``INSERT ... ON CONFLICT DO UPDATE``.
+
+    Identifier quoting follows what Spark's JDBC writer actually created:
+    the TABLE name is left unquoted (the writer emits it verbatim, so
+    Derby case-folds it to upper — quoting here would point at a
+    different, lower-case table), while COLUMN names are quoted
+    exact-case (the writer quotes every column via the dialect).  The
+    WHEN MATCHED clause is omitted when every column is a key (nothing
+    to update; Derby rejects an empty SET list)."""
+    non_keys = [c for c in columns if c not in key_cols]
+    col_list = ", ".join(quote_ident(c) for c in columns)
+    key_list = ", ".join(quote_ident(c) for c in key_cols)
+    on = " AND ".join(
+        f"t.{quote_ident(k)} = s.{quote_ident(k)}" for k in key_cols
+    )
+    matched = (
+        " WHEN MATCHED THEN UPDATE SET "
+        + ", ".join(f"{quote_ident(c)} = s.{quote_ident(c)}" for c in non_keys)
+        if non_keys
+        else ""
+    )
+    insert_vals = ", ".join(f"s.{quote_ident(c)}" for c in columns)
+    return [
+        f"CREATE TABLE {table} AS SELECT * FROM {stage} WITH NO DATA",
+        f"CREATE UNIQUE INDEX {table}_upsert_key ON {table} ({key_list})",
+        f"MERGE INTO {table} t USING {stage} s ON {on}{matched} "
+        f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({insert_vals})",
+    ]
+
+
+def derby_exec(spark, url: str, stmts: list[str], ignore_states: tuple = ()) -> None:
+    """Run DDL/DML statements on an embedded Derby database through the
+    live Spark JVM (py4j), one transaction, commit at the end.  Embedded
+    Derby lives INSIDE the Spark driver JVM (a Python-side driver cannot
+    reach it), so this is the only correct driver-side execution path —
+    the same JVM the Spark JDBC reader/writer already booted the engine
+    in.  SQLStates in ``ignore_states`` (e.g. '42Y55' table-does-not-
+    exist for a best-effort DROP) are swallowed per statement."""
+    jvm = spark._jvm
+    try:
+        jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    except Exception:
+        pass  # JDBC-4 service autoloading already registered the driver
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        for s in stmts:
+            try:
+                st.executeUpdate(s)
+            except Exception as e:
+                state = getattr(
+                    getattr(e, "java_exception", None), "getSQLState", lambda: None
+                )()
+                if state not in ignore_states:
+                    conn.rollback()
+                    raise
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def _derby_table_exists(spark, url: str, table: str) -> bool:
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        # Spark's writer created the table unquoted -> Derby upper-cased it
+        rs = conn.getMetaData().getTables(None, None, table.upper(), None)
+        return bool(rs.next())
+    finally:
+        conn.close()
+
+
+def _merge_derby(
+    spark, url: str, table: str, stage: str, key_cols: list[str], columns: list[str]
+) -> None:
+    """Derby-dialect driver-side merge: create-if-absent (metadata probe —
+    Derby has no IF NOT EXISTS) + MERGE INTO, one transaction."""
+    create_tbl, create_idx, merge = merge_statements_derby(
+        table, stage, key_cols, columns
+    )
+    stmts = [merge]
+    if not _derby_table_exists(spark, url, table):
+        # Derby DDL is transactional: table + index + merge commit together
+        stmts = [create_tbl, create_idx, merge]
+    derby_exec(spark, url, stmts)
+
+
 def _merge_on_conflict(
-    conn_str: str, table: str, stage: str, key_cols: list[str], columns: list[str]
+    conn_str: str,
+    table: str,
+    stage: str,
+    key_cols: list[str],
+    columns: list[str],
+    spark=None,
 ) -> None:
     """Driver-side transactional merge from stage into target.
 
     ``sqlite://`` conn strings use the stdlib driver (always available —
-    also how the merge logic is unit-tested); everything else goes through
-    SQLAlchemy, matching the reference's engine choice
-    (reference: etl_agent/tools.py:76)."""
+    also how the merge logic is unit-tested); ``jdbc:derby:`` runs MERGE
+    INTO through the Spark JVM (the embedded engine lives there);
+    everything else goes through SQLAlchemy, matching the reference's
+    engine choice (reference: etl_agent/tools.py:76)."""
+    if conn_str.startswith("jdbc:derby:"):
+        if spark is None:
+            raise ValueError("Derby upsert needs the live SparkSession")
+        _merge_derby(spark, conn_str, table, stage, key_cols, columns)
+        return
     stmts = merge_statements(table, stage, key_cols, columns)
     if conn_str.startswith("sqlite://"):
         import sqlite3

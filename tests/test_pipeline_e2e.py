@@ -779,3 +779,53 @@ def test_jdbc_derby_live_roundtrip(spark, tmp_path):
     missing = verify_table(spark, url, "no_such_table")
     assert missing["status"] is False
     assert "engine_error" in missing["error"]
+
+
+def test_jdbc_derby_live_upsert(spark, tmp_path):
+    """Upsert mode LIVE on embedded Derby (MERGE INTO dialect) — the one
+    §2.2 load mode previously golden-tested on SQLite only.  Proves all
+    three merge behaviors at the operator level: create-on-first-upsert
+    (pure insert), matched-key UPDATE, unmatched-key INSERT, and that
+    untouched rows survive; p12 pins the same semantics driver-visibly
+    through the full plan lifecycle."""
+    from agentic_etl_poc_spark.queries.pipeline import derby_url
+    from agentic_etl_poc_spark.sinks.jdbc_sink import load_to_postgres
+    from agentic_etl_poc_spark.sources.jdbc_source import fetch_db
+
+    url_create = derby_url(str(tmp_path / "db"), create=True)
+    url = derby_url(str(tmp_path / "db"))
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "a")],
+        "id BIGINT, v DOUBLE, tag STRING",
+    )
+    # first upsert on an absent table: create + pure insert
+    assert "upsert" in load_to_postgres(
+        base, url_create, "ups", mode="upsert", key_cols=["id"]
+    )
+    # second upsert: id=2,3 updated in place, id=4 inserted, id=1 untouched
+    delta = spark.createDataFrame(
+        [(2, 21.0, "b"), (3, 31.0, "b"), (4, 40.0, "b")],
+        "id BIGINT, v DOUBLE, tag STRING",
+    )
+    load_to_postgres(delta, url, "ups", mode="upsert", key_cols=["id"])
+    got = fetch_db(
+        spark, url, 'SELECT "id", "v", CAST("tag" AS VARCHAR(4)) AS "tag" FROM ups'
+    )
+    assert sorted((r["id"], r["v"], r["tag"]) for r in got.collect()) == [
+        (1, 10.0, "a"),
+        (2, 21.0, "b"),
+        (3, 31.0, "b"),
+        (4, 40.0, "b"),
+    ]
+    # the unique key index exists: a straight duplicate-key append fails
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        load_to_postgres(base, url, "ups", mode="append")
+    # upsert with every column a key: MERGE has no SET list; re-upserting
+    # the same rows is a no-op, a new row inserts
+    allkeys = spark.createDataFrame([(1,), (9,)], "k BIGINT")
+    load_to_postgres(allkeys, url, "ak", mode="upsert", key_cols=["k"])
+    load_to_postgres(allkeys, url, "ak", mode="upsert", key_cols=["k"])
+    got = fetch_db(spark, url, 'SELECT "k" FROM ak')
+    assert sorted(r["k"] for r in got.collect()) == [1, 9]

@@ -254,6 +254,38 @@ def test_t22_bpe_merges_are_wellformed(spark):
     assert len(seen) == 3
 
 
+def test_t25_trainer_prefix_matches_t22(spark):
+    """The driver-loop trainer (bpe_train_merges) and t22's fully-lazy
+    3-round chain implement ONE merge semantics: the first three merges —
+    pair, merged symbol, and frequency — must be identical.  Also pins
+    that 16 rounds complete on the smoke corpus and stay well-formed
+    (distinct pairs, positive frequencies, non-increasing is NOT required
+    — a merged symbol can create a new high-frequency pair)."""
+    from agentic_etl_poc_spark.queries.text import (
+        BPE_N16,
+        bpe_merge_table,
+        bpe_train_merges,
+    )
+
+    trained = bpe_train_merges(spark, SF_SMOKE, BPE_N16)
+    assert len(trained) == BPE_N16
+    t22 = (
+        bpe_merge_table(spark, SF_SMOKE)
+        .orderBy("round")
+        .select("pair", "merged", "freq")
+        .collect()
+    )
+    assert [(p, m, f) for p, m, f in trained[:3]] == [
+        (r.pair, r.merged, r.freq) for r in t22
+    ]
+    assert len({p for p, _, _ in trained}) == BPE_N16
+    for pair, merged, freq in trained:
+        left, sep, right = pair.partition(" ")
+        assert sep == " " and left and right and " " not in right
+        assert merged == left + right
+        assert freq > 0
+
+
 def test_check_size_sums_directory_contents(tmp_path):
     """Admission control must measure a DIRECTORY input as the sum of its
     files, not the directory inode (which silently passes any limit)."""
