@@ -1466,25 +1466,11 @@ def d15_lsh_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d15_flags_for(e: DataFrame) -> DataFrame:
     """d15's per-vector (vec_id, cell_id, is_dup) frame, pre-sort, over an
-    arbitrary (vec_id, embedding) corpus — shared by the d15 entry (raw
-    embeddings) and d16's recall audit (embeddings + planted twins)."""
-    from agentic_etl_poc_spark.functions.hashing import dot_fold
-
+    arbitrary (vec_id, embedding) corpus — the d15 entry runs it on the
+    raw embeddings; the audit entries (d16/d17) compose the same pieces
+    over the session-shared twin corpus (_twin_parts)."""
     assigned, y, _ = _d15_parts(e)
-    x = assigned.alias("x")
-    pair_cos = dot_fold(F.col("x.embedding"), F.col("y.embedding")) / F.sqrt(
-        F.col("x.nsq") * F.col("y.nsq")
-    )
-    dropped = (
-        x.join(
-            y,
-            (F.col("x.cell_id") == F.col("y.cell_id"))
-            & (F.col("y.vec_id") < F.col("x.vec_id")),
-        )
-        .filter(pair_cos > D15_TAU)
-        .select(F.col("x.vec_id").alias("vec_id"))
-        .distinct()
-    )
+    dropped = _d15_dropped(assigned, y)
     return assigned.join(
         dropped.withColumnRenamed("vec_id", "dv"),
         F.col("vec_id") == F.col("dv"),
@@ -1496,18 +1482,47 @@ def d15_flags_for(e: DataFrame) -> DataFrame:
     )
 
 
+def _d15_dropped(assigned: DataFrame, y: DataFrame) -> DataFrame:
+    """d15's single-probe drop set (DISTINCT vec_id with a lower-id
+    cosine>tau neighbor among the cell's capped sample) from prebuilt
+    cell machinery — shared by d15_flags_for and d16 (which needs only
+    the drop set, not the per-vector flag join)."""
+    from agentic_etl_poc_spark.functions.hashing import dot_fold
+
+    x = assigned.alias("x")
+    pair_cos = dot_fold(F.col("x.embedding"), F.col("y.embedding")) / F.sqrt(
+        F.col("x.nsq") * F.col("y.nsq")
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.cell_id") == F.col("y.cell_id"))
+            & (F.col("y.vec_id") < F.col("x.vec_id")),
+        )
+        .filter(pair_cos > D15_TAU)
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+    )
+
+
 def _d15_parts(e: DataFrame):
     """The shared sign-cell machinery over an arbitrary (vec_id,
     embedding) corpus: returns (assigned, ranked-sample y, bf) where
     assigned = (vec_id, cell_id, embedding, nsq) repartitioned on the
     pair-scan key, y = the lowest-D15_CELL_CAP ids per cell, and bf = the
     1-row (n, lo, hi, b, rstride) scalar frame.  Consumed by d15
-    (single-probe), d16 (recall audit), and d17 (multi-probe)."""
-    from pyspark.sql.window import Window
+    (single-probe); the audit entries (d16/d17) get the same pieces over
+    the twin corpus from _twin_parts, which persists them session-wide."""
+    bf = _d15_bounds(e)
+    assigned = _d15_assign(e, bf)
+    return assigned, _d15_sample(assigned), bf
 
-    from agentic_etl_poc_spark.functions.hashing import dot_fold
 
-    bf = e.agg(
+def _d15_bounds(e: DataFrame) -> DataFrame:
+    """The 1-row (n, lo, hi, b, rstride) scalar frame: corpus size, vec_id
+    value range, derived hyperplane count b = bit_length(n div target
+    occupancy), and the equal-width bucket stride over [lo, hi]."""
+    return e.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.min("vec_id").cast("bigint").alias("lo"),
         F.max("vec_id").cast("bigint").alias("hi"),
@@ -1530,6 +1545,13 @@ def _d15_parts(e: DataFrame):
             "rstride"
         ),
     )
+
+
+def _d15_assign(e: DataFrame, bf: DataFrame) -> DataFrame:
+    """Sign-cell assignment: (vec_id, cell_id, embedding, nsq),
+    repartitioned on the pair-scan key (cell_id)."""
+    from agentic_etl_poc_spark.functions.hashing import dot_fold
+
     # projection picks are keyed by the vec_id VALUE RANGE (b equal-width
     # buckets over [lo, hi]; u = first, v = last vector of each bucket),
     # never by positional arithmetic on the ids themselves: vec_ids need
@@ -1580,7 +1602,16 @@ def _d15_parts(e: DataFrame):
         # 64-dim assignment)
         .repartition("cell_id")
     )
-    y = (
+    return assigned
+
+
+def _d15_sample(assigned: DataFrame) -> DataFrame:
+    """The lowest-D15_CELL_CAP ids per cell (deterministic comparison
+    sample; the MINHASH_BUCKET_CAP discipline), aliased 'y' for the pair
+    scans.  Derives from assigned's cell_id partitioning — no exchange."""
+    from pyspark.sql.window import Window
+
+    return (
         assigned.withColumn(
             "rk",
             F.row_number().over(Window.partitionBy("cell_id").orderBy("vec_id")),
@@ -1588,7 +1619,25 @@ def _d15_parts(e: DataFrame):
         .filter(F.col("rk") <= D15_CELL_CAP)
         .alias("y")
     )
-    return assigned, y, bf
+
+
+def _twin_parts(spark: SparkSession, sf_dir: str):
+    """The planted-twin audit machinery, built ONCE per session: (raw,
+    corpus, offf, assigned, y, bf) where assigned/bf are session-shared
+    persisted frames (queries/core.py::shared_frame) over the twin
+    corpus.  d16 and d17 both consume them, so one battery run folds the
+    (1.1x n)-vector, 64-dim cell assignment a single time instead of
+    once per audit entry (the round-9 verdict's cost-sharing order: the
+    audit pair billed ~29 s at sf1 vs 3.9 s for the certified operator).
+    y derives from the persisted assigned without an exchange (persist
+    preserves the cell_id partitioning)."""
+    raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus, offf = _twin_corpus(raw)
+    bf = _shared(spark, sf_dir, "twin_d15_bounds", lambda: _d15_bounds(corpus))
+    assigned = _shared(
+        spark, sf_dir, "twin_d15_assigned", lambda: _d15_assign(corpus, bf)
+    )
+    return raw, corpus, offf, assigned, _d15_sample(assigned), bf
 
 
 #: d16 near-twin perturbation: component 1 shifted by this much.  On the
@@ -1731,14 +1780,14 @@ FROM flags
     "adds only a twin-id modulo join on dim-sized drop sets.",
 )
 def d16_semantic_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus, offf = _twin_corpus(raw)
+    raw, corpus, offf, assigned, y, _ = _twin_parts(spark, sf_dir)
     c12 = _catch_set(
         d12_flags_for(corpus).filter(F.col("is_dup")), offf, "f12"
     )
-    c15 = _catch_set(
-        d15_flags_for(corpus).filter(F.col("is_dup")), offf, "f15"
-    )
+    # drop set straight from the session-shared cell machinery (the
+    # entry-path d15_flags_for would rebuild the assignment fold and pay
+    # a flag join this audit immediately filters away)
+    c15 = _catch_set(_d15_dropped(assigned, y), offf, "f15")
     planted = raw.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("p")
     )
@@ -1832,9 +1881,7 @@ FROM flags
 def d17_multiprobe_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_etl_poc_spark.functions.hashing import dot_fold
 
-    raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus, offf = _twin_corpus(raw)
-    assigned, y, bf = _d15_parts(corpus)
+    raw, _corpus, offf, assigned, y, bf = _twin_parts(spark, sf_dir)
     probes = (
         assigned.crossJoin(F.broadcast(bf.select("b")))
         .select(
@@ -1866,10 +1913,10 @@ def d17_multiprobe_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("x.vec_id").alias("vec_id"))
         .distinct()
     )
-    # single-probe drop set over the SAME corpus for the in-row recovery
-    # counters (d15_flags_for rebuilds the cell machinery; the probe
-    # entry prices the multi-probe side above)
-    d15_dropped = d15_flags_for(corpus).filter(F.col("is_dup"))
+    # single-probe drop set from the SAME session-shared cell machinery
+    # for the in-row recovery counters — no second assignment fold (the
+    # round-9 verdict's double-build finding)
+    d15_dropped = _d15_dropped(assigned, y)
     c15 = _catch_set(d15_dropped, offf, "f15")
     c17 = _catch_set(d17_dropped, offf, "f17")
     planted = raw.filter(F.col("vec_id") % 10 == 0).select(
