@@ -126,7 +126,19 @@ def merge_statements_derby(
     different, lower-case table), while COLUMN names are quoted
     exact-case (the writer quotes every column via the dialect).  The
     WHEN MATCHED clause is omitted when every column is a key (nothing
-    to update; Derby rejects an empty SET list)."""
+    to update; Derby rejects an empty SET list).  Because the table/stage
+    names are interpolated UNQUOTED, they are validated against a safe
+    identifier pattern first — a reserved word or hyphenated name must
+    fail loudly here, not as a Derby syntax error mid-transaction."""
+    import re
+
+    for name in (table, stage):
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"Derby merge requires a plain identifier table name, "
+                f"got {name!r} (quoted/schema-qualified names are not "
+                f"supported on the unquoted-writer path)"
+            )
     non_keys = [c for c in columns if c not in key_cols]
     col_list = ", ".join(quote_ident(c) for c in columns)
     key_list = ", ".join(quote_ident(c) for c in key_cols)
@@ -169,9 +181,14 @@ def derby_exec(spark, url: str, stmts: list[str], ignore_states: tuple = ()) -> 
             try:
                 st.executeUpdate(s)
             except Exception as e:
-                state = getattr(
-                    getattr(e, "java_exception", None), "getSQLState", lambda: None
-                )()
+                # Own try/except: py4j JavaObject.__getattr__ fabricates a
+                # member for ANY name, so a getattr default never fires —
+                # a non-SQLException throwable would raise Py4JError HERE
+                # and mask the original error, skipping the rollback.
+                try:
+                    state = e.java_exception.getSQLState()
+                except Exception:
+                    state = None
                 if state not in ignore_states:
                     conn.rollback()
                     raise
@@ -200,10 +217,15 @@ def _merge_derby(
         table, stage, key_cols, columns
     )
     stmts = [merge]
+    ignore: tuple = ()
     if not _derby_table_exists(spark, url, table):
-        # Derby DDL is transactional: table + index + merge commit together
+        # Derby DDL is transactional: table + index + merge commit
+        # together.  X0Y32 (object already exists) is ignored on the
+        # CREATEs so two concurrent upserts racing the metadata probe
+        # both proceed to the merge instead of one dying on the DDL.
         stmts = [create_tbl, create_idx, merge]
-    derby_exec(spark, url, stmts)
+        ignore = ("X0Y32",)
+    derby_exec(spark, url, stmts, ignore_states=ignore)
 
 
 def _merge_on_conflict(
