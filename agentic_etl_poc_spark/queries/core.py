@@ -151,24 +151,20 @@ def register(name: str, oracle: str | None, description: str = ""):
 
 #: Explicit registry order.  The external correctness sweep walks this
 #: order and records only the FIRST ~50 entries per round (rounds 1-5
-#: each recorded exactly 50).  Round-9 rotation, four bands:
+#: each recorded exactly 50).  Round-11 rotation, five bands:
 #:
-#: 1. Slots 1-50 (the sweep window) — never-driver-sampled round-9
-#:    entries first (d16/p11/t24), then q61 (the one entry whose latest
-#:    driver row, r07, predates its own corrected semantics — the
-#:    round-8 verdict's explicit order), then the full 34-entry cohort
-#:    whose latest green is r05 (waited longest), cheap-first (builder
-#:    per-query bench), then d12 (its oracle text was refactored into
-#:    the shared chain this round; results identical, but a fresh row
-#:    re-pins the hash) and the 11 cheapest r06-era entries to fill the
-#:    window to exactly 50.
-#: 2. d15 and d04 LEAD band 2: both changed semantics this round (d15
-#:    decorrelated+capped cells, d04 sample-not-drop buckets) but are
-#:    r08-green, so the tripwire bars them from THIS window — they must
-#:    be the first picks of round 10's window, exactly as q61 was this
-#:    round.  Then the remaining r06-era entries, cheap-first.
-#: 3. Entries whose latest green is the r07 sweep, cheap-first.
-#: 4. Entries green in the r08 sweep (freshest), cheap-first.
+#: 1. Slots 1-50 (the sweep window) — the never-driver-sampled round-11
+#:    entry p13 first, then d15 + d04 (both changed semantics in round 9
+#:    and d15 was refactored again in round 10, yet their latest hard
+#:    driver rows are r08 — the round-10 verdict's carried task #1),
+#:    then the full 39-entry cohort whose latest green is r06 (waited
+#:    longest), cheap-first (driver r10 per-query bench), then the 8
+#:    cheapest r07-era entries to fill the window to exactly 50.
+#: 2. The remaining r07-era entries, cheap-first.
+#: 3. Entries whose latest green is the r08 sweep, cheap-first (d15/d04
+#:    excluded — they lead the window).
+#: 4. Entries green in the r09 sweep (q31, q13).
+#: 5. Entries green in the r10 sweep (freshest), cheap-first.
 #:
 #: tests/test_battery_contract.py::test_sweep_priority_block_leads
 #: recomputes this invariant from the CORRECTNESS_r*.json files and goes
@@ -178,9 +174,153 @@ def register(name: str, oracle: str | None, description: str = ""):
 #: bench.py iterates sorted(battery), so this order never skews
 #: per-query bench attribution.
 SWEEP_ORDER: tuple[str, ...] = (
-    # -- band 1 (sweep window, 50): round-9 entries, q61, the r05-era
-    # -- cohort cheap-first, d12, then the cheapest r06-era fill (d17
-    # -- joined later in round 9, pushing the last fill to band 2) ----
+    # -- band 1 (sweep window, 50): p13 (new), then d15 + d04, then
+    # -- the r06-era cohort cheap-first, then the 8 cheapest r07 fills
+    "p13_lakehouse_upsert",
+    "d15_lsh_semantic_dedup",
+    "d04_minhash_lsh",
+    "q44_arg_extremes",
+    "q28_array_map_agg",
+    "q26_sliding_window",
+    "d10_cluster_survivors",
+    "s07_int8_quantization",
+    "q12_set_ops",
+    "t16_sequence_packing",
+    "q34_full_outer_reconcile",
+    "q60_dynamic_partition_pruning",
+    "u02_python_udtf",
+    "q22_percentiles",
+    "t01_token_stats",
+    "q14_rollup",
+    "q51_salted_skew_agg",
+    "q18_asof_join",
+    "s05_ann_multiprobe",
+    "s04_ann_recall",
+    "q55_lateral_topn",
+    "d09_containment",
+    "q57_returned_items",
+    "s06_knn_join",
+    "q49_latest_record_dedup",
+    "q54_recursive_year_ladder",
+    "m07_shot_detection",
+    "q50_higher_order_funcs",
+    "q48_shipping_priority",
+    "q45_grouping_sets",
+    "q56_local_supplier_volume",
+    "q59_salted_skew_join",
+    "t23_bigram_novelty",
+    "t15_benchmark_decontam",
+    "v01_stream_tumbling_agg",
+    "p06_plan_multi_step",
+    "p05_plan_multi_source",
+    "s12_quantized_rerank",
+    "u08_polymorphic_udtf",
+    "v08_stream_session_window",
+    "s08_kmeans_refine",
+    "v02_stream_sessionize",
+    "q80_aqe_skew_split",
+    "q66_bloom_runtime_filter",
+    "q69_promo_revenue_share",
+    "q82_compaction_roundtrip",
+    "q81_sql_variables",
+    "p08_xml_roundtrip",
+    "t14_tfidf_keywords",
+    "q72_dormant_rich_customers",
+    # -- band 2: remaining r07-era entries, cheap-first -----------
+    "q70_disjunctive_predicate_join",
+    "u01_grouped_pandas_agg",
+    "q64_customer_distribution",
+    "q05_left_join_multikey",
+    "u09_arrow_udtf",
+    "q41_set_ops_all",
+    "q74_top_supplier_revenue",
+    "d08_fuzzy_levenshtein",
+    "m02_frame_fingerprints",
+    "q68_late_shipment_priority",
+    "u11_arrow_grouped_map",
+    "q25_pivot_unpivot",
+    "s15_binary_quantization",
+    "q27_correlated_subquery",
+    "q75_part_promotion_suppliers",
+    "m08_audio_vad",
+    "t07_pii_scan_redact",
+    "q73_parts_supplier_counts",
+    "s14_radius_search",
+    "q76_volume_shipping",
+    "q77_market_share",
+    "d13_perceptual_dhash",
+    "q78_product_type_profit",
+    "d14_incremental_dedup",
+    "q71_important_part_values",
+    "v12_stream_sliding_window",
+    "q63_suppliers_kept_waiting",
+    "q62_large_volume_customers",
+    "p09_plan_stream",
+    "q79_min_cost_supplier",
+    "q67_variant_extract",
+    "p07_plan_quarantine",
+    "q65_bucketed_colocated_join",
+    "v09_stream_rocksdb_session",
+    "v11_stream_upsert_sink",
+    "s13_ivfadc",
+    "v10_stream_outer_join",
+    "g03_bfs_levels",
+    "g01_integer_pagerank",
+    "g02_triangle_count",
+    "u10_python_stream_writer",
+    # -- band 3: latest green in the r08 sweep, cheap-first -------
+    "q08_topk_orders",
+    "q39_regexp_groups",
+    "q37_map_functions",
+    "q16_math_funcs",
+    "t12_length_deciles",
+    "q30_null_semantics",
+    "q02_cast_coalesce_project",
+    "t10_source_mixture",
+    "q42_json_struct_parse",
+    "t08_train_test_split",
+    "m01_multimodal_metadata",
+    "t21_training_shuffle",
+    "q83_parameterized_sql",
+    "q32_histogram",
+    "t09_corpus_stats",
+    "q47_bitwise_agg",
+    "q52_funnel",
+    "m09_image_center_crop",
+    "t02_quality_score",
+    "q10_window_rank",
+    "q53_retention_cohorts",
+    "q19_range_join",
+    "q09_distinct_agg",
+    "q11_running_window",
+    "q21_cube_grouping",
+    "q17_hourly_json",
+    "t03_langid",
+    "q24_sessionize_batch",
+    "q23_approx_distinct",
+    "t05_pandas_tokens",
+    "s02_ann_lsh",
+    "d01_dedup_exact",
+    "t11_repetition_score",
+    "s03_ann_ivf",
+    "q03_try_dateparse",
+    "t06_boilerplate_ratio",
+    "v13_stream_dedup_within_watermark",
+    "v15_stream_dim_refresh",
+    "q01_pricing_summary",
+    "t04_fingerprint",
+    "d02_dedup_fingerprint",
+    "u03_pandas_udaf_weighted",
+    "p10_plan_jdbc_roundtrip",
+    "v14_stream_quarantine",
+    "d03_ngram_jaccard",
+    "d07_dedup_clusters",
+    "d06_embedding_neardup",
+    "d05_simhash",
+    # -- band 4: green in the r09 sweep ---------------------------
+    "q31_date_spine_gapfill",
+    "q13_semi_anti_join",
+    # -- band 5: green in the r10 sweep (freshest), cheap-first ---
     "p12_jdbc_live_upsert",
     "t25_bpe_n16",
     "d17_multiprobe_semantic_dedup",
@@ -231,151 +371,6 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q04_weekly_rollup",
     "u04_arrow_scalar_udf",
     "t13_vocab_by_source",
-    "q31_date_spine_gapfill",
-    "q13_semi_anti_join",
-    "q44_arg_extremes",
-    # -- band 2: d15 + d04 first (semantics changed in round 9, barred
-    # -- from this window by the freshly-green rule -> they lead round
-    # -- 10), then the remaining r06-era entries, cheap-first ---------
-    "d15_lsh_semantic_dedup",
-    "d04_minhash_lsh",
-    "q28_array_map_agg",
-    "q26_sliding_window",
-    "d10_cluster_survivors",
-    "s07_int8_quantization",
-    "q12_set_ops",
-    "t16_sequence_packing",
-    "q34_full_outer_reconcile",
-    "q60_dynamic_partition_pruning",
-    "u02_python_udtf",
-    "q22_percentiles",
-    "t01_token_stats",
-    "q14_rollup",
-    "q51_salted_skew_agg",
-    "q18_asof_join",
-    "s05_ann_multiprobe",
-    "s04_ann_recall",
-    "q55_lateral_topn",
-    "d09_containment",
-    "q57_returned_items",
-    "s06_knn_join",
-    "q49_latest_record_dedup",
-    "q54_recursive_year_ladder",
-    "m07_shot_detection",
-    "q50_higher_order_funcs",
-    "q48_shipping_priority",
-    "q45_grouping_sets",
-    "q56_local_supplier_volume",
-    "q59_salted_skew_join",
-    "t23_bigram_novelty",
-    "t15_benchmark_decontam",
-    "v01_stream_tumbling_agg",
-    "p06_plan_multi_step",
-    "p05_plan_multi_source",
-    "s12_quantized_rerank",
-    "u08_polymorphic_udtf",
-    "v08_stream_session_window",
-    "s08_kmeans_refine",
-    "v02_stream_sessionize",
-    # -- band 3: latest green in the r07 sweep, cheap-first -----------
-    "q80_aqe_skew_split",
-    "q66_bloom_runtime_filter",
-    "q69_promo_revenue_share",
-    "q82_compaction_roundtrip",
-    "q81_sql_variables",
-    "p08_xml_roundtrip",
-    "t14_tfidf_keywords",
-    "q72_dormant_rich_customers",
-    "q70_disjunctive_predicate_join",
-    "u01_grouped_pandas_agg",
-    "q64_customer_distribution",
-    "q05_left_join_multikey",
-    "u09_arrow_udtf",
-    "q41_set_ops_all",
-    "q74_top_supplier_revenue",
-    "d08_fuzzy_levenshtein",
-    "m02_frame_fingerprints",
-    "q68_late_shipment_priority",
-    "u11_arrow_grouped_map",
-    "q25_pivot_unpivot",
-    "s15_binary_quantization",
-    "q27_correlated_subquery",
-    "q75_part_promotion_suppliers",
-    "m08_audio_vad",
-    "t07_pii_scan_redact",
-    "q73_parts_supplier_counts",
-    "s14_radius_search",
-    "q76_volume_shipping",
-    "q77_market_share",
-    "d13_perceptual_dhash",
-    "q78_product_type_profit",
-    "d14_incremental_dedup",
-    "q71_important_part_values",
-    "v12_stream_sliding_window",
-    "q63_suppliers_kept_waiting",
-    "q62_large_volume_customers",
-    "p09_plan_stream",
-    "q79_min_cost_supplier",
-    "q67_variant_extract",
-    "p07_plan_quarantine",
-    "q65_bucketed_colocated_join",
-    "v09_stream_rocksdb_session",
-    "v11_stream_upsert_sink",
-    "s13_ivfadc",
-    "v10_stream_outer_join",
-    "g03_bfs_levels",
-    "g01_integer_pagerank",
-    "g02_triangle_count",
-    "u10_python_stream_writer",
-    # -- band 4: green in the r08 sweep (freshest), cheap-first -------
-    "q08_topk_orders",
-    "q39_regexp_groups",
-    "q37_map_functions",
-    "q16_math_funcs",
-    "t12_length_deciles",
-    "q30_null_semantics",
-    "q02_cast_coalesce_project",
-    "t10_source_mixture",
-    "q42_json_struct_parse",
-    "t08_train_test_split",
-    "m01_multimodal_metadata",
-    "t21_training_shuffle",
-    "q83_parameterized_sql",
-    "q32_histogram",
-    "t09_corpus_stats",
-    "q47_bitwise_agg",
-    "q52_funnel",
-    "m09_image_center_crop",
-    "t02_quality_score",
-    "q10_window_rank",
-    "q53_retention_cohorts",
-    "q19_range_join",
-    "q09_distinct_agg",
-    "q11_running_window",
-    "q21_cube_grouping",
-    "q17_hourly_json",
-    "t03_langid",
-    "q24_sessionize_batch",
-    "q23_approx_distinct",
-    "t05_pandas_tokens",
-    "s02_ann_lsh",
-    "d01_dedup_exact",
-    "t11_repetition_score",
-    "s03_ann_ivf",
-    "q03_try_dateparse",
-    "t06_boilerplate_ratio",
-    "v13_stream_dedup_within_watermark",
-    "v15_stream_dim_refresh",
-    "q01_pricing_summary",
-    "t04_fingerprint",
-    "d02_dedup_fingerprint",
-    "u03_pandas_udaf_weighted",
-    "p10_plan_jdbc_roundtrip",
-    "v14_stream_quarantine",
-    "d03_ngram_jaccard",
-    "d07_dedup_clusters",
-    "d06_embedding_neardup",
-    "d05_simhash",
 )
 
 

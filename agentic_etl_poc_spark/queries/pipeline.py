@@ -1576,3 +1576,197 @@ alerts:
         'SELECT "ym", "n_orders", CAST("total_s" AS VARCHAR(42)) AS "total_s", '
         'CAST("src" AS VARCHAR(8)) AS "src" FROM cust_agg',
     ).orderBy("ym")
+
+
+#: p13's per-plan transform: the p12 monthly rollup plus a year column —
+#: the partition key of the lakehouse table (a key's year never changes,
+#: satisfying upsert_parquet's stable-partition-per-key contract).
+_P13_TRANSFORM = """
+SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS INT) AS ym,
+       CAST(YEAR(o_orderdate) AS INT) AS yr,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS STRING) AS total_s,
+       '{src}' AS src
+FROM input_df
+WHERE {pred}
+GROUP BY YEAR(o_orderdate) * 100 + MONTH(o_orderdate), YEAR(o_orderdate)
+"""
+
+_P13_PRED_S1 = (
+    "o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AND o_orderkey % 3 <> 0"
+)
+_P13_PRED_S2 = "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+
+_DUCK_P13_PRED_S1 = (
+    "o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 3 <> 0"
+)
+_DUCK_P13_PRED_S2 = "o_orderdate >= TIMESTAMP '1996-01-01'"
+
+
+def _p13_partition_sig(root: str, pcol: str) -> dict:
+    """Filesystem signature of every ``pcol=value`` partition directory:
+    (sorted data filenames, max mtime_ns).  Spark writes fresh UUID part
+    names per job, so a rewritten partition ALWAYS changes signature; an
+    untouched one provably cannot."""
+    import os
+
+    sig = {}
+    if not os.path.isdir(root):
+        return sig
+    for d in os.listdir(root):
+        if not d.startswith(pcol + "="):
+            continue
+        p = os.path.join(root, d)
+        files = sorted(
+            f for f in os.listdir(p) if not f.startswith(("_", "."))
+        )
+        mt = max(
+            (os.stat(os.path.join(p, f)).st_mtime_ns for f in files),
+            default=0,
+        )
+        sig[d] = (tuple(files), mt)
+    return sig
+
+
+@register(
+    "p13_lakehouse_upsert",
+    oracle=f"""
+WITH s1 AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+              AS DECIMAL(28,6)) AS VARCHAR) AS total_s
+  FROM orders WHERE {_DUCK_P13_PRED_S1}
+  GROUP BY 1),
+s2 AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+              AS DECIMAL(28,6)) AS VARCHAR) AS total_s
+  FROM orders WHERE {_DUCK_P13_PRED_S2}
+  GROUP BY 1),
+merged AS (
+  SELECT COALESCE(s2.ym, s1.ym) AS ym,
+         COALESCE(s2.n_orders, s1.n_orders) AS n_orders,
+         COALESCE(s2.total_s, s1.total_s) AS total_s,
+         CASE WHEN s2.ym IS NOT NULL THEN 's2' ELSE 's1' END AS src
+  FROM s1 FULL OUTER JOIN s2 ON s1.ym = s2.ym),
+parts AS (
+  SELECT CAST((SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders
+               WHERE {_DUCK_P13_PRED_S2}) AS BIGINT) AS n_rewritten_parts,
+         CAST((SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders
+               WHERE {_DUCK_P13_PRED_S1}
+                 AND year(o_orderdate) NOT IN
+                     (SELECT DISTINCT year(o_orderdate) FROM orders
+                      WHERE {_DUCK_P13_PRED_S2})) AS BIGINT)
+             AS n_untouched_parts)
+SELECT merged.ym, merged.n_orders, merged.total_s, merged.src,
+       parts.n_rewritten_parts, parts.n_untouched_parts
+FROM merged CROSS JOIN parts
+ORDER BY merged.ym
+""",
+    description="Lakehouse copy-on-write MERGE — p12's live upsert "
+    "semantics re-targeted at the 100 TB north-star sink: a "
+    "hive-partitioned parquet table (Delta/Iceberg jars are absent "
+    "here; sinks/parquet_sink.py::upsert_parquet is the portable COW "
+    "equivalent the jdbc_sink docstring points at — stage write + "
+    "atomic partition-directory swap instead of a metadata commit).  "
+    "Two full plan lifecycles (reference etl_agent/tools.py:83-96 for "
+    "the stage+merge shape, templates.py:135-140 for the load stage): "
+    "plan 1 bootstraps the table partitioned by yr from a 2/3 "
+    "orderkey-sample of months < 1997 (src='s1'); plan 2 upserts "
+    "months >= 1996 complete (src='s2', key_cols=[ym]).  The final "
+    "table proves all three merge behaviors: pre-1996 rows survive "
+    "untouched, 1996 rows are UPDATED (sample -> full counts, src "
+    "flips), post-1996 rows are pure INSERTs.  Beyond the merged VALUES "
+    "(same full-outer-join oracle as p12), the entry pins the COW "
+    "EFFICIENCY claim itself: partition-directory signatures (part "
+    "filenames + mtime_ns) snapshotted around plan 2 count exactly "
+    "which partitions were rewritten vs provably untouched, and the "
+    "oracle computes both counts from the predicates — an upsert that "
+    "rewrites the whole table (or misses a partition) goes "
+    "driver-red, not just slow.  Scale shape: the merge read is "
+    "partition-PRUNED to the touched years, survivors come from one "
+    "distributed left_anti join, the stage write is one file per "
+    "task, and untouched partitions are never opened — at 100 TB "
+    "that is the difference between rewriting 3 partitions and "
+    "rewriting the table.",
+)
+def p13_lakehouse_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from agentic_etl_poc_spark.runtime import run_from_plan
+
+    # session parity with the rest of the battery (semantic confs +
+    # data-sized shuffle partitions come from the table() path)
+    table(spark, sf_dir, "orders")
+
+    root = os.path.join(
+        "/tmp", "spark_graft_p13", sf_dir.strip(os.sep).replace(os.sep, "_")
+    )
+    tbl = os.path.join(root, "monthly_orders")
+    # deterministic re-runs: fresh table, plan 1 is a pure bootstrap
+    shutil.rmtree(tbl, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    orders_path = os.path.join(sf_dir, "orders.parquet")
+    plans = [
+        ("s1", _P13_PRED_S1, "replace"),
+        ("s2", _P13_PRED_S2, "upsert"),
+    ]
+    sig_before = None
+    for src, pred, mode in plans:
+        if mode == "upsert":
+            sig_before = _p13_partition_sig(tbl, "yr")
+        sql_block = "\n".join(
+            "    " + ln
+            for ln in _P13_TRANSFORM.format(src=src, pred=pred)
+            .strip()
+            .splitlines()
+        )
+        plan = f"""
+source:
+  kind: parquet
+  parquet:
+    path: "{orders_path}"
+transform:
+  sql: |
+{sql_block}
+checks:
+  min_rows: 1
+  nonnull_cols: [ym, total_s]
+load:
+  to: parquet
+  file_path: "{tbl}"
+  mode: {mode}
+  partition_by: [yr]
+  key_cols: [ym]
+verify:
+  min_rows: 1
+alerts:
+  on_fail: "slack://#data-alerts"
+"""
+        result = run_from_plan(spark, plan)
+        if result.get("status") != "ok":
+            raise RuntimeError(f"p13 upsert plan ({src}) failed: {result}")
+    sig_after = _p13_partition_sig(tbl, "yr")
+    rewritten = sum(
+        1
+        for d, s in sig_after.items()
+        if d not in sig_before or sig_before[d] != s
+    )
+    untouched = sum(
+        1 for d, s in sig_before.items() if sig_after.get(d) == s
+    )
+    evidence = spark.createDataFrame(
+        [(rewritten, untouched)],
+        "n_rewritten_parts bigint, n_untouched_parts bigint",
+    )
+    return (
+        spark.read.parquet(tbl)
+        .select("ym", "n_orders", "total_s", "src")
+        .crossJoin(F.broadcast(evidence))
+        .orderBy("ym")
+    )

@@ -361,7 +361,11 @@ def run_from_plan(
             if not ld.file_path:
                 raise ValueError("parquet load requires load.file_path")
             msg = write_parquet(
-                out, ld.file_path, mode=ld.mode, partition_by=ld.partition_by
+                out,
+                ld.file_path,
+                mode=ld.mode,
+                partition_by=ld.partition_by,
+                key_cols=ld.key_cols,
             )
         else:
             msg = load_to_postgres(

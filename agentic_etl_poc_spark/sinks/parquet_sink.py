@@ -20,13 +20,118 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    key_cols: list[str] | None = None,
 ) -> str:
+    if mode == "upsert":
+        return upsert_parquet(df, path, key_cols or [], partition_by or [])
     n = df.count()
     w = df.write.mode("overwrite" if mode == "replace" else mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     return f"wrote {n:,} rows to {path} (parquet)"
+
+
+def upsert_parquet(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_by: list[str],
+) -> str:
+    """Copy-on-write MERGE into a hive-partitioned parquet table — the
+    lakehouse upsert (what Delta/Iceberg/Hudi call COW ``MERGE INTO``),
+    built on plain parquet so it runs on any Spark deployment with zero
+    extra jars (Delta/Iceberg are absent here; this is the portable
+    equivalent the jdbc_sink docstring points at for the 100 TB target).
+
+    Protocol (mirrors the stage+merge split of the JDBC upsert,
+    reference etl_agent/tools.py:83-96, re-expressed for a file table):
+
+    1. **Prune**: the touched partitions are the DISTINCT partition
+       values in the batch — a driver-side list (partition counts are
+       small by definition; the rows never leave the cluster).
+    2. **Merge read**: the target is read WITH a partition filter on the
+       touched values, so the scan prunes to exactly the partitions
+       being replaced — at 100 TB this is the difference between reading
+       3 partitions and reading the table.
+    3. **Survivors**: target rows in touched partitions whose key does
+       NOT appear in the batch (left_anti on ``key_cols``) survive; the
+       batch supplies every other row (update = replaced, insert = new).
+    4. **Stage write**: survivors ∪ batch is written partitioned to a
+       stage directory sibling of the target — fully distributed, one
+       file per task, never through the driver.
+    5. **Commit**: each touched ``col=value`` directory is swapped into
+       the target by rename (new partitions just move in).  Untouched
+       partitions are never read, written, or touched — their files and
+       mtimes are provably unchanged (p13's oracle pins this count).
+
+    Contract: exactly ONE partition column (compose a synthetic key for
+    multi-column layouts), and a row's partition value must be stable
+    per key — a key that migrates partitions between batches would
+    escape the pruned anti-join (the same assumption every
+    partition-pruned lakehouse MERGE makes).  Single writer per table:
+    the swap is atomic per partition directory, not per table — a real
+    lakehouse gets table-level atomicity from a metadata commit log,
+    which is exactly the piece this portable path trades away."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from agentic_etl_poc_spark import plan_capture
+
+    if not key_cols:
+        raise ValueError("parquet upsert requires load.key_cols")
+    if len(partition_by) != 1:
+        raise ValueError(
+            "parquet upsert requires exactly one load.partition_by column "
+            "(compose a synthetic partition key for multi-column layouts)"
+        )
+    pcol = partition_by[0]
+    spark = df.sparkSession
+
+    if not os.path.exists(path):
+        n = df.count()
+        df.write.mode("overwrite").partitionBy(pcol).parquet(path)
+        return f"upserted {n:,} rows into {path} (parquet COW: bootstrap)"
+
+    # count BEFORE the commit: a batch whose lineage read the target
+    # would recompute over swapped files afterwards
+    batch_rows = df.count()
+    touched = [r[0] for r in df.select(pcol).distinct().collect()]
+    if not touched:
+        return f"upserted 0 rows into {path} (parquet COW: empty batch)"
+    target = spark.read.parquet(path).filter(F.col(pcol).isin(touched))
+    survivors = target.join(
+        df.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    )
+    out = survivors.unionByName(df)
+    plan_capture.note("parquet_upsert_merge", out)
+
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    stage = tempfile.mkdtemp(prefix="upsert_stage_", dir=parent)
+    try:
+        out.write.mode("overwrite").partitionBy(pcol).parquet(stage)
+        n = 0
+        for d in sorted(os.listdir(stage)):
+            if not d.startswith(f"{pcol}="):
+                continue
+            src_dir = os.path.join(stage, d)
+            dst_dir = os.path.join(path, d)
+            if os.path.exists(dst_dir):
+                old = dst_dir + "__precommit"
+                os.rename(dst_dir, old)
+                os.rename(src_dir, dst_dir)
+                shutil.rmtree(old)
+            else:
+                os.rename(src_dir, dst_dir)
+            n += 1
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return (
+        f"upserted {batch_rows:,} rows into {path} "
+        f"(parquet COW: {n} partitions rewritten)"
+    )
 
 
 def verify_parquet(

@@ -63,3 +63,37 @@ def test_reserved_word_columns_execute_on_sqlite(tmp_path):
     rows = sorted(con.execute('SELECT "sku", "order" FROM tgt').fetchall())
     con.close()
     assert rows == [("a", 1), ("b", 22), ("c", 3)]
+
+
+def test_merge_statements_derby_rejects_unsafe_names():
+    """Derby merge names are interpolated UNQUOTED (matching Spark's
+    verbatim writer emission), so non-identifier names must fail loudly
+    before any SQL is formatted."""
+    import pytest
+
+    from agentic_etl_poc_spark.sinks.jdbc_sink import merge_statements_derby
+
+    for bad in ("my-table", "a.b", 'we"ird', "1tbl", "t;drop"):
+        with pytest.raises(ValueError, match="plain identifier"):
+            merge_statements_derby(bad, "stg", ["k"], ["k", "v"])
+    # plain names still pass
+    assert len(merge_statements_derby("tgt", "tgt_stg", ["k"], ["k", "v"])) == 3
+
+
+class _FakeBatch:
+    """Tiny driver-free stand-in — upsert_parquet validates its arguments
+    before ever touching Spark, so a plain object suffices for the
+    precondition tests."""
+
+
+def test_upsert_parquet_preconditions():
+    import pytest
+
+    from agentic_etl_poc_spark.sinks.parquet_sink import upsert_parquet
+
+    with pytest.raises(ValueError, match="key_cols"):
+        upsert_parquet(_FakeBatch(), "/tmp/x", [], ["yr"])
+    with pytest.raises(ValueError, match="exactly one"):
+        upsert_parquet(_FakeBatch(), "/tmp/x", ["k"], [])
+    with pytest.raises(ValueError, match="exactly one"):
+        upsert_parquet(_FakeBatch(), "/tmp/x", ["k"], ["a", "b"])

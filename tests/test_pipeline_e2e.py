@@ -829,3 +829,51 @@ def test_jdbc_derby_live_upsert(spark, tmp_path):
     load_to_postgres(allkeys, url, "ak", mode="upsert", key_cols=["k"])
     got = fetch_db(spark, url, 'SELECT "k" FROM ak')
     assert sorted(r["k"] for r in got.collect()) == [1, 9]
+
+
+def test_parquet_cow_upsert_semantics(spark, tmp_path):
+    """upsert_parquet proves all three merge behaviors AND the COW
+    efficiency contract: untouched partition directories keep their exact
+    files (names + mtimes), touched ones are atomically swapped."""
+    import os
+
+    from agentic_etl_poc_spark.sinks.parquet_sink import upsert_parquet
+
+    tbl = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 2024, "a"), (2, 2024, "b"), (3, 2025, "c")],
+        "id int, yr int, v string",
+    )
+    msg = upsert_parquet(base, tbl, ["id"], ["yr"])
+    assert "bootstrap" in msg
+
+    def sig(d):
+        p = os.path.join(tbl, d)
+        return {
+            f: os.stat(os.path.join(p, f)).st_mtime_ns
+            for f in os.listdir(p)
+            if not f.startswith(("_", "."))
+        }
+
+    before_2024 = sig("yr=2024")
+    batch = spark.createDataFrame(
+        [(3, 2025, "c2"), (4, 2025, "d"), (5, 2026, "e")],
+        "id int, yr int, v string",
+    )
+    msg = upsert_parquet(batch, tbl, ["id"], ["yr"])
+    assert "2 partitions rewritten" in msg  # 2025 (update+insert) + 2026 (new)
+
+    got = {
+        (r["id"], r["yr"], r["v"])
+        for r in spark.read.parquet(tbl).collect()
+    }
+    assert got == {
+        (1, 2024, "a"),  # untouched partition survives
+        (2, 2024, "b"),
+        (3, 2025, "c2"),  # key 3 updated in place
+        (4, 2025, "d"),  # insert into existing partition
+        (5, 2026, "e"),  # insert into brand-new partition
+    }
+    # the COW claim itself: 2024's files are bit-identical (never opened
+    # for write — same names, same mtimes)
+    assert sig("yr=2024") == before_2024
