@@ -321,12 +321,23 @@ _NOOP_STATE_OUT = StructType(
 
 def noop_state(events: DataFrame) -> DataFrame:
     """NOOP stateful operator: identical grouping / Arrow transfer /
-    state-store plumbing to ``sessionize`` with trivial per-group work
-    (count rows, store one value).  Its drain wall time is the
-    applyInPandasWithState HARNESS FLOOR — the Arrow round-trip,
-    per-group Python invocation, and state commits that any operator on
-    this API pays before doing real work.  bench.py times it outside the
-    battery region so v02's number can be read net of the machinery."""
+    state-store plumbing to ``sessionize`` with trivial per-group work.
+    Its drain wall time is the applyInPandasWithState HARNESS FLOOR —
+    the Arrow round-trip, per-group Python invocation, and state commits
+    that any operator on this API pays before doing real work.  bench.py
+    times it outside the battery region so v02's number can be read net
+    of the machinery.
+
+    The floor must carry v02-SHAPED state, not a degenerate one: it
+    stores real timestamps (first/last of the batch, no fold) and
+    registers the same event-time timeout ``_sessionize_fn`` does.
+    Per-key timestamp serialization and timer registration are machinery
+    costs that grow with the ACTIVE-KEY count — at sf1 (~2M keys) a
+    floor that stored ``(None, None, n, 0.0)`` and skipped
+    setTimeoutTimestamp under-billed the machinery by enough to push the
+    recorded criterion ``(v02 - floor)/v01`` from 1.4 (sf0.1) to 3.28
+    (sf1) while the sessionize KERNEL itself scaled fine (the round-9
+    What's-wrong #3 / round-10 verdict task #3 finding)."""
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -334,9 +345,16 @@ def noop_state(events: DataFrame) -> DataFrame:
         if state.hasTimedOut:
             state.remove()
             return
-        n = sum(len(p) for p in pdfs)
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        n = len(rows)
         prior = state.get[2] if state.exists else 0
-        state.update((None, None, n + prior, 0.0))
+        first, last = rows["ts"].iloc[0], rows["ts"].iloc[-1]
+        state.update((first, last, n + prior, 0.0))
+        timeout_ms = int(last.timestamp() * 1000) + 1800 * 1000
+        state.setTimeoutTimestamp(
+            max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame([[key[0], n]], columns=["user_id", "n"])
 
     return events.groupBy("user_id").applyInPandasWithState(
