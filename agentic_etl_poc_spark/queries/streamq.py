@@ -186,7 +186,7 @@ def state_harness_floor(spark: SparkSession, sf_dir: str) -> float:
     fn over the same staged topic, watermark, and state-partition pin v02
     uses and return the wall seconds.  Two jobs in one: (a) the number is
     the Arrow/state-machinery cost any stateful-Python operator pays, so
-    ``(v02 - floor) / v01`` measures the sessionize PLAN rather than API
+    ``(v02 - floor) / v08`` measures the sessionize PLAN rather than API
     startup; (b) running it before a timed region pre-warms the Python
     state-worker pool and the staged-topic cache, so the timed v02
     reflects marginal cost.  bench.py records it as ``state_floor_sec``."""
