@@ -101,6 +101,14 @@ def upsert_parquet(
     touched = [r[0] for r in df.select(pcol).distinct().collect()]
     if not touched:
         return f"upserted 0 rows into {path} (parquet COW: empty batch)"
+    if any(v is None for v in touched):
+        # hive encodes a null partition as __HIVE_DEFAULT_PARTITION__,
+        # which the isin-pruned merge read would silently miss — refuse
+        # rather than lose the anti-join against those rows
+        raise ValueError(
+            f"parquet upsert batch has NULL {pcol!r} partition values; "
+            "the partition column must be non-null"
+        )
     target = spark.read.parquet(path).filter(F.col(pcol).isin(touched))
     survivors = target.join(
         df.select(*key_cols).distinct(), on=key_cols, how="left_anti"
