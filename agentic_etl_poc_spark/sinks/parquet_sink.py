@@ -25,6 +25,14 @@ def write_parquet(
     if mode == "upsert":
         return upsert_parquet(df, path, key_cols or [], partition_by or [])
     n = df.count()
+    if partition_by:
+        # cluster rows by the partition columns first — otherwise every
+        # upstream task writes a sliver into every partition directory
+        # (tasks x partitions tiny files); see upsert_parquet for the
+        # at-scale width variant
+        from pyspark.sql import functions as F
+
+        df = df.repartition(*[F.col(c) for c in partition_by])
     w = df.write.mode("overwrite" if mode == "replace" else mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -92,7 +100,15 @@ def upsert_parquet(
 
     if not os.path.exists(path):
         n = df.count()
-        df.write.mode("overwrite").partitionBy(pcol).parquet(path)
+        # cluster by the partition column before the partitioned write:
+        # without it every upstream task writes a sliver into every
+        # partition directory (tasks x partitions tiny files — the
+        # small-file problem compact_parquet exists to undo).  One
+        # shuffle, one file per partition here; at scale use
+        # repartition(n_files_per_partition, pcol) for width.
+        df.repartition(F.col(pcol)).write.mode("overwrite").partitionBy(
+            pcol
+        ).parquet(path)
         return f"upserted {n:,} rows into {path} (parquet COW: bootstrap)"
 
     # count BEFORE the commit: a batch whose lineage read the target
@@ -119,7 +135,10 @@ def upsert_parquet(
     parent = os.path.dirname(path.rstrip("/")) or "."
     stage = tempfile.mkdtemp(prefix="upsert_stage_", dir=parent)
     try:
-        out.write.mode("overwrite").partitionBy(pcol).parquet(stage)
+        # same clustering rule as the bootstrap write (see above)
+        out.repartition(F.col(pcol)).write.mode("overwrite").partitionBy(
+            pcol
+        ).parquet(stage)
         n = 0
         for d in sorted(os.listdir(stage)):
             if not d.startswith(f"{pcol}="):
