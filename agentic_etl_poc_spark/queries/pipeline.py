@@ -1604,29 +1604,75 @@ _DUCK_P13_PRED_S1 = (
 _DUCK_P13_PRED_S2 = "o_orderdate >= TIMESTAMP '1996-01-01'"
 
 
-def _p13_partition_sig(root: str, pcol: str) -> dict:
-    """Filesystem signature of every ``pcol=value`` partition directory:
-    (sorted data filenames, max mtime_ns).  Spark writes fresh UUID part
-    names per job, so a rewritten partition ALWAYS changes signature; an
-    untouched one provably cannot."""
+def _p13_build_table(
+    spark: SparkSession, sf_dir: str, table_name: str
+) -> tuple[str, dict, dict]:
+    """Run the p13/p14 two-plan lifecycle (s1 bootstrap -> s2 COW
+    upsert) into a fresh table directory; returns (table path,
+    signature snapshot BEFORE the upsert, snapshot AFTER) — the
+    snapshots come from sinks.parquet_sink.partition_signatures, the
+    same primitive a downstream incremental consumer diffs."""
     import os
+    import shutil
 
-    sig = {}
-    if not os.path.isdir(root):
-        return sig
-    for d in os.listdir(root):
-        if not d.startswith(pcol + "="):
-            continue
-        p = os.path.join(root, d)
-        files = sorted(
-            f for f in os.listdir(p) if not f.startswith(("_", "."))
+    from agentic_etl_poc_spark.runtime import run_from_plan
+    from agentic_etl_poc_spark.sinks.parquet_sink import partition_signatures
+
+    # session parity with the rest of the battery (semantic confs +
+    # data-sized shuffle partitions come from the table() path)
+    table(spark, sf_dir, "orders")
+
+    root = os.path.join(
+        "/tmp", "spark_graft_p13", sf_dir.strip(os.sep).replace(os.sep, "_")
+    )
+    tbl = os.path.join(root, table_name)
+    # deterministic re-runs: fresh table, plan 1 is a pure bootstrap
+    shutil.rmtree(tbl, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    orders_path = os.path.join(sf_dir, "orders.parquet")
+    plans = [
+        ("s1", _P13_PRED_S1, "replace"),
+        ("s2", _P13_PRED_S2, "upsert"),
+    ]
+    sig_before: dict = {}
+    for src, pred, mode in plans:
+        if mode == "upsert":
+            sig_before = partition_signatures(tbl, "yr")
+        sql_block = "\n".join(
+            "    " + ln
+            for ln in _P13_TRANSFORM.format(src=src, pred=pred)
+            .strip()
+            .splitlines()
         )
-        mt = max(
-            (os.stat(os.path.join(p, f)).st_mtime_ns for f in files),
-            default=0,
-        )
-        sig[d] = (tuple(files), mt)
-    return sig
+        plan = f"""
+source:
+  kind: parquet
+  parquet:
+    path: "{orders_path}"
+transform:
+  sql: |
+{sql_block}
+checks:
+  min_rows: 1
+  nonnull_cols: [ym, total_s]
+load:
+  to: parquet
+  file_path: "{tbl}"
+  mode: {mode}
+  partition_by: [yr]
+  key_cols: [ym]
+verify:
+  min_rows: 1
+alerts:
+  on_fail: "slack://#data-alerts"
+"""
+        result = run_from_plan(spark, plan)
+        if result.get("status") != "ok":
+            raise RuntimeError(
+                f"{table_name} upsert plan ({src}) failed: {result}"
+            )
+    return tbl, sig_before, partition_signatures(tbl, "yr")
 
 
 @register(
@@ -1694,64 +1740,9 @@ ORDER BY merged.ym
     "rewriting the table.",
 )
 def p13_lakehouse_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-
-    from agentic_etl_poc_spark.runtime import run_from_plan
-
-    # session parity with the rest of the battery (semantic confs +
-    # data-sized shuffle partitions come from the table() path)
-    table(spark, sf_dir, "orders")
-
-    root = os.path.join(
-        "/tmp", "spark_graft_p13", sf_dir.strip(os.sep).replace(os.sep, "_")
+    tbl, sig_before, sig_after = _p13_build_table(
+        spark, sf_dir, "monthly_orders"
     )
-    tbl = os.path.join(root, "monthly_orders")
-    # deterministic re-runs: fresh table, plan 1 is a pure bootstrap
-    shutil.rmtree(tbl, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-
-    orders_path = os.path.join(sf_dir, "orders.parquet")
-    plans = [
-        ("s1", _P13_PRED_S1, "replace"),
-        ("s2", _P13_PRED_S2, "upsert"),
-    ]
-    sig_before = None
-    for src, pred, mode in plans:
-        if mode == "upsert":
-            sig_before = _p13_partition_sig(tbl, "yr")
-        sql_block = "\n".join(
-            "    " + ln
-            for ln in _P13_TRANSFORM.format(src=src, pred=pred)
-            .strip()
-            .splitlines()
-        )
-        plan = f"""
-source:
-  kind: parquet
-  parquet:
-    path: "{orders_path}"
-transform:
-  sql: |
-{sql_block}
-checks:
-  min_rows: 1
-  nonnull_cols: [ym, total_s]
-load:
-  to: parquet
-  file_path: "{tbl}"
-  mode: {mode}
-  partition_by: [yr]
-  key_cols: [ym]
-verify:
-  min_rows: 1
-alerts:
-  on_fail: "slack://#data-alerts"
-"""
-        result = run_from_plan(spark, plan)
-        if result.get("status") != "ok":
-            raise RuntimeError(f"p13 upsert plan ({src}) failed: {result}")
-    sig_after = _p13_partition_sig(tbl, "yr")
     rewritten = sum(
         1
         for d, s in sig_after.items()
@@ -1769,4 +1760,86 @@ alerts:
         .select("ym", "n_orders", "total_s", "src")
         .crossJoin(F.broadcast(evidence))
         .orderBy("ym")
+    )
+
+
+@register(
+    "p14_incremental_partition_consume",
+    oracle=f"""
+WITH s2m AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+              AS DECIMAL(28,6)) AS tot
+  FROM orders WHERE {_DUCK_P13_PRED_S2}
+  GROUP BY 1, 2),
+agg AS (
+  SELECT yr,
+         CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+         CAST(CAST(SUM(tot) AS DECIMAL(28,6)) AS VARCHAR) AS total_s
+  FROM s2m GROUP BY yr),
+parts AS (
+  SELECT CAST((SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders
+               WHERE {_DUCK_P13_PRED_S2}) AS BIGINT) AS n_changed_parts,
+         CAST((SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders
+               WHERE ({_DUCK_P13_PRED_S1}) OR ({_DUCK_P13_PRED_S2}))
+              AS BIGINT) AS n_total_parts)
+SELECT agg.yr, agg.n_months, agg.n_orders, agg.total_s,
+       parts.n_changed_parts, parts.n_total_parts
+FROM agg CROSS JOIN parts
+ORDER BY agg.yr
+""",
+    description="Incremental CHANGE-FEED consumption of the lakehouse "
+    "COW table — the downstream half of p13's story (what Delta calls "
+    "change-data-feed; on plain parquet the commit granularity is the "
+    "partition directory, so the feed primitive is a signature diff): "
+    "the nightly consumer snapshots partition_signatures BEFORE the "
+    "upsert, diffs with changed_partitions AFTER it, and reads ONLY "
+    "the changed `yr=` partitions — the scan is partition-PRUNED to "
+    "the delta, never the table (at 100 TB: read 3 partitions after a "
+    "3-partition commit, not 7 years of history).  The consumer "
+    "rolls the changed months up per year (decimal-exact re-aggregation "
+    "of the merged cells) and the oracle recomputes that rollup from "
+    "the s2 predicate alone — a consumer that reads an unchanged "
+    "partition (or misses a changed one) produces different rows and "
+    "goes driver-red; the changed/total partition counts are hashed in "
+    "as evidence.  Scale shape: the signature set is one row per "
+    "partition (kilobytes, driver-side by design — the same metadata a "
+    "lakehouse commit log holds); the data plane is a pruned scan + "
+    "keyed partial aggregation.  Reference parity: the reference's "
+    "incremental story is a timestamp high-water mark "
+    "(etl_agent/ops.py watermark persistence, mirrored by p03); this "
+    "entry is the partition-grain equivalent a file-table sink needs.",
+)
+def p14_incremental_partition_consume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from agentic_etl_poc_spark.sinks.parquet_sink import changed_partitions
+
+    tbl, sig_before, _sig_after = _p13_build_table(
+        spark, sf_dir, "monthly_orders_cdc"
+    )
+    changed = changed_partitions(tbl, "yr", sig_before)
+    n_total = len(_sig_after)
+    evidence = spark.createDataFrame(
+        [(len(changed), n_total)],
+        "n_changed_parts bigint, n_total_parts bigint",
+    )
+    consumed = spark.read.parquet(tbl).filter(
+        F.col("yr").isin([int(v) for v in changed])
+    )
+    return (
+        consumed.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum(F.col("total_s").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .cast("string")
+            .alias("total_s"),
+        )
+        .crossJoin(F.broadcast(evidence))
+        .orderBy("yr")
     )

@@ -192,3 +192,47 @@ def verify_parquet(
             else "null values in " + ",".join(c for c in cols if row[f"nulls_{c}"])
         )
     return out
+
+
+def partition_signatures(path: str, pcol: str) -> dict[str, tuple]:
+    """Filesystem signature of every ``pcol=value`` partition directory:
+    ``{dir_name: (sorted data filenames, max mtime_ns)}``.
+
+    This is the poor-man's change feed for a plain-parquet table: Spark
+    writes fresh UUID part names per job, so a rewritten partition
+    ALWAYS changes signature and an untouched one provably cannot.
+    ``upsert_parquet``'s commit swaps whole partition directories, which
+    makes the signature the exact commit granularity — a downstream
+    incremental consumer diffs two snapshots and reads only the changed
+    partitions (what Delta's change-data-feed or partition-mtime
+    pipelines do; at 100 TB the signature set is one row per partition,
+    kilobytes, driver-side by design)."""
+    sig: dict[str, tuple] = {}
+    if not os.path.isdir(path):
+        return sig
+    for d in os.listdir(path):
+        if not d.startswith(pcol + "="):
+            continue
+        p = os.path.join(path, d)
+        files = sorted(f for f in os.listdir(p) if not f.startswith(("_", ".")))
+        mt = max(
+            (os.stat(os.path.join(p, f)).st_mtime_ns for f in files),
+            default=0,
+        )
+        sig[d] = (tuple(files), mt)
+    return sig
+
+
+def changed_partitions(
+    path: str, pcol: str, since: dict[str, tuple]
+) -> list[str]:
+    """Partition VALUES (the part after ``pcol=``) whose directory
+    signature differs from the ``since`` snapshot — new partitions
+    count as changed.  The incremental-consume primitive paired with
+    ``partition_signatures``."""
+    now = partition_signatures(path, pcol)
+    return sorted(
+        d[len(pcol) + 1 :]
+        for d, s in now.items()
+        if since.get(d) != s
+    )

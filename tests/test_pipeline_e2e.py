@@ -877,3 +877,26 @@ def test_parquet_cow_upsert_semantics(spark, tmp_path):
     # the COW claim itself: 2024's files are bit-identical (never opened
     # for write — same names, same mtimes)
     assert sig("yr=2024") == before_2024
+
+
+def test_changed_partitions_diff(spark, tmp_path):
+    """partition_signatures + changed_partitions: the change-feed diff
+    names exactly the rewritten/new partitions, never untouched ones."""
+    from agentic_etl_poc_spark.sinks.parquet_sink import (
+        changed_partitions,
+        partition_signatures,
+        upsert_parquet,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 2024, "a"), (3, 2025, "c")], "id int, yr int, v string"
+    )
+    upsert_parquet(base, tbl, ["id"], ["yr"])
+    snap = partition_signatures(tbl, "yr")
+    batch = spark.createDataFrame(
+        [(3, 2025, "c2"), (5, 2026, "e")], "id int, yr int, v string"
+    )
+    upsert_parquet(batch, tbl, ["id"], ["yr"])
+    assert changed_partitions(tbl, "yr", snap) == ["2025", "2026"]
+    assert changed_partitions(tbl, "yr", partition_signatures(tbl, "yr")) == []
