@@ -2392,3 +2392,111 @@ def m08_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vad_segments(payloads, frame_samples=FRAME, threshold_q15=500).orderBy(
         "item_id", "seg_idx"
     )
+
+
+#: t26 feature dimension — the hashing-trick bucket count.  64 keeps the
+#: oracle's per-word hash cheap at test scale; production uses 2^18-2^20
+#: (the knob changes nothing structural: j = H(w) mod D).
+HASH_EMBED_DIM = 64
+
+
+@register(
+    "t26_hashing_embed",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE length(w) > 0
+),
+feats AS (
+  SELECT doc_id,
+         {duck_md5_48('w')} % {HASH_EMBED_DIM} AS j,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM words GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, j, cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, j ASC) AS rn
+  FROM feats
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS nnz,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sq_norm
+  FROM feats GROUP BY doc_id
+)
+SELECT agg.doc_id, agg.nnz, agg.n_tokens, agg.sq_norm,
+       CAST(r.j AS BIGINT) AS top_bucket,
+       r.cnt AS top_count
+FROM agg JOIN ranked r ON r.doc_id = agg.doc_id AND r.rn = 1
+ORDER BY agg.doc_id
+""",
+    description="Embedding GENERATION for text — the corpus-wide "
+    "featurize pass that produces the vectors the s-family searches and "
+    "the d-family dedups (the one step of that pipeline the battery "
+    "lacked; embeddings.parquet arrives pre-computed).  Implemented as "
+    "the HASHING-TRICK featurizer (HashingTF): each word maps to bucket "
+    "j = md5_48(w) mod D and the document's sparse vector is the bucket "
+    "count map — the production featurizer for n-gram/sparse models, "
+    "and the exact plumbing shape of dense-model inference (tokenize -> "
+    "per-doc vector), which swaps the hash projection for an "
+    "Arrow-batched model UDF (the m-family demonstrates that batched "
+    "kernel plumbing; no model weights ship in this container).  "
+    "Everything stays in whole-stage codegen: explode -> map-side "
+    "md5_48 mod D -> partial-agg on (doc_id, bucket) -> one keyed "
+    "rollup emitting exact-integer audit stats per doc (nnz, token "
+    "count, L2^2 norm, argmax bucket with lowest-index tie-break via a "
+    "struct max — no window, no second shuffle).  The 48-bit md5 "
+    "prefix hash is bit-identical in both engines (functions/"
+    "hashing.py), so the driver hash pins every bucket assignment.  "
+    "Scale shape: two keyed exchanges total, no UDF, no driver data; "
+    "D is a constant (production 2^18-2^20) so the feature map never "
+    "shuffles wider than the corpus token stream.",
+)
+def t26_hashing_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark.functions.hashing import md5_48
+
+    D = HASH_EMBED_DIM
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+    )
+    feats = (
+        words.select(
+            "doc_id", (md5_48(F.col("w")) % F.lit(D)).alias("j")
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # argmax bucket, lowest-j tie-break: max over (cnt, D-1-j) structs
+    # picks the highest count and, within ties, the smallest bucket —
+    # one aggregate, no window, reuses the same doc_id exchange
+    top = F.max(
+        F.struct(
+            F.col("cnt").alias("c"),
+            (F.lit(D - 1) - F.col("j")).cast("bigint").alias("negj"),
+        )
+    )
+    return (
+        feats.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nnz"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sq_norm"),
+            top.alias("_top"),
+        )
+        .select(
+            "doc_id",
+            "nnz",
+            "n_tokens",
+            "sq_norm",
+            (F.lit(D - 1) - F.col("_top.negj")).cast("bigint").alias("top_bucket"),
+            F.col("_top.c").alias("top_count"),
+        )
+        .orderBy("doc_id")
+    )
