@@ -154,7 +154,7 @@ def register(name: str, oracle: str | None, description: str = ""):
 #: each recorded exactly 50).  Round-11 rotation, five bands:
 #:
 #: 1. Slots 1-50 (the sweep window) — the never-driver-sampled round-11
-#:    entries p13/p14/t26 first, then d15 + d04 (both changed semantics in round 9
+#:    entries p13/p14/t26/t27 first, then d15 + d04 (both changed semantics in round 9
 #:    and d15 was refactored again in round 10, yet their latest hard
 #:    driver rows are r08 — the round-10 verdict's carried task #1),
 #:    then the full 39-entry cohort whose latest green is r06 (waited
@@ -174,11 +174,12 @@ def register(name: str, oracle: str | None, description: str = ""):
 #: bench.py iterates sorted(battery), so this order never skews
 #: per-query bench attribution.
 SWEEP_ORDER: tuple[str, ...] = (
-    # -- band 1 (sweep window, 50): p13/p14/t26 (new), then d15 + d04,
-    # -- then the r06-era cohort cheap-first, then 6 cheapest r07 fills
+    # -- band 1 (sweep window, 50): p13/p14/t26/t27 (new), then d15 +
+    # -- d04, then the r06-era cohort cheap-first, then 5 r07 fills
     "p13_lakehouse_upsert",
     "p14_incremental_partition_consume",
     "t26_hashing_embed",
+    "t27_stratified_sample",
     "d15_lsh_semantic_dedup",
     "d04_minhash_lsh",
     "q44_arg_extremes",
@@ -225,9 +226,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q69_promo_revenue_share",
     "q82_compaction_roundtrip",
     "q81_sql_variables",
+    # -- band 2: remaining r07-era entries, cheap-first (p08/t14/q72
+    # -- were window fills until p14/t26/t27 took their slots) -----
     "p08_xml_roundtrip",
-    # -- band 2: remaining r07-era entries, cheap-first (t14/q72 were
-    # -- window fills until p14/t26 took their slots) --------------
     "t14_tfidf_keywords",
     "q72_dormant_rich_customers",
     "q70_disjunctive_predicate_join",

@@ -2500,3 +2500,98 @@ def t26_hashing_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: t27 per-stratum sample size.  Production eval-set builds use 1k-100k;
+#: the value is a constant, so the SAMPLE stays fixed-size as the corpus
+#: grows — which is exactly why the hash-threshold pre-filter matters.
+STRAT_K = 40
+
+#: Hash-threshold overshoot factor: candidates per stratum ~ 4K, so the
+#: exact-rank window never sees more than a few hundred rows per stratum
+#: regardless of corpus size.  Undershoot probability at 4x is the
+#: binomial tail P(X < K | mean 4K) ~ 1e-30 PER STRATUM; the kernel
+#: still hard-asserts coverage (an undershoot would silently truncate
+#: the sample — fail loudly instead).
+STRAT_OVERSHOOT = 4
+
+
+@register(
+    "t27_stratified_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {duck_md5_48('CAST(doc_id AS VARCHAR)')} ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+)
+SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+FROM ranked WHERE rk <= {STRAT_K}
+ORDER BY source, rk
+""",
+    description="EXACT-N stratified sampling — 'exactly K documents per "
+    "source', the eval-set/human-review draw every curation pipeline "
+    "runs (t08's hash split and t10's mixture sample by RATE; neither "
+    "can hit an exact per-stratum count).  Selection is deterministic: "
+    "rank by md5_48(doc_id) within each source, keep rk <= K — a "
+    "reproducible uniform draw with no RNG state.  Scale shape is the "
+    "point: the naive form is a per-stratum WINDOW over the whole "
+    "corpus (a stratum can be 10^10 rows — single-partition death, the "
+    "same killer t16's prefix sum dodges).  Instead: (1) one keyed "
+    "count agg gives per-stratum sizes; (2) broadcast-joined back, a "
+    "MAP-SIDE hash-threshold filter keeps ~4K candidates per stratum "
+    "(threshold = 2^48 * 4K / n, whole strata of <= 4K pass through), "
+    "so (3) the exact-rank window runs over a few hundred rows per "
+    "stratum — fixed work however large the corpus, and bit-identical "
+    "to the full-corpus rank the oracle computes because the top-K by "
+    "hash provably survive any threshold >= the K-th hash (coverage "
+    "hard-asserted per stratum: P(undershoot at 4x) ~ 1e-30, and a "
+    "silent truncation is the one failure mode the assert removes).  "
+    "Everything JVM-side: md5 + compare in codegen, one count "
+    "exchange, one candidate exchange into the tiny window.",
+)
+def t27_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from agentic_etl_poc_spark.functions.hashing import md5_48
+
+    K, OV = STRAT_K, STRAT_OVERSHOOT
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = md5_48(F.col("doc_id").cast("string"))
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    full = F.lit(1 << 48).cast("bigint")
+    thr = F.when(F.col("_n") <= OV * K, full).otherwise(
+        (full * OV * K / F.col("_n")).cast("bigint") + 1
+    )
+    cand = (
+        docs.join(F.broadcast(counts), "source")
+        .withColumn("_h", h)
+        .filter(F.col("_h") < thr)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.asc("_h"), F.asc("doc_id")
+    )
+    ranked = cand.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    out = ranked.filter(F.col("rk") <= K)
+    # coverage assert: every stratum yields exactly min(K, n) rows — an
+    # undershoot (threshold clipped the true top-K) must fail loudly,
+    # never silently truncate the sample.  One tiny driver-side check
+    # over #strata rows.
+    got = {
+        r["source"]: (r["n_sampled"], r["n"])
+        for r in out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.first("_n").alias("n"))
+        .collect()
+    }
+    short = {
+        s: v for s, v in got.items() if v[0] != min(K, v[1])
+    }
+    if short:
+        raise RuntimeError(
+            f"stratified-sample undershoot (raise STRAT_OVERSHOOT): {short}"
+        )
+    return out.select("source", "rk", "doc_id").orderBy("source", "rk")
