@@ -9,8 +9,9 @@ prompt.txt:1-91) so existing plans run unmodified:
               json:{path, json_path}, api:{url, params, json_path},
               db:{conn_str, query}}
   transform: {sql} | {steps: [{name, sql}]}
-  load:      {to: csv|postgres, file_path, include_header,
-              conn_str, table, mode: append|replace|upsert, key_cols}
+  load:      {to: csv|postgres|parquet, file_path, include_header,
+              conn_str, table, mode: append|replace|upsert, key_cols,
+              partition_by}  (parquet upsert = COW partition merge)
   checks:    {min_rows, nonnull_cols, freshness_minutes, timestamp_col}
   verify:    {min_rows, nonnull_cols, ts_col, max_lag_minutes}
   alerts:    {on_fail, on_dq_fail, webhook_url}

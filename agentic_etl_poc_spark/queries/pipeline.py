@@ -1219,10 +1219,16 @@ def _derby_orders_db(spark: SparkSession, sf_dir: str) -> str:
     except Exception:
         pass  # already booted in this JVM — the log location is set
 
+    # Key the staging root on the REALPATH so the same fixture reached
+    # via a relative and an absolute sf_dir shares one staged database
+    # (a path-string key re-staged sf10's 6M rows — ~16 min — when a
+    # probe used /root/repo/testdata_sf10 beside bench's testdata_sf10).
+    # Content identity is still the fingerprint's job: a changed fixture
+    # under the same path gets a fresh db_dir below.
     root = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_p10",
-        sf_dir.strip(os.sep).replace(os.sep, "_"),
+        os.path.realpath(sf_dir).strip(os.sep).replace(os.sep, "_"),
     )
     fp = fixture_fingerprint(sf_dir, ["orders"])
     # a CHANGED fixture gets a fresh database directory (Derby databases
