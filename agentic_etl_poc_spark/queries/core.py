@@ -158,7 +158,7 @@ def register(name: str, oracle: str | None, description: str = ""):
 #:    and d15 was refactored again in round 10, yet their latest hard
 #:    driver rows are r08 — the round-10 verdict's carried task #1),
 #:    then the full 39-entry cohort whose latest green is r06 (waited
-#:    longest), cheap-first (driver r10 per-query bench), then the 7
+#:    longest), cheap-first (driver r10 per-query bench), then the 5
 #:    cheapest r07-era entries to fill the window to exactly 50.
 #: 2. The remaining r07-era entries, cheap-first.
 #: 3. Entries whose latest green is the r08 sweep, cheap-first (d15/d04

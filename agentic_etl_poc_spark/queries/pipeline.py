@@ -1610,31 +1610,70 @@ _DUCK_P13_PRED_S1 = (
 _DUCK_P13_PRED_S2 = "o_orderdate >= TIMESTAMP '1996-01-01'"
 
 
+#: Per-process memo of the p13/p14 table build, keyed on the fixture
+#: realpath: the two entries share ONE two-plan lifecycle per sweep
+#: instead of each re-running the bootstrap+upsert over orders (at sf10
+#: that second build is a redundant multi-scan of millions of rows).
+#: Each entry stays independently runnable — whichever runs first
+#: builds.  Fixtures never change mid-process (the staging markers
+#: guard cross-process staleness), so content invalidation is not
+#: needed here.
+_P13_BUILDS: dict[str, tuple[str, dict, dict]] = {}
+
+
 def _p13_build_table(
-    spark: SparkSession, sf_dir: str, table_name: str
+    spark: SparkSession, sf_dir: str
 ) -> tuple[str, dict, dict]:
     """Run the p13/p14 two-plan lifecycle (s1 bootstrap -> s2 COW
     upsert) into a fresh table directory; returns (table path,
     signature snapshot BEFORE the upsert, snapshot AFTER) — the
     snapshots come from sinks.parquet_sink.partition_signatures, the
-    same primitive a downstream incremental consumer diffs."""
+    same primitive a downstream incremental consumer diffs.  Builds are
+    memoized per process and serialized across processes with a file
+    lock (the rmtree+rebuild of a shared /tmp table must never race a
+    concurrent builder's merge read — same discipline as
+    _derby_orders_db's stage lock)."""
+    import fcntl
     import os
-    import shutil
+    import tempfile
 
     from agentic_etl_poc_spark.runtime import run_from_plan
     from agentic_etl_poc_spark.sinks.parquet_sink import partition_signatures
+
+    key = os.path.realpath(sf_dir)
+    memo = _P13_BUILDS.get(key)
+    if memo is not None and os.path.isdir(memo[0]):
+        return memo
 
     # session parity with the rest of the battery (semantic confs +
     # data-sized shuffle partitions come from the table() path)
     table(spark, sf_dir, "orders")
 
     root = os.path.join(
-        "/tmp", "spark_graft_p13", sf_dir.strip(os.sep).replace(os.sep, "_")
+        tempfile.gettempdir(),
+        "spark_graft_p13",
+        key.strip(os.sep).replace(os.sep, "_"),
     )
-    tbl = os.path.join(root, table_name)
+    tbl = os.path.join(root, "monthly_orders")
+    os.makedirs(root, exist_ok=True)
+    lock_fd = os.open(os.path.join(root, "_build.lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        return _p13_build_locked(
+            spark, sf_dir, key, tbl, run_from_plan, partition_signatures
+        )
+    finally:
+        os.close(lock_fd)
+
+
+def _p13_build_locked(
+    spark, sf_dir, key, tbl, run_from_plan, partition_signatures
+) -> tuple[str, dict, dict]:
+    import os
+    import shutil
+
     # deterministic re-runs: fresh table, plan 1 is a pure bootstrap
     shutil.rmtree(tbl, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
 
     orders_path = os.path.join(sf_dir, "orders.parquet")
     plans = [
@@ -1675,10 +1714,10 @@ alerts:
 """
         result = run_from_plan(spark, plan)
         if result.get("status") != "ok":
-            raise RuntimeError(
-                f"{table_name} upsert plan ({src}) failed: {result}"
-            )
-    return tbl, sig_before, partition_signatures(tbl, "yr")
+            raise RuntimeError(f"p13 upsert plan ({src}) failed: {result}")
+    built = (tbl, sig_before, partition_signatures(tbl, "yr"))
+    _P13_BUILDS[key] = built
+    return built
 
 
 @register(
@@ -1746,9 +1785,7 @@ ORDER BY merged.ym
     "rewriting the table.",
 )
 def p13_lakehouse_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tbl, sig_before, sig_after = _p13_build_table(
-        spark, sf_dir, "monthly_orders"
-    )
+    tbl, sig_before, sig_after = _p13_build_table(spark, sf_dir)
     rewritten = sum(
         1
         for d, s in sig_after.items()
@@ -1824,9 +1861,9 @@ def p14_incremental_partition_consume(
 ) -> DataFrame:
     from agentic_etl_poc_spark.sinks.parquet_sink import changed_partitions
 
-    tbl, sig_before, _sig_after = _p13_build_table(
-        spark, sf_dir, "monthly_orders_cdc"
-    )
+    tbl, sig_before, _sig_after = _p13_build_table(spark, sf_dir)
+    from agentic_etl_poc_spark import plan_capture
+
     changed = changed_partitions(tbl, "yr", sig_before)
     n_total = len(_sig_after)
     evidence = spark.createDataFrame(
@@ -1836,6 +1873,10 @@ def p14_incremental_partition_consume(
     consumed = spark.read.parquet(tbl).filter(
         F.col("yr").isin([int(v) for v in changed])
     )
+    # the memoized build may leave this entry with no run_from_plan
+    # action of its own — the consumer scan IS the entry's executed
+    # plan, so hand it to the eager lint explicitly
+    plan_capture.note("incremental_consume", consumed)
     return (
         consumed.groupBy("yr")
         .agg(

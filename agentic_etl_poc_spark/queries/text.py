@@ -2576,7 +2576,11 @@ def t27_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.asc("_h"), F.asc("doc_id")
     )
     ranked = cand.withColumn("rk", F.row_number().over(w).cast("bigint"))
-    out = ranked.filter(F.col("rk") <= K)
+    # materialize the survivor set ONCE (strata x K rows — tiny by
+    # construction): the coverage assert below and the returned frame
+    # both read the checkpoint instead of re-running the count-agg +
+    # filter + window pipeline twice
+    out = ranked.filter(F.col("rk") <= K).localCheckpoint(eager=True)
     # coverage assert: every stratum yields exactly min(K, n) rows — an
     # undershoot (threshold clipped the true top-K) must fail loudly,
     # never silently truncate the sample.  One tiny driver-side check

@@ -128,8 +128,11 @@ def merge_statements_derby(
     WHEN MATCHED clause is omitted when every column is a key (nothing
     to update; Derby rejects an empty SET list).  Because the table/stage
     names are interpolated UNQUOTED, they are validated against a safe
-    identifier pattern first — a reserved word or hyphenated name must
-    fail loudly here, not as a Derby syntax error mid-transaction."""
+    identifier pattern first — a hyphenated, dotted, or quoted name must
+    fail loudly here, not as a Derby syntax error mid-transaction.  (A
+    reserved WORD still passes the pattern; in practice it never reaches
+    the merge — Spark's JDBC writer emits the same unquoted name for the
+    stage write and fails there first.)"""
     import re
 
     for name in (table, stage):

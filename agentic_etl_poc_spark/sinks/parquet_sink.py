@@ -134,6 +134,13 @@ def upsert_parquet(
 
     parent = os.path.dirname(path.rstrip("/")) or "."
     stage = tempfile.mkdtemp(prefix="upsert_stage_", dir=parent)
+    # sweep crash residue from an earlier interrupted commit: the
+    # retired-partition dirs are dot-prefixed (invisible to Spark's
+    # listing, to partition_signatures, and to this table's readers),
+    # so leftovers are harmless — but don't let them accumulate
+    for d in os.listdir(path):
+        if d.startswith(".precommit_"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     try:
         # same clustering rule as the bootstrap write (see above)
         out.repartition(F.col(pcol)).write.mode("overwrite").partitionBy(
@@ -146,7 +153,13 @@ def upsert_parquet(
             src_dir = os.path.join(stage, d)
             dst_dir = os.path.join(path, d)
             if os.path.exists(dst_dir):
-                old = dst_dir + "__precommit"
+                # retire the old partition under a DOT-PREFIXED name: a
+                # crash between the two renames must leave residue that
+                # every reader (Spark listing, partition_signatures,
+                # the next upsert's merge read) ignores — a bare
+                # 'yr=V__precommit' would be discovered as a partition
+                # and poison the table with stale duplicate rows
+                old = os.path.join(path, ".precommit_" + d)
                 os.rename(dst_dir, old)
                 os.rename(src_dir, dst_dir)
                 shutil.rmtree(old)

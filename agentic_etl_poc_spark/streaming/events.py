@@ -160,6 +160,14 @@ def _fold_sessions(
     return closed, (start, last, n, total)
 
 
+#: Default inactivity gap shared by sessionize, sessionize_tws, AND the
+#: noop harness floor: the floor's contract is to register the SAME
+#: event-time timeout shape _sessionize_fn does, so the gap must come
+#: from one place — a tuned sessionize default with a floor still at a
+#: stale literal would silently skew the recorded v02 criterion.
+SESSION_GAP_SECONDS = 1800
+
+
 def _sessionize_fn(gap_seconds: int):
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -198,7 +206,7 @@ def _sessionize_fn(gap_seconds: int):
     return fn
 
 
-def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def sessionize(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
     """Per-user session windows with an inactivity gap: custom stateful
     streaming operator (applyInPandasWithState).  Emits one row per CLOSED
     session; open sessions stay in executor state keyed by user — the state
@@ -297,7 +305,7 @@ def _make_sessionize_processor(gap_seconds: int):
     return _SessionizeProcessor()
 
 
-def sessionize_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def sessionize_tws(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
     """``sessionize`` re-expressed on transformWithStateInPandas (Spark 4's
     arbitrary-stateful successor to applyInPandasWithState) — the state-API
     portability twin of v02.  Identical semantics by construction: both
@@ -351,7 +359,9 @@ def noop_state(events: DataFrame) -> DataFrame:
         prior = state.get[2] if state.exists else 0
         first, last = rows["ts"].iloc[0], rows["ts"].iloc[-1]
         state.update((first, last, n + prior, 0.0))
-        timeout_ms = int(last.timestamp() * 1000) + 1800 * 1000
+        timeout_ms = (
+            int(last.timestamp() * 1000) + SESSION_GAP_SECONDS * 1000
+        )
         state.setTimeoutTimestamp(
             max(timeout_ms, state.getCurrentWatermarkMs() + 1)
         )
