@@ -1798,12 +1798,19 @@ def p13_lakehouse_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(rewritten, untouched)],
         "n_rewritten_parts bigint, n_untouched_parts bigint",
     )
-    return (
+    from agentic_etl_poc_spark import plan_capture
+
+    out = (
         spark.read.parquet(tbl)
         .select("ym", "n_orders", "total_s", "src")
         .crossJoin(F.broadcast(evidence))
         .orderBy("ym")
     )
+    # the memoized build may leave this entry with no run_from_plan
+    # action of its own — the merged-table read-back IS the entry's
+    # executed plan, so hand it to the eager lint explicitly
+    plan_capture.note("cow_readback", out)
+    return out
 
 
 @register(
