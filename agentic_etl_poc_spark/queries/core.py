@@ -154,11 +154,11 @@ def register(name: str, oracle: str | None, description: str = ""):
 #: each recorded exactly 50).  Round-11 rotation, five bands:
 #:
 #: 1. Slots 1-50 (the sweep window) — the never-driver-sampled round-11
-#:    entries p13/p14/t26/t27 first, then d15 + d04 (both changed semantics in round 9
+#:    entries p13/p14/t26/t27/v16 first, then d15 + d04 (both changed semantics in round 9
 #:    and d15 was refactored again in round 10, yet their latest hard
 #:    driver rows are r08 — the round-10 verdict's carried task #1),
 #:    then the full 39-entry cohort whose latest green is r06 (waited
-#:    longest), cheap-first (driver r10 per-query bench), then the 5
+#:    longest), cheap-first (driver r10 per-query bench), then the 4
 #:    cheapest r07-era entries to fill the window to exactly 50.
 #: 2. The remaining r07-era entries, cheap-first.
 #: 3. Entries whose latest green is the r08 sweep, cheap-first (d15/d04
@@ -174,12 +174,13 @@ def register(name: str, oracle: str | None, description: str = ""):
 #: bench.py iterates sorted(battery), so this order never skews
 #: per-query bench attribution.
 SWEEP_ORDER: tuple[str, ...] = (
-    # -- band 1 (sweep window, 50): p13/p14/t26/t27 (new), then d15 +
-    # -- d04, then the r06-era cohort cheap-first, then 5 r07 fills
+    # -- band 1 (sweep window, 50): p13/p14/t26/t27/v16 (new), then
+    # -- d15 + d04, then the r06-era cohort cheap-first, 4 r07 fills
     "p13_lakehouse_upsert",
     "p14_incremental_partition_consume",
     "t26_hashing_embed",
     "t27_stratified_sample",
+    "v16_stream_lakehouse_upsert",
     "d15_lsh_semantic_dedup",
     "d04_minhash_lsh",
     "q44_arg_extremes",
@@ -225,9 +226,9 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q66_bloom_runtime_filter",
     "q69_promo_revenue_share",
     "q82_compaction_roundtrip",
+    # -- band 2: remaining r07-era entries, cheap-first (q81/p08/t14/
+    # -- q72 were window fills until the round-11 entries took them) --
     "q81_sql_variables",
-    # -- band 2: remaining r07-era entries, cheap-first (p08/t14/q72
-    # -- were window fills until p14/t26/t27 took their slots) -----
     "p08_xml_roundtrip",
     "t14_tfidf_keywords",
     "q72_dormant_rich_customers",

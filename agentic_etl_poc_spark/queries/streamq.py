@@ -1406,3 +1406,92 @@ def v15_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dim_ver", "event_type", "n", "first_label")
         .orderBy("dim_ver", "event_type")
     )
+
+
+@register(
+    "v16_stream_lakehouse_upsert",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS d,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS VARCHAR) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    description="Streaming CDC apply into the LAKEHOUSE table — v11's "
+    "exactly-once upsert pattern re-targeted at the partition-level COW "
+    "sink p13 proved (sinks/parquet_sink.py::upsert_parquet): an "
+    "update-mode (day, event_type) running aggregate drained over the "
+    "three-batch staged topic, where each micro-batch foreachBatch-"
+    "MERGES its touched keys into a parquet table PARTITIONED BY "
+    "event_type — partition-pruned merge read, left_anti survivors, "
+    "atomic partition-directory swap per batch, instead of v11's "
+    "whole-store rewrite.  At 100 TB this is the nightly-CDC shape: a "
+    "micro-batch touching 3 of 10,000 partitions rewrites 3 directories "
+    "(the delta's partition values prune the read AND the write), and a "
+    "checkpoint-replayed batch re-merges the same cumulative values "
+    "idempotently — exactly-once EFFECT on a plain-parquet lakehouse.  "
+    "The final table must equal the batch aggregate over all events "
+    "(cumulative update-mode state makes the LAST write per key the "
+    "total, however the input was batched); the oracle recomputes that "
+    "aggregate from the events table, so a lost batch, double-applied "
+    "delta, or partition-swap bug goes driver-red.  The per-batch delta "
+    "is persisted around the sink's multi-pass consumption and "
+    "unpersisted after the commit.",
+)
+def v16_stream_lakehouse_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from agentic_etl_poc_spark import plan_capture
+    from agentic_etl_poc_spark.sinks.parquet_sink import upsert_parquet
+
+    src = _tribatch_stream_dir(spark, sf_dir)
+    run_root = tempfile.mkdtemp(prefix="v16_lake_")
+    tbl = os.path.join(run_root, "store")
+    parts = _drain_parts_for(spark, [src], STREAM_DRAIN_PARTITIONS)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        delta = batch_df.select(
+            "d", "event_type", "n", "total_value"
+        ).persist()
+        try:
+            plan_capture.note("lakehouse_delta", delta)
+            upsert_parquet(
+                delta,
+                tbl,
+                key_cols=["d", "event_type"],
+                partition_by=["event_type"],
+            )
+        finally:
+            delta.unpersist()
+
+    with _drain_partitions(spark, parts):
+        stream = stream_events(
+            spark, src, watermark="3650 days", max_files_per_trigger=1
+        )
+        agg = stream.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .cast("string")
+            .alias("total_value"),
+        )
+        q = (
+            agg.writeStream.foreachBatch(apply_batch)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(run_root, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        _note_executed_stream_plan(q)
+    return (
+        spark.read.parquet(tbl)
+        .select("d", "event_type", "n", "total_value")
+        .orderBy("d", "event_type")
+    )
