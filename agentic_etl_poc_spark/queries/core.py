@@ -151,20 +151,17 @@ def register(name: str, oracle: str | None, description: str = ""):
 
 #: Explicit registry order.  The external correctness sweep walks this
 #: order and records only the FIRST ~50 entries per round (rounds 1-5
-#: each recorded exactly 50).  Round-11 rotation, five bands:
+#: each recorded exactly 50).  Round-12 rotation, five bands:
 #:
-#: 1. Slots 1-50 (the sweep window) — the never-driver-sampled round-11
-#:    entries p13/p14/t26/t27/v16 first, then d15 + d04 (both changed semantics in round 9
-#:    and d15 was refactored again in round 10, yet their latest hard
-#:    driver rows are r08 — the round-10 verdict's carried task #1),
-#:    then the full 39-entry cohort whose latest green is r06 (waited
-#:    longest), cheap-first (driver r10 per-query bench), then the 4
-#:    cheapest r07-era entries to fill the window to exactly 50.
-#: 2. The remaining r07-era entries, cheap-first.
-#: 3. Entries whose latest green is the r08 sweep, cheap-first (d15/d04
-#:    excluded — they lead the window).
-#: 4. Entries green in the r09 sweep (q31, q13).
-#: 5. Entries green in the r10 sweep (freshest), cheap-first.
+#: 1. Slots 1-50 (the sweep window) — never-driver-sampled round-12
+#:    entries first, then the full 45-entry cohort whose latest hard
+#:    driver row is the r07-era sweep (they have now waited longest),
+#:    cheap-first (round-11 per-query bench), then the cheapest
+#:    r08-era entries to fill the window to exactly 50.
+#: 2. The remaining r08-era entries, cheap-first.
+#: 3. Entries green in the r09 sweep (q31, q13).
+#: 4. Entries green in the r10 sweep, cheap-first.
+#: 5. Entries green in the r11 sweep (freshest), cheap-first.
 #:
 #: tests/test_battery_contract.py::test_sweep_priority_block_leads
 #: recomputes this invariant from the CORRECTNESS_r*.json files and goes
@@ -174,60 +171,8 @@ def register(name: str, oracle: str | None, description: str = ""):
 #: bench.py iterates sorted(battery), so this order never skews
 #: per-query bench attribution.
 SWEEP_ORDER: tuple[str, ...] = (
-    # -- band 1 (sweep window, 50): p13/p14/t26/t27/v16 (new), then
-    # -- d15 + d04, then the r06-era cohort cheap-first, 4 r07 fills
-    "p13_lakehouse_upsert",
-    "p14_incremental_partition_consume",
-    "t26_hashing_embed",
-    "t27_stratified_sample",
-    "v16_stream_lakehouse_upsert",
-    "d15_lsh_semantic_dedup",
-    "d04_minhash_lsh",
-    "q44_arg_extremes",
-    "q28_array_map_agg",
-    "q26_sliding_window",
-    "d10_cluster_survivors",
-    "s07_int8_quantization",
-    "q12_set_ops",
-    "t16_sequence_packing",
-    "q34_full_outer_reconcile",
-    "q60_dynamic_partition_pruning",
-    "u02_python_udtf",
-    "q22_percentiles",
-    "t01_token_stats",
-    "q14_rollup",
-    "q51_salted_skew_agg",
-    "q18_asof_join",
-    "s05_ann_multiprobe",
-    "s04_ann_recall",
-    "q55_lateral_topn",
-    "d09_containment",
-    "q57_returned_items",
-    "s06_knn_join",
-    "q49_latest_record_dedup",
-    "q54_recursive_year_ladder",
-    "m07_shot_detection",
-    "q50_higher_order_funcs",
-    "q48_shipping_priority",
-    "q45_grouping_sets",
-    "q56_local_supplier_volume",
-    "q59_salted_skew_join",
-    "t23_bigram_novelty",
-    "t15_benchmark_decontam",
-    "v01_stream_tumbling_agg",
-    "p06_plan_multi_step",
-    "p05_plan_multi_source",
-    "s12_quantized_rerank",
-    "u08_polymorphic_udtf",
-    "v08_stream_session_window",
-    "s08_kmeans_refine",
-    "v02_stream_sessionize",
-    "q80_aqe_skew_split",
-    "q66_bloom_runtime_filter",
-    "q69_promo_revenue_share",
-    "q82_compaction_roundtrip",
-    # -- band 2: remaining r07-era entries, cheap-first (q81/p08/t14/
-    # -- q72 were window fills until the round-11 entries took them) --
+    # -- band 1 (sweep window, 50): r07-era cohort cheap-first, then
+    # -- r08-era fills (q08/q39/q37/q16/t12) to reach exactly 50 -----
     "q81_sql_variables",
     "p08_xml_roundtrip",
     "t14_tfidf_keywords",
@@ -273,12 +218,13 @@ SWEEP_ORDER: tuple[str, ...] = (
     "g01_integer_pagerank",
     "g02_triangle_count",
     "u10_python_stream_writer",
-    # -- band 3: latest green in the r08 sweep, cheap-first -------
     "q08_topk_orders",
     "q39_regexp_groups",
     "q37_map_functions",
     "q16_math_funcs",
     "t12_length_deciles",
+    # -- band 2: remaining r08-era entries, cheap-first (q08/q39/q37/
+    # -- q16/t12 moved up as window fills) ---------------------------
     "q30_null_semantics",
     "q02_cast_coalesce_project",
     "t10_source_mixture",
@@ -322,10 +268,10 @@ SWEEP_ORDER: tuple[str, ...] = (
     "d07_dedup_clusters",
     "d06_embedding_neardup",
     "d05_simhash",
-    # -- band 4: green in the r09 sweep ---------------------------
+    # -- band 3: green in the r09 sweep ---------------------------
     "q31_date_spine_gapfill",
     "q13_semi_anti_join",
-    # -- band 5: green in the r10 sweep (freshest), cheap-first ---
+    # -- band 4: green in the r10 sweep, cheap-first --------------
     "p12_jdbc_live_upsert",
     "t25_bpe_n16",
     "d17_multiprobe_semantic_dedup",
@@ -376,6 +322,57 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q04_weekly_rollup",
     "u04_arrow_scalar_udf",
     "t13_vocab_by_source",
+    # -- band 5: green in the r11 sweep (freshest), cheap-first ---
+    "q66_bloom_runtime_filter",
+    "q80_aqe_skew_split",
+    "q69_promo_revenue_share",
+    "q82_compaction_roundtrip",
+    "q60_dynamic_partition_pruning",
+    "d10_cluster_survivors",
+    "q26_sliding_window",
+    "q12_set_ops",
+    "q49_latest_record_dedup",
+    "q44_arg_extremes",
+    "s07_int8_quantization",
+    "s05_ann_multiprobe",
+    "q55_lateral_topn",
+    "q28_array_map_agg",
+    "p14_incremental_partition_consume",
+    "q51_salted_skew_agg",
+    "q34_full_outer_reconcile",
+    "t01_token_stats",
+    "q22_percentiles",
+    "s04_ann_recall",
+    "q14_rollup",
+    "q54_recursive_year_ladder",
+    "t16_sequence_packing",
+    "s06_knn_join",
+    "q57_returned_items",
+    "q48_shipping_priority",
+    "d09_containment",
+    "u02_python_udtf",
+    "q18_asof_join",
+    "q50_higher_order_funcs",
+    "t27_stratified_sample",
+    "q56_local_supplier_volume",
+    "q45_grouping_sets",
+    "q59_salted_skew_join",
+    "m07_shot_detection",
+    "t23_bigram_novelty",
+    "t15_benchmark_decontam",
+    "v01_stream_tumbling_agg",
+    "t26_hashing_embed",
+    "p06_plan_multi_step",
+    "p05_plan_multi_source",
+    "s12_quantized_rerank",
+    "u08_polymorphic_udtf",
+    "s08_kmeans_refine",
+    "v08_stream_session_window",
+    "d15_lsh_semantic_dedup",
+    "v16_stream_lakehouse_upsert",
+    "v02_stream_sessionize",
+    "p13_lakehouse_upsert",
+    "d04_minhash_lsh",
 )
 
 
