@@ -135,6 +135,10 @@ class Load:
     mode: str = "append"
     key_cols: list[str] = field(default_factory=list)
     partition_by: list[str] = field(default_factory=list)  # parquet sink
+    #: parquet sink: emit row-level insert/update_pre/update_post sets
+    #: into the table's _changes/ feed, committed atomically with the
+    #: data (the plain-parquet Delta change-data-feed equivalent)
+    change_feed: bool = False
 
 
 @dataclass
@@ -275,6 +279,7 @@ def plan_from_dict(doc: dict[str, Any]) -> Plan:
         mode=str(ld_d.get("mode", "append")),
         key_cols=list(ld_d.get("key_cols") or []),
         partition_by=list(ld_d.get("partition_by") or []),
+        change_feed=bool(ld_d.get("change_feed", False)),
     )
 
     ck_d = doc.get("checks", {}) or {}

@@ -366,6 +366,7 @@ def run_from_plan(
                 mode=ld.mode,
                 partition_by=ld.partition_by,
                 key_cols=ld.key_cols,
+                change_feed=ld.change_feed,
             )
         else:
             msg = load_to_postgres(

@@ -93,7 +93,5 @@ def test_upsert_parquet_preconditions():
 
     with pytest.raises(ValueError, match="key_cols"):
         upsert_parquet(_FakeBatch(), "/tmp/x", [], ["yr"])
-    with pytest.raises(ValueError, match="exactly one"):
+    with pytest.raises(ValueError, match="partition_by"):
         upsert_parquet(_FakeBatch(), "/tmp/x", ["k"], [])
-    with pytest.raises(ValueError, match="exactly one"):
-        upsert_parquet(_FakeBatch(), "/tmp/x", ["k"], ["a", "b"])
