@@ -2564,8 +2564,12 @@ def t27_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("_n")
     )
     full = F.lit(1 << 48).cast("bigint")
+    # integer DIV keeps the threshold exact: `/` promotes to double and
+    # 2^48 * OV * K exceeds 2^53, so the quotient would be rounded a few
+    # ULPs before the +1 (ADVICE r12) — the ceiling bound must hold in
+    # integer arithmetic, not merely survive the coverage assert
     thr = F.when(F.col("_n") <= OV * K, full).otherwise(
-        (full * OV * K / F.col("_n")).cast("bigint") + 1
+        F.expr(f"CAST({(1 << 48) * OV * K} DIV _n AS BIGINT) + 1")
     )
     cand = (
         docs.join(F.broadcast(counts), "source")

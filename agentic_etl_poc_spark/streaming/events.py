@@ -357,7 +357,11 @@ def noop_state(events: DataFrame) -> DataFrame:
         rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
         n = len(rows)
         prior = state.get[2] if state.exists else 0
-        first, last = rows["ts"].iloc[0], rows["ts"].iloc[-1]
+        # min/max, not iloc[0]/iloc[-1]: Arrow batches carry no ordering
+        # guarantee, and the timeout basis must be the true last event
+        # (the same basis _sessionize_fn derives from its fold) — two
+        # vectorized ops, negligible against the per-group machinery
+        first, last = rows["ts"].min(), rows["ts"].max()
         state.update((first, last, n + prior, 0.0))
         timeout_ms = (
             int(last.timestamp() * 1000) + SESSION_GAP_SECONDS * 1000

@@ -746,3 +746,66 @@ def test_t24_empty_and_null_docs_match_oracle(spark, tmp_path):
     result = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle)
     assert result["ok"], result["detail"]
     assert result["rows_spark"] == 2  # only the two real docs survive
+
+
+def test_t27_threshold_integer_exact(spark):
+    """ADVICE r12: the stratified-sample pre-filter threshold is computed
+    with integer DIV — `/` promotes to double and 2^48 * OV * K exceeds
+    2^53, so the double quotient can land a few ULPs off the exact
+    floor.  Pin the Spark-side arithmetic to the Python bigint result
+    for divisors around the hazard zone."""
+    from agentic_etl_poc_spark.queries.text import STRAT_K, STRAT_OVERSHOOT
+
+    num = (1 << 48) * STRAT_OVERSHOOT * STRAT_K
+    assert num > 2**53  # the hazard the fix removes
+    divisors = [641, 6007, 59999, 600011, 2**31 - 1]
+    rows = spark.createDataFrame(
+        [(d,) for d in divisors], "_n bigint"
+    ).selectExpr(f"_n", f"CAST({num} DIV _n AS BIGINT) + 1 AS thr")
+    got = {r["_n"]: r["thr"] for r in rows.collect()}
+    assert got == {d: num // d + 1 for d in divisors}
+
+
+def test_noop_state_timeout_uses_batch_max_ts():
+    """ADVICE r12: the v02 cost-floor state fn must base its event-time
+    timeout on the true max timestamp of the Arrow batch (order is not
+    guaranteed), matching the basis _sessionize_fn folds out."""
+    import pandas as pd
+
+    from agentic_etl_poc_spark.streaming import events as EV
+
+    captured = {}
+
+    class _State:
+        exists = False
+        hasTimedOut = False
+        get = (None, None, 0, 0.0)
+
+        def update(self, v):
+            captured["state"] = v
+
+        def setTimeoutTimestamp(self, ms):
+            captured["timeout_ms"] = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    # grab the inner fn off the builder without starting a stream
+    class _FakeGrouped:
+        def applyInPandasWithState(self, fn, **kw):
+            return fn
+
+    class _FakeEvents:
+        def groupBy(self, *c):
+            return _FakeGrouped()
+
+    fn = EV.noop_state(_FakeEvents())
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:30", "2024-01-01 00:00:05", "2024-01-01 00:00:20"]
+    )
+    out = list(fn(("u1",), [pd.DataFrame({"ts": ts})], _State()))
+    assert len(out) == 1
+    first, last = captured["state"][0], captured["state"][1]
+    assert first == ts.min() and last == ts.max()
+    expected_ms = int(ts.max().timestamp() * 1000) + EV.SESSION_GAP_SECONDS * 1000
+    assert captured["timeout_ms"] == expected_ms
