@@ -171,8 +171,11 @@ def register(name: str, oracle: str | None, description: str = ""):
 #: bench.py iterates sorted(battery), so this order never skews
 #: per-query bench attribution.
 SWEEP_ORDER: tuple[str, ...] = (
-    # -- band 1 (sweep window, 50): r07-era cohort cheap-first, then
-    # -- r08-era fills (q08/q39/q37/q16/t12) to reach exactly 50 -----
+    # -- band 1 (sweep window, 50): never-driver-sampled round-12
+    # -- entries first, then the r07-era cohort cheap-first, then
+    # -- r08-era fills to reach exactly 50 ---------------------------
+    "p15_row_change_feed",
+    "p16_schema_evolution",
     "q81_sql_variables",
     "p08_xml_roundtrip",
     "t14_tfidf_keywords",
@@ -221,10 +224,10 @@ SWEEP_ORDER: tuple[str, ...] = (
     "q08_topk_orders",
     "q39_regexp_groups",
     "q37_map_functions",
+    # -- band 2: remaining r08-era entries, cheap-first (q08/q39/q37
+    # -- moved up as window fills) -----------------------------------
     "q16_math_funcs",
     "t12_length_deciles",
-    # -- band 2: remaining r08-era entries, cheap-first (q08/q39/q37/
-    # -- q16/t12 moved up as window fills) ---------------------------
     "q30_null_semantics",
     "q02_cast_coalesce_project",
     "t10_source_mixture",

@@ -1683,7 +1683,7 @@ def _p13_build_locked(
     # rebuild per process disappears at sf10 (ADVICE r12).  The marker
     # stores the signature snapshots, which only the builder can observe.
     marker = tbl + ".built.json"
-    fp = fixture_fingerprint(sf_dir, ["orders"]) + ";p13v2"
+    fp = fixture_fingerprint(sf_dir, ["orders"]) + ";p13v3"
     if os.path.isdir(tbl) and os.path.exists(marker):
         with open(marker) as f:
             m = json.load(f)
@@ -1701,8 +1701,11 @@ def _p13_build_locked(
         os.remove(marker)
 
     orders_path = os.path.join(sf_dir, "orders.parquet")
+    # both plans run mode=upsert with the row-level change feed on: plan
+    # 1 hits the bootstrap path (fresh dir) and records batch 0 as pure
+    # inserts, plan 2's merge records batch 1 — p15 consumes the feed
     plans = [
-        ("s1", _P13_PRED_S1, "replace"),
+        ("s1", _P13_PRED_S1, "upsert"),
         ("s2", _P13_PRED_S2, "upsert"),
     ]
     sig_before: dict = {}
@@ -1732,6 +1735,7 @@ load:
   mode: {mode}
   partition_by: [yr]
   key_cols: [ym]
+  change_feed: true
 verify:
   min_rows: 1
 alerts:
@@ -1932,3 +1936,242 @@ def p14_incremental_partition_consume(
         .crossJoin(F.broadcast(evidence))
         .orderBy("yr")
     )
+
+
+@register(
+    "p15_row_change_feed",
+    oracle=f"""
+WITH s1 AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+              AS DECIMAL(28,6)) AS VARCHAR) AS total_s
+  FROM orders WHERE {_DUCK_P13_PRED_S1}
+  GROUP BY 1),
+s2 AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+              AS DECIMAL(28,6)) AS VARCHAR) AS total_s
+  FROM orders WHERE {_DUCK_P13_PRED_S2}
+  GROUP BY 1),
+feed AS (
+  SELECT CAST(0 AS BIGINT) AS batch_no, 'insert' AS change_type,
+         ym, n_orders, total_s, 's1' AS src FROM s1
+  UNION ALL
+  SELECT 1, 'update_pre', ym, n_orders, total_s, 's1' FROM s1
+  WHERE ym IN (SELECT ym FROM s2)
+  UNION ALL
+  SELECT 1, 'update_post', ym, n_orders, total_s, 's2' FROM s2
+  WHERE ym IN (SELECT ym FROM s1)
+  UNION ALL
+  SELECT 1, 'insert', ym, n_orders, total_s, 's2' FROM s2
+  WHERE ym NOT IN (SELECT ym FROM s1))
+SELECT batch_no, change_type, ym, n_orders, total_s, src
+FROM feed ORDER BY batch_no, change_type, ym
+""",
+    description="Row-level CHANGE-DATA-FEED consumption of the lakehouse "
+    "COW table — the row-grain upgrade of p14's partition-grain diff "
+    "(what Delta exposes as table_changes with _change_type/"
+    "_commit_version).  The upsert already computes every frame the feed "
+    "needs (batch split = insert/update_post, pruned anti-join "
+    "complement = update_pre), so emitting them is one extra write of "
+    "data already in hand — staged NEXT to the data and committed by "
+    "the SAME journal, so the feed and the table can never disagree "
+    "about a commit (a crash rolls both forward or neither).  The "
+    "consumer reads _changes/ batch dirs enumerated driver-side "
+    "(bounded by commit count) with since_batch pruning BEFORE the "
+    "scan.  The oracle recomputes the full expected feed from the s1/s2 "
+    "predicates: batch 0 = bootstrap inserts, batch 1 = update_pre (s1 "
+    "values) + update_post (s2 values) on the month overlap and inserts "
+    "on s2-only months — a feed missing a row set, mixing up pre/post "
+    "images, or double-counting goes driver-red on VALUES, not counts.  "
+    "Scale shape: feed writes touch only batch rows (never the table), "
+    "reads prune to requested batches; at 100 TB the feed is the cheap "
+    "CDC stream a downstream materializer tails instead of re-scanning "
+    "the table (reference anchor: the upsert semantics of "
+    "etl_agent/tools.py:83-96, extended with Delta-CDF-style row "
+    "tracking).",
+)
+def p15_row_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark import plan_capture
+    from agentic_etl_poc_spark.sinks.parquet_sink import read_changes
+
+    tbl, _sig_before, _sig_after = _p13_build_table(spark, sf_dir)
+    out = (
+        read_changes(spark, tbl)
+        .select(
+            F.col("_batch").cast("bigint").alias("batch_no"),
+            F.col("_change_type").alias("change_type"),
+            "ym",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "total_s",
+            "src",
+        )
+        .orderBy("batch_no", "change_type", "ym")
+    )
+    # memoized build: the feed scan IS this entry's executed plan
+    plan_capture.note("change_feed_consume", out)
+    return out
+
+
+#: p16's two-plan lifecycle: plan 1 bootstraps WITHOUT total_s, plan 2's
+#: batch ADDS the column — the first thing a real lakehouse user hits
+#: after upsert works (Delta: mergeSchema; Iceberg: schema evolution).
+_P16_TRANSFORM_S1 = """
+SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS INT) AS ym,
+       CAST(YEAR(o_orderdate) AS INT) AS yr,
+       COUNT(*) AS n_orders
+FROM input_df
+WHERE {pred}
+GROUP BY YEAR(o_orderdate) * 100 + MONTH(o_orderdate), YEAR(o_orderdate)
+"""
+
+_P16_TRANSFORM_S2 = """
+SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS INT) AS ym,
+       CAST(YEAR(o_orderdate) AS INT) AS yr,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(28,6))
+            AS STRING) AS total_s
+FROM input_df
+WHERE {pred}
+GROUP BY YEAR(o_orderdate) * 100 + MONTH(o_orderdate), YEAR(o_orderdate)
+"""
+
+_P16_BUILDS: dict[str, str] = {}
+
+
+def _p16_build_table(spark: SparkSession, sf_dir: str) -> str:
+    """p16's evolving-table build: bootstrap (ym, yr, n_orders), then
+    upsert a batch that adds total_s — memoized + marker-keyed with the
+    same discipline as _p13_build_table."""
+    import fcntl
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from agentic_etl_poc_spark.queries.core import fixture_fingerprint
+    from agentic_etl_poc_spark.runtime import run_from_plan
+
+    key = os.path.realpath(sf_dir)
+    memo = _P16_BUILDS.get(key)
+    if memo is not None and os.path.isdir(memo):
+        return memo
+
+    table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_p16",
+        key.strip(os.sep).replace(os.sep, "_"),
+    )
+    tbl = os.path.join(root, "evolving_orders")
+    os.makedirs(root, exist_ok=True)
+    marker = tbl + ".built.json"
+    fp = fixture_fingerprint(sf_dir, ["orders"]) + ";p16v1"
+    lock_fd = os.open(os.path.join(root, "_build.lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        if os.path.isdir(tbl) and os.path.exists(marker):
+            with open(marker) as f:
+                if json.load(f).get("fingerprint") == fp:
+                    _P16_BUILDS[key] = tbl
+                    return tbl
+        shutil.rmtree(tbl, ignore_errors=True)
+        orders_path = os.path.join(sf_dir, "orders.parquet")
+        for tmpl, pred in (
+            (_P16_TRANSFORM_S1, _P13_PRED_S1),
+            (_P16_TRANSFORM_S2, _P13_PRED_S2),
+        ):
+            sql_block = "\n".join(
+                "    " + ln
+                for ln in tmpl.format(pred=pred).strip().splitlines()
+            )
+            plan = f"""
+source:
+  kind: parquet
+  parquet:
+    path: "{orders_path}"
+transform:
+  sql: |
+{sql_block}
+checks:
+  min_rows: 1
+  nonnull_cols: [ym]
+load:
+  to: parquet
+  file_path: "{tbl}"
+  mode: upsert
+  partition_by: [yr]
+  key_cols: [ym]
+verify:
+  min_rows: 1
+"""
+            result = run_from_plan(spark, plan)
+            if result.get("status") != "ok":
+                raise RuntimeError(f"p16 evolution plan failed: {result}")
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"fingerprint": fp}, f)
+        os.rename(marker + ".tmp", marker)
+        _P16_BUILDS[key] = tbl
+        return tbl
+    finally:
+        os.close(lock_fd)
+
+
+@register(
+    "p16_schema_evolution",
+    oracle=f"""
+WITH s1 AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders WHERE {_DUCK_P13_PRED_S1}
+  GROUP BY 1),
+s2 AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+              AS DECIMAL(28,6)) AS VARCHAR) AS total_s
+  FROM orders WHERE {_DUCK_P13_PRED_S2}
+  GROUP BY 1)
+SELECT COALESCE(s2.ym, s1.ym) AS ym,
+       COALESCE(s2.n_orders, s1.n_orders) AS n_orders,
+       s2.total_s AS total_s
+FROM s1 FULL OUTER JOIN s2 ON s1.ym = s2.ym
+ORDER BY ym
+""",
+    description="SCHEMA EVOLUTION on the lakehouse COW merge — the "
+    "second thing a real lakehouse user hits: plan 2's batch ADDS a "
+    "column (total_s) the bootstrapped table lacks.  The merge read "
+    "merges footers (mergeSchema), survivors∪batch unions BY NAME with "
+    "missing columns null, and read_table exposes the union schema — "
+    "old partitions read back with NULL total_s, updated/inserted "
+    "months carry values (Delta mergeSchema / Iceberg add-column "
+    "semantics on plain parquet).  The oracle full-outer-joins the two "
+    "predicate rollups: every pre-1996 month must surface with NULL "
+    "total_s and its SAMPLED s1 count, every 1996+ month with the s2 "
+    "count and an exact decimal string — an evolution that drops old "
+    "rows, fails to null-fill, or rewrites untouched partitions' "
+    "values goes driver-red.  Scale shape: identical to p13 (pruned "
+    "merge, one anti-join, journaled commit); evolution adds zero "
+    "extra passes — the union schema is footer metadata, not a table "
+    "rewrite (at 100 TB an ALTER TABLE that rewrites is the "
+    "anti-pattern this entry pins away).",
+)
+def p16_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_etl_poc_spark import plan_capture
+    from agentic_etl_poc_spark.sinks.parquet_sink import read_table
+
+    tbl = _p16_build_table(spark, sf_dir)
+    out = (
+        read_table(spark, tbl)
+        .select(
+            "ym",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "total_s",
+        )
+        .orderBy("ym")
+    )
+    # memoized build: the evolved-table read-back IS the executed plan
+    plan_capture.note("evolved_readback", out)
+    return out
