@@ -1547,23 +1547,22 @@ def _d15_bounds(e: DataFrame) -> DataFrame:
     )
 
 
-def _d15_assign(e: DataFrame, bf: DataFrame) -> DataFrame:
-    """Sign-cell assignment: (vec_id, cell_id, embedding, nsq),
-    repartitioned on the pair-scan key (cell_id)."""
-    from agentic_etl_poc_spark.functions.hashing import dot_fold
+def _d15_projs(e: DataFrame, bf: DataFrame) -> DataFrame:
+    """The b hyperplane normals (j, wvec) — shared by the assignment
+    fold and d18's margin pass.
 
-    # projection picks are keyed by the vec_id VALUE RANGE (b equal-width
-    # buckets over [lo, hi]; u = first, v = last vector of each bucket),
-    # never by positional arithmetic on the ids themselves: vec_ids need
-    # not be dense — the sf1/sf10 tilers shift each tile by 1,000,000,
-    # and the first cut of this rework (picks at vec_id = j*stride)
-    # found ONE projection there, leaving 2 giant cells whose capped
-    # pair scan cost 29 s at sf1.  The difference vector is materialized
-    # ONCE per bucket (IEEE double subtraction of float-cast elements is
-    # exact and correctly rounded, so both engines build bit-identical
-    # wvec values), keeping the assignment at one fold per
-    # (vector, projection) pair.
-    projs = (
+    Projection picks are keyed by the vec_id VALUE RANGE (b equal-width
+    buckets over [lo, hi]; u = first, v = last vector of each bucket),
+    never by positional arithmetic on the ids themselves: vec_ids need
+    not be dense — the sf1/sf10 tilers shift each tile by 1,000,000,
+    and the first cut of this rework (picks at vec_id = j*stride)
+    found ONE projection there, leaving 2 giant cells whose capped
+    pair scan cost 29 s at sf1.  The difference vector is materialized
+    ONCE per bucket (IEEE double subtraction of float-cast elements is
+    exact and correctly rounded, so both engines build bit-identical
+    wvec values), keeping the assignment at one fold per
+    (vector, projection) pair."""
+    return (
         e.crossJoin(F.broadcast(bf))
         .filter(F.expr("(vec_id - lo) DIV rstride") < F.col("b"))
         .groupBy(F.expr("(vec_id - lo) DIV rstride").alias("j"))
@@ -1580,6 +1579,14 @@ def _d15_assign(e: DataFrame, bf: DataFrame) -> DataFrame:
             ).alias("wvec"),
         )
     )
+
+
+def _d15_assign(e: DataFrame, bf: DataFrame) -> DataFrame:
+    """Sign-cell assignment: (vec_id, cell_id, embedding, nsq),
+    repartitioned on the pair-scan key (cell_id)."""
+    from agentic_etl_poc_spark.functions.hashing import dot_fold
+
+    projs = _d15_projs(e, bf)
     bit_term = F.when(
         dot_fold(F.col("embedding"), F.col("wvec")) > 0,
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
