@@ -370,7 +370,10 @@ def g03_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is trivial next to the recompute it prevents (~7 s at sf0.01).
     e = e.localCheckpoint(eager=True)
     nodes = e.select(F.col("src").alias("node")).distinct()
-    l0 = nodes.agg(F.min("node").alias("node")).localCheckpoint(eager=True)
+    # min over e.src == min over distinct nodes (every node appears as a
+    # src — both edge directions are in e), so the seed job skips the
+    # distinct's shuffle entirely (round-12: one less exchange per run)
+    l0 = e.agg(F.min("src").alias("node")).localCheckpoint(eager=True)
     frontiers = [l0]
     seen = l0
     for _ in range(3):
@@ -383,7 +386,11 @@ def g03_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
         frontiers.append(nxt)
-        seen = seen.unionAll(nxt).localCheckpoint(eager=True)
+        # the accumulator is a lazy union of ALREADY-CHECKPOINTED
+        # frontiers: every consumer re-reads materialized blocks, so
+        # checkpointing the union itself only added an eager job per
+        # round (round-12: 3 fewer jobs, same dataflow)
+        seen = seen.unionAll(nxt)
     lv = None
     for level, fr in enumerate(frontiers):
         part = fr.select(F.lit(level).alias("level"), "node")

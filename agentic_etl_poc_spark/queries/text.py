@@ -1751,6 +1751,29 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_N16 = 16
 
 
+def _corpus_sized_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Partition count for vocabulary-scale intermediates, derived from
+    the documents table's on-disk size (~32 MB per partition, floor 1,
+    cap 4x cores) — data-adaptive, never a constant tuned to one box."""
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            total = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, fs in os.walk(p)
+                for f in fs
+                if not f.startswith(("_", "."))
+            )
+        else:
+            total = os.path.getsize(p)
+    except OSError:
+        total = 0
+    cores = spark.sparkContext.defaultParallelism
+    return max(1, min(4 * cores, total // (32 << 20) or 1))
+
+
 def bpe_train_merges(
     spark: SparkSession, sf_dir: str, n_rounds: int
 ) -> list[tuple[str, str, int]]:
@@ -1775,12 +1798,26 @@ def bpe_train_merges(
     d = table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
     vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    state = vocab.select(
-        F.concat(
-            F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")
-        ).alias("seq"),
-        "c",
-    ).localCheckpoint(eager=True)
+    # Size the checkpointed state to the DATA, not the session's shuffle
+    # default (guide §2.2/§6): the state is the Heaps-bounded word-type
+    # vocabulary — a few MB at bench scales — but the vocab agg leaves it
+    # in shuffle-partition-count pieces, so every one of the n_rounds
+    # per-round jobs scheduled 32+ near-empty scan tasks.  Partition
+    # count derives from the corpus bytes on disk (a conservative upper
+    # bound on vocab size), floored at 1 and capped at 4x cores — at
+    # 100 TB the cap keeps round-jobs wide while the floor keeps bench-
+    # scale rounds at single-task cost.
+    nparts = _corpus_sized_partitions(spark, sf_dir)
+    state = (
+        vocab.select(
+            F.concat(
+                F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")
+            ).alias("seq"),
+            "c",
+        )
+        .coalesce(nparts)
+        .localCheckpoint(eager=True)
+    )
     merges: list[tuple[str, str, int]] = []
     for rnd in range(1, n_rounds + 1):
         syms = F.split(F.trim(F.col("seq")), " ")
@@ -1877,17 +1914,18 @@ ORDER BY doc_id
     "table comes from t22's exact training chain (bpe_merge_table) and "
     "is collected to the driver — 3 rows, the trained-artifact "
     "broadcast every production tokenizer job ships to workers — then "
-    "applied corpus-wide in a mapInPandas kernel: per word, split to "
-    "characters and apply each merge in RANK ORDER with the SAME three "
-    "fixed replace-all passes training used (t22's greedy-approximate "
-    "contract), so the Python kernel, the Spark training chain, and "
-    "the DuckDB replay are byte-identical by construction.  Output per "
-    "doc: word count, pre-merge symbol count, post-merge token count, "
-    "and merges applied — all exact integers.  Scale shape: the only "
-    "corpus-sized shuffles are training's vocab agg and the output "
-    "sort; the apply itself is map-only (Arrow-batched kernel, merge "
-    "list in the task closure), exactly how a 1000-executor tokenize "
-    "pass runs.",
+    "applied per DISTINCT word (the Heaps-bounded vocabulary) with the "
+    "SAME three fixed replace-all passes training used, in RANK ORDER, "
+    "as pure JVM codegen expressions (t22's greedy-approximate "
+    "contract), and broadcast-joined back to the corpus word stream — "
+    "so the apply chain, the Spark training chain, and the DuckDB "
+    "replay are byte-identical by construction.  Output per doc: word "
+    "count, pre-merge symbol count, post-merge token count, and merges "
+    "applied — all exact integers.  Scale shape: the only corpus-sized "
+    "work is the word explode feeding the vocab distinct and the "
+    "map-side-combinable per-doc aggregate; the expensive merge chain "
+    "runs vocabulary-sized, exactly how a 1000-executor tokenize pass "
+    "amortizes a fixed merge table.",
 )
 def t24_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the trained artifact: 3 (pair, merged) rows in rank order — a
@@ -1903,53 +1941,63 @@ def t24_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_apply_frame(spark: SparkSession, sf_dir: str, merges) -> DataFrame:
-    """Corpus-wide BPE apply (map-only Arrow kernel) for an arbitrary
-    rank-ordered merge list — t24 (N=3) and t25 (N=16) share it, so the
-    apply-cost-vs-merge-table-size comparison prices ONLY the merge
-    count.  Per-doc exact integers: word/pre-token/token/merge counts."""
-    import pandas as pd
+    """Corpus-wide BPE apply for an arbitrary rank-ordered merge list —
+    t24 (N=3) and t25 (N=16) share it, so the apply-cost-vs-merge-table-
+    size comparison prices ONLY the merge count.  Per-doc exact
+    integers: word/pre-token/token/merge counts.
 
-    def apply_merges(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                n_words = pre = post = 0
-                # NULL text contributes no words (DuckDB's string_split
-                # of NULL unnests to zero rows — str(None) would count a
-                # literal 'None' word)
-                words = text.split(" ") if isinstance(text, str) else []
-                for w in words:
-                    if not w:
-                        continue
-                    n_words += 1
-                    pre += len(w)
-                    seq = " " + " ".join(w) + " "
-                    for pair, merged in merges:
-                        pat = f" {pair} "
-                        rep = f" {merged} "
-                        for _ in range(3):
-                            seq = seq.replace(pat, rep)
-                    post += len(seq.split())
-                if n_words == 0:
-                    # the oracle's docs CTE (length(w) > 0) drops such
-                    # docs entirely — emitting a zero row here would be
-                    # a row-count mismatch
-                    continue
-                rows.append((int(doc_id), n_words, pre, post, pre - post))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "n_words", "pre_tokens", "n_tokens", "n_merged",
-                ],
-            )
-
+    Round-12 optimization (guide §4.1 "prefer built-ins", §2.3 "shuffle
+    keys/metadata instead of payloads"): the former map-only Python
+    kernel re-applied every merge to every word OCCURRENCE — O(corpus
+    tokens x merges) interpreted string work per run.  BPE apply is a
+    pure function of the WORD, so the merged token count is computed
+    once per DISTINCT word (the Heaps-law-bounded vocabulary) with the
+    SAME 3-pass replace-all chain training uses — as whole-stage-codegen
+    JVM expressions (byte-identical merge semantics by construction:
+    identical seq framing, identical F.replace passes) — then
+    broadcast-joined back to the corpus word stream and aggregated per
+    doc.  The ArrowEvalPython node is gone from the plan; the only
+    corpus-sized shuffles are the vocab distinct and the docs-sized
+    partial-aggregated groupBy(doc_id).  At 100 TB the vocabulary is
+    still broadcast-scale (Heaps: ~millions of types, tens of MB as
+    (word, 2 ints)); if a pathological corpus outgrew it, dropping the
+    broadcast hint falls back to a vocab-keyed shuffle join with the
+    same semantics."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return d.mapInPandas(
-        apply_merges,
-        schema=(
-            "doc_id bigint, n_words bigint, pre_tokens bigint, "
-            "n_tokens bigint, n_merged bigint"
-        ),
+    # NULL text: split(NULL) -> NULL, explode yields no rows — same as
+    # the oracle's docs CTE; zero-word docs drop out of the groupBy
+    # (the oracle's length(w) > 0 filter drops them too).
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    # the trained merges applied per distinct word: the exact training
+    # chain (bpe_merge_table / bpe_train_merges) — ' c h a r s '
+    # framing, then per merge three fixed replace-all passes
+    seq = F.concat(
+        F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")
+    )
+    for pair, merged in merges:
+        pat, rep = F.lit(f" {pair} "), F.lit(f" {merged} ")
+        for _ in range(3):
+            seq = F.replace(seq, pat, rep)
+    word_tok = (
+        words.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.length("w").alias("wlen"),
+            F.size(F.split(F.trim(seq), " ")).alias("wtok"),
+        )
+    )
+    return (
+        words.join(F.broadcast(word_tok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("wlen").cast("bigint").alias("pre_tokens"),
+            F.sum("wtok").cast("bigint").alias("n_tokens"),
+            (F.sum("wlen") - F.sum("wtok")).cast("bigint").alias("n_merged"),
+        )
     )
 
 
@@ -2017,16 +2065,17 @@ ORDER BY doc_id
     "never re-read per round).  Merge semantics are byte-identical to "
     "t22's chain (same 3-pass replace-all, same freq-desc/pair-asc "
     "tie-break; rounds 1-3 equal t22's table exactly, unit-pinned), and "
-    f"the apply is t24's map-only Arrow kernel with a {BPE_N16}-entry "
-    "merge list — the DuckDB oracle replays all "
+    f"the apply is t24's vocabulary-sized JVM merge chain with a "
+    f"{BPE_N16}-entry merge list — the DuckDB oracle replays all "
     f"{BPE_N16} training rounds AND apply passes unrolled, so the hash "
     "pins every merge decision through the per-doc token counts.  "
     "Scale shape: training's corpus-sized work is one vocab agg; each "
     "round then costs one map-side-combinable agg + a 1-row collect "
     "over the vocab frame (thousands of rounds = thousands of small "
-    "jobs, the production profile); apply stays map-only with the merge "
-    "list in the task closure — cost grows linearly in N (t24 vs t25 "
-    "isolation probes price it), independent of executor count.",
+    "jobs, the production profile); the apply's merge chain runs once "
+    "per distinct word and broadcast-joins back — cost grows linearly "
+    "in N over the VOCABULARY (t24 vs t25 isolation probes price it), "
+    "independent of corpus size per word and of executor count.",
 )
 def t25_bpe_n16(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [
