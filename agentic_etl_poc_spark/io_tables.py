@@ -9,6 +9,7 @@ all tables per query costs nothing at runtime.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -25,6 +26,42 @@ EXTENSION_TABLES = ("events", "documents", "embeddings")
 ALL_TABLES = TPCH_TABLES + EXTENSION_TABLES
 
 
+#: Session-scoped LAZY DataFrame handles per (realpath, stat fingerprint)
+#: — round-12 optimization: every ``spark.read.parquet`` call rebuilds a
+#: file index + re-reads the footer schema (~0.25-0.5 s of driver-side
+#: work), and the battery makes hundreds of ``table()`` calls per run
+#: (register_views alone makes ten).  The memo stores the UNEXECUTED
+#: plan handle only — no persist(), no data, nothing survives the
+#: process — so every bench/oracle invocation still computes from the
+#: parquet inputs; the fingerprint (mtime_ns + size) makes a rewritten
+#: fixture read fresh.  Weak-keyed by the session object (the core.py
+#: _SHARED discipline: ids can be reused after GC).
+_HANDLES: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _stat_sig(path: str) -> tuple[int, int]:
+    """(max mtime_ns, total size) over a parquet file or directory of
+    part files — cheap (one stat per file) and regeneration-sensitive."""
+    try:
+        if os.path.isdir(path):
+            mtime = 0
+            size = 0
+            for root, _, fs in os.walk(path):
+                for f in fs:
+                    if f.startswith(("_", ".")):
+                        continue
+                    st = os.stat(os.path.join(root, f))
+                    mtime = max(mtime, st.st_mtime_ns)
+                    size += st.st_size
+            return mtime, size
+        st = os.stat(path)
+        return st.st_mtime_ns, st.st_size
+    except OSError:
+        return 0, 0
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table as a DataFrame.
 
@@ -39,6 +76,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_semantics(spark)  # battery must be correct on ANY caller's session
     tune_for_data(spark, sf_dir)  # ...and sized to the data, not the default
     path = os.path.join(sf_dir, f"{name}.parquet")
+    per = _HANDLES.get(spark)
+    if per is None:
+        per = {}
+        _HANDLES[spark] = per
+    key = (os.path.realpath(path), _stat_sig(path))
+    df = per.get(key)
+    if df is not None:
+        return df
     if name == "events":
         from pyspark.sql import functions as F, types as T
 
@@ -49,8 +94,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestamp already and needs no truncation.
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    per[key] = df
+    return df
 
 
 def register_views(

@@ -448,8 +448,18 @@ def _build_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single explicit shuffle on doc_id, reused by the signature agg, the
     # doc-size agg, and both verification joins (all keyed on doc_id).
     toks = shared_toks(spark, sf_dir)
-    minhash = _minhash_wide(toks)
-    cand = _band_candidates(minhash)
+    # Round-12 (guide §2.4): the wide-signature aggregate feeds THREE
+    # consumers (the band stack + both sketch-agreement sides) and the
+    # candidate self-join feeds TWO (sketch + exact-overlap).  Catalyst
+    # reuses EXCHANGES, not aggregate subtrees, so left lazy each
+    # consumer re-ran the 12-min aggregation / the band self-join.
+    # Both frames are doc-count-scale (1 row/doc; candidate pairs are
+    # band-capped) — localCheckpoint materializes each ONCE and resets
+    # its plan to an RDD scan; at any sf this is rows ~ n, never corpus
+    # tokens.  Runs once per (session, dir): this builder sits behind
+    # the shared_frame memo.
+    minhash = _minhash_wide(toks).localCheckpoint(eager=True)
+    cand = _band_candidates(minhash).localCheckpoint(eager=True)
     # sketch agreement: join the 1-row-per-doc wide signatures to each
     # side of the candidate pair and count matching minima
     w1 = minhash.select(

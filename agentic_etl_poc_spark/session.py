@@ -64,10 +64,20 @@ SEMANTIC_CONF: dict[str, str] = {
 }
 
 
+#: Sessions whose semantic confs were already asserted (round-12: the
+#: five conf.set RPCs cost ~7 ms and table() calls them hundreds of
+#: times per battery run — once per session is enough; these confs are
+#: owned by this engine, nothing in the battery flips them back).
+_SEMANTICS_SET: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def ensure_semantics(spark: SparkSession) -> SparkSession:
     """Apply the correctness-critical confs to an existing session."""
+    if spark in _SEMANTICS_SET:
+        return spark
     for k, v in SEMANTIC_CONF.items():
         spark.conf.set(k, v)
+    _SEMANTICS_SET.add(spark)
     return spark
 
 
