@@ -99,11 +99,15 @@ def g01_integer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # edges annotated with the source's out-degree once; each round joins
-    # ranks back on src (both sides hash-partitioned on src -> the
-    # exchange is reused across rounds)
-    ew = edges.join(deg, "src")
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("rank")
+    # ranks back on src.  Round-12: materialize the annotated edge list
+    # ONCE (the d07/g03 checkpoint discipline) — left lazy, the unrolled
+    # 3-round plan re-derived the orders⋈lineitem+distinct+degree chain
+    # per consumer (76 Exchanges / 56 parquet scans in the static plan,
+    # zero static ReusedExchange); checkpointed, each round scans a
+    # LogicalRDD.  The frame is edge-count-scale (3 int64 columns).
+    ew = edges.join(deg, "src").localCheckpoint(eager=True)
+    ranks = ew.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(PR_SCALE).cast("bigint").alias("rank")
     )
     for _ in range(PR_ITERS):
         contrib = ew.join(ranks, ew["src"] == ranks["node"]).select(
@@ -222,6 +226,13 @@ def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 5)
         .select("a", "b")
         .repartition("a", "b")
+        # round-12: materialize the thresholded edge list once — the
+        # repartition's runtime exchange reuse already deduplicated the
+        # EXECUTION, but the six consumers still re-derived the subtree
+        # in the static plan (174 Exchanges / 84 scans, planning cost);
+        # the frame is support-thresholded-edge-scale (near-linear in
+        # data by the >= 5 support knob)
+        .localCheckpoint(eager=True)
     )
     deg = (
         co.select(F.col("a").alias("node"))
