@@ -1929,13 +1929,18 @@ ORDER BY doc_id
 )
 def t24_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the trained artifact: 3 (pair, merged) rows in rank order — a
-    # driver-side fetch of the tokenizer itself, not of data
+    # driver-side fetch of the tokenizer itself, not of data.  Round-12:
+    # fetched via the driver-loop trainer (corpus tokenized ONCE into
+    # the checkpointed vocab state, three vocab-sized round jobs) rather
+    # than t22's fully-lazy unrolled chain, whose three limit-1
+    # consumers each re-derived the corpus-sized vocab aggregate.  The
+    # two trainers implement ONE merge semantics — their first three
+    # merges are equal by the unit-pinned contract
+    # (tests/test_text_quality.py::test_t25_trainer_prefix_matches_t22),
+    # and t22 itself still ships the lazy chain (that entry's point).
     merges = [
-        (r["pair"], r["merged"])
-        for r in bpe_merge_table(spark, sf_dir)
-        .orderBy("round")
-        .select("pair", "merged")
-        .collect()
+        (pair, merged)
+        for pair, merged, _ in bpe_train_merges(spark, sf_dir, 3)
     ]
     return _bpe_apply_frame(spark, sf_dir, merges).orderBy("doc_id")
 
