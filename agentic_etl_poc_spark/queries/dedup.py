@@ -634,7 +634,14 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = F.lit(0).cast("bigint")
     for b in range(48):
         sh = sh + F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    sim = bitsum.select("doc_id", sh.cast("bigint").alias("sh"))
+    # round-12 (the d04 lesson): the 48-column bit-sum aggregate feeds
+    # BOTH sides of the band self-join; left lazy each side re-ran the
+    # corpus-sized aggregation (exchange reuse covers the shuffle, not
+    # the aggregate).  The signature frame is 1 row/doc (two bigints) —
+    # materialize it once.
+    sim = bitsum.select(
+        "doc_id", sh.cast("bigint").alias("sh")
+    ).localCheckpoint(eager=True)
     band_vals = [
         F.shiftright(F.col("sh"), 12 * k).bitwiseAND(F.lit(4095)).alias(f"bv{k}")
         for k in range(4)
