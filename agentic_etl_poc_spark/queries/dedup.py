@@ -449,17 +449,18 @@ def _build_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc-size agg, and both verification joins (all keyed on doc_id).
     toks = shared_toks(spark, sf_dir)
     # Round-12 (guide §2.4): the wide-signature aggregate feeds THREE
-    # consumers (the band stack + both sketch-agreement sides) and the
-    # candidate self-join feeds TWO (sketch + exact-overlap).  Catalyst
+    # consumers (the band stack + both sketch-agreement sides); Catalyst
     # reuses EXCHANGES, not aggregate subtrees, so left lazy each
-    # consumer re-ran the 12-min aggregation / the band self-join.
-    # Both frames are doc-count-scale (1 row/doc; candidate pairs are
-    # band-capped) — localCheckpoint materializes each ONCE and resets
-    # its plan to an RDD scan; at any sf this is rows ~ n, never corpus
-    # tokens.  Runs once per (session, dir): this builder sits behind
-    # the shared_frame memo.
+    # consumer re-ran the 12-min aggregation.  The frame is 1 row/doc
+    # (13 bigints) at any sf — localCheckpoint materializes it ONCE and
+    # resets its plan to an RDD scan.  The candidate PAIR frame is
+    # deliberately NOT checkpointed: its two consumers sit above the
+    # distinct's own exchange (runtime-reusable), and at sf10 the pair
+    # set is large enough that pinning it in block-manager storage
+    # showed GC pressure in the isolation probe.  Runs once per
+    # (session, dir): this builder sits behind the shared_frame memo.
     minhash = _minhash_wide(toks).localCheckpoint(eager=True)
-    cand = _band_candidates(minhash).localCheckpoint(eager=True)
+    cand = _band_candidates(minhash)
     # sketch agreement: join the 1-row-per-doc wide signatures to each
     # side of the candidate pair and count matching minima
     w1 = minhash.select(
