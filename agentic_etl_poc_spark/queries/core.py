@@ -150,18 +150,12 @@ def register(name: str, oracle: str | None, description: str = ""):
 
 
 #: Explicit registry order.  The external correctness sweep walks this
-#: order and records only the FIRST ~50 entries per round (rounds 1-5
-#: each recorded exactly 50).  Round-12 rotation, five bands:
-#:
-#: 1. Slots 1-50 (the sweep window) — never-driver-sampled round-12
-#:    entries first, then the full 45-entry cohort whose latest hard
-#:    driver row is the r07-era sweep (they have now waited longest),
-#:    cheap-first (round-11 per-query bench), then the cheapest
-#:    r08-era entries to fill the window to exactly 50.
-#: 2. The remaining r08-era entries, cheap-first.
-#: 3. Entries green in the r09 sweep (q31, q13).
-#: 4. Entries green in the r10 sweep, cheap-first.
-#: 5. Entries green in the r11 sweep (freshest), cheap-first.
+#: order and records only the FIRST ~50 entries per round.  Round-13
+#: rotation: entries sorted by the round of their LATEST driver-green
+#: row ascending (the r08-era cohort has now waited longest), cheap-first
+#: (round-12 per-query bench) within a cohort — so the 50-slot window
+#: holds exactly the entries that have gone longest without a driver
+#: row, and the 50 freshly-green r12 entries sit at the tail.
 #:
 #: tests/test_battery_contract.py::test_sweep_priority_block_leads
 #: recomputes this invariant from the CORRECTNESS_r*.json files and goes
@@ -171,211 +165,208 @@ def register(name: str, oracle: str | None, description: str = ""):
 #: bench.py iterates sorted(battery), so this order never skews
 #: per-query bench attribution.
 SWEEP_ORDER: tuple[str, ...] = (
-    # -- band 1 (sweep window, 50): never-driver-sampled round-12
-    # -- entries first, then the r07-era cohort cheap-first, then
-    # -- r08-era fills to reach exactly 50 ---------------------------
-    "p15_row_change_feed",
-    "p16_schema_evolution",
-    "q81_sql_variables",
-    "p08_xml_roundtrip",
-    "t14_tfidf_keywords",
-    "q72_dormant_rich_customers",
-    "q70_disjunctive_predicate_join",
-    "u01_grouped_pandas_agg",
-    "q64_customer_distribution",
-    "q05_left_join_multikey",
-    "u09_arrow_udtf",
-    "q41_set_ops_all",
-    "q74_top_supplier_revenue",
-    "d08_fuzzy_levenshtein",
-    "m02_frame_fingerprints",
-    "q68_late_shipment_priority",
-    "u11_arrow_grouped_map",
-    "q25_pivot_unpivot",
-    "s15_binary_quantization",
-    "q27_correlated_subquery",
-    "q75_part_promotion_suppliers",
-    "m08_audio_vad",
-    "t07_pii_scan_redact",
-    "q73_parts_supplier_counts",
-    "s14_radius_search",
-    "q76_volume_shipping",
-    "q77_market_share",
-    "d13_perceptual_dhash",
-    "q78_product_type_profit",
-    "d14_incremental_dedup",
-    "q71_important_part_values",
-    "v12_stream_sliding_window",
-    "q63_suppliers_kept_waiting",
-    "q62_large_volume_customers",
-    "p09_plan_stream",
-    "q79_min_cost_supplier",
-    "q67_variant_extract",
-    "p07_plan_quarantine",
-    "q65_bucketed_colocated_join",
-    "v09_stream_rocksdb_session",
-    "v11_stream_upsert_sink",
-    "s13_ivfadc",
-    "v10_stream_outer_join",
-    "g03_bfs_levels",
-    "g01_integer_pagerank",
-    "g02_triangle_count",
-    "u10_python_stream_writer",
-    "q08_topk_orders",
-    "q39_regexp_groups",
-    "q37_map_functions",
-    # -- band 2: remaining r08-era entries, cheap-first (q08/q39/q37
-    # -- moved up as window fills) -----------------------------------
+    # -- last driver-green in the r08 sweep, cheap-first ----------
     "q16_math_funcs",
-    "t12_length_deciles",
+    "m01_multimodal_metadata",
     "q30_null_semantics",
-    "q02_cast_coalesce_project",
     "t10_source_mixture",
     "q42_json_struct_parse",
-    "t08_train_test_split",
-    "m01_multimodal_metadata",
     "t21_training_shuffle",
-    "q83_parameterized_sql",
+    "q47_bitwise_agg",
+    "t12_length_deciles",
+    "q02_cast_coalesce_project",
     "q32_histogram",
     "t09_corpus_stats",
-    "q47_bitwise_agg",
+    "t08_train_test_split",
+    "q83_parameterized_sql",
     "q52_funnel",
     "m09_image_center_crop",
-    "t02_quality_score",
-    "q10_window_rank",
     "q53_retention_cohorts",
     "q19_range_join",
-    "q09_distinct_agg",
-    "q11_running_window",
-    "q21_cube_grouping",
-    "q17_hourly_json",
-    "t03_langid",
-    "q24_sessionize_batch",
-    "q23_approx_distinct",
-    "t05_pandas_tokens",
+    "t02_quality_score",
+    "q10_window_rank",
     "s02_ann_lsh",
+    "q21_cube_grouping",
+    "q09_distinct_agg",
+    "q17_hourly_json",
     "d01_dedup_exact",
-    "t11_repetition_score",
-    "s03_ann_ivf",
-    "q03_try_dateparse",
+    "q11_running_window",
+    "t03_langid",
+    "q23_approx_distinct",
     "t06_boilerplate_ratio",
+    "t05_pandas_tokens",
+    "q24_sessionize_batch",
+    "s03_ann_ivf",
+    "t11_repetition_score",
+    "d02_dedup_fingerprint",
+    "q03_try_dateparse",
+    "t04_fingerprint",
+    "u03_pandas_udaf_weighted",
     "v13_stream_dedup_within_watermark",
     "v15_stream_dim_refresh",
-    "q01_pricing_summary",
-    "t04_fingerprint",
-    "d02_dedup_fingerprint",
-    "u03_pandas_udaf_weighted",
-    "p10_plan_jdbc_roundtrip",
-    "v14_stream_quarantine",
-    "d03_ngram_jaccard",
     "d07_dedup_clusters",
+    "q01_pricing_summary",
+    "p10_plan_jdbc_roundtrip",
     "d06_embedding_neardup",
     "d05_simhash",
-    # -- band 3: green in the r09 sweep ---------------------------
-    "q31_date_spine_gapfill",
+    "d03_ngram_jaccard",
+    "v14_stream_quarantine",
+    # -- last driver-green in the r09 sweep, cheap-first ----------
     "q13_semi_anti_join",
-    # -- band 4: green in the r10 sweep, cheap-first --------------
-    "p12_jdbc_live_upsert",
-    "t25_bpe_n16",
-    "d17_multiprobe_semantic_dedup",
-    "d16_semantic_recall_audit",
-    "p11_jdbc_partitioned_read",
-    "t24_bpe_apply",
-    "q61_small_quantity_avg",
+    "q31_date_spine_gapfill",
+    # -- last driver-green in the r10 sweep, cheap-first ----------
     "q40_union_by_name",
-    "t20_quality_upsample",
-    "q36_explode_outer",
-    "q46_ignore_nulls_fill",
+    "q58_forecast_revenue",
     "q38_string_agg",
-    "q15_string_funcs",
-    "q43_rank_family",
+    "t20_quality_upsample",
     "q33_scd2_versions",
-    "q35_not_in_null_trap",
+    "q43_rank_family",
     "s01_knn_bruteforce",
-    "u05_arrow_map_batches",
-    "t19_token_rarity",
-    "s10_filtered_knn",
     "d11_sketch_error",
-    "m03_audio_decode",
+    "q46_ignore_nulls_fill",
+    "q35_not_in_null_trap",
+    "q29_range_frame_interval",
+    "q15_string_funcs",
+    "q36_explode_outer",
+    "q06_join_cast_key_broadcast",
+    "u04_arrow_scalar_udf",
+    "s10_filtered_knn",
+    "q61_small_quantity_avg",
+    "u05_arrow_map_batches",
+    "t13_vocab_by_source",
+    "q20_tumbling_window",
+    "t19_token_rarity",
+    "q07_conditional_agg",
+    "q04_weekly_rollup",
     "m04_image_decode",
+    "m03_audio_decode",
     "m06_audio_resample",
+    "s09_matryoshka_recall",
     "m05_image_resize",
     "t18_sliding_chunks",
     "t22_bpe_merges",
     "u07_python_writer",
-    "s09_matryoshka_recall",
+    "t24_bpe_apply",
     "p04_plan_json_pipeline",
+    "p11_jdbc_partitioned_read",
     "v06_stream_static_enrich",
-    "v03_stream_dedup_exact",
-    "t17_chunk_dedup",
-    "v05_stream_watermark_eviction",
     "u06_python_datasource",
+    "v03_stream_dedup_exact",
+    "p12_jdbc_live_upsert",
+    "t17_chunk_dedup",
     "p01_curation_pipeline",
-    "v07_stream_python_source",
     "s11_pq_adc",
+    "v05_stream_watermark_eviction",
+    "d17_multiprobe_semantic_dedup",
+    "t25_bpe_n16",
     "v04_stream_stream_join",
+    "v07_stream_python_source",
+    "d12_semantic_dedup",
     "p03_plan_incremental",
     "p02_plan_csv_pipeline",
-    "d12_semantic_dedup",
-    "q58_forecast_revenue",
-    "q29_range_frame_interval",
-    "q06_join_cast_key_broadcast",
-    "q20_tumbling_window",
-    "q07_conditional_agg",
-    "q04_weekly_rollup",
-    "u04_arrow_scalar_udf",
-    "t13_vocab_by_source",
-    # -- band 5: green in the r11 sweep (freshest), cheap-first ---
-    "q66_bloom_runtime_filter",
+    "d16_semantic_recall_audit",
+    # -- last driver-green in the r11 sweep, cheap-first ----------
     "q80_aqe_skew_split",
+    "q66_bloom_runtime_filter",
     "q69_promo_revenue_share",
+    "q55_lateral_topn",
+    "q14_rollup",
+    "q44_arg_extremes",
+    "q49_latest_record_dedup",
+    "q57_returned_items",
     "q82_compaction_roundtrip",
+    "q34_full_outer_reconcile",
+    "q28_array_map_agg",
+    "q12_set_ops",
+    "q22_percentiles",
+    "t16_sequence_packing",
+    "t27_stratified_sample",
+    "u02_python_udtf",
+    "s07_int8_quantization",
+    "q26_sliding_window",
     "q60_dynamic_partition_pruning",
     "d10_cluster_survivors",
-    "q26_sliding_window",
-    "q12_set_ops",
-    "q49_latest_record_dedup",
-    "q44_arg_extremes",
-    "s07_int8_quantization",
-    "s05_ann_multiprobe",
-    "q55_lateral_topn",
-    "q28_array_map_agg",
+    "q48_shipping_priority",
+    "s04_ann_recall",
     "p14_incremental_partition_consume",
     "q51_salted_skew_agg",
-    "q34_full_outer_reconcile",
-    "t01_token_stats",
-    "q22_percentiles",
-    "s04_ann_recall",
-    "q14_rollup",
-    "q54_recursive_year_ladder",
-    "t16_sequence_packing",
-    "s06_knn_join",
-    "q57_returned_items",
-    "q48_shipping_priority",
+    "s05_ann_multiprobe",
     "d09_containment",
-    "u02_python_udtf",
-    "q18_asof_join",
     "q50_higher_order_funcs",
-    "t27_stratified_sample",
+    "t01_token_stats",
     "q56_local_supplier_volume",
+    "q54_recursive_year_ladder",
+    "q18_asof_join",
+    "s06_knn_join",
     "q45_grouping_sets",
-    "q59_salted_skew_join",
+    "t26_hashing_embed",
     "m07_shot_detection",
+    "q59_salted_skew_join",
     "t23_bigram_novelty",
     "t15_benchmark_decontam",
     "v01_stream_tumbling_agg",
-    "t26_hashing_embed",
-    "p06_plan_multi_step",
     "p05_plan_multi_source",
+    "p06_plan_multi_step",
     "s12_quantized_rerank",
     "u08_polymorphic_udtf",
+    "p13_lakehouse_upsert",
     "s08_kmeans_refine",
     "v08_stream_session_window",
     "d15_lsh_semantic_dedup",
-    "v16_stream_lakehouse_upsert",
     "v02_stream_sessionize",
-    "p13_lakehouse_upsert",
+    "v16_stream_lakehouse_upsert",
     "d04_minhash_lsh",
+    # -- last driver-green in the r12 sweep, cheap-first ----------
+    "q08_topk_orders",
+    "q39_regexp_groups",
+    "q37_map_functions",
+    "p16_schema_evolution",
+    "q70_disjunctive_predicate_join",
+    "q75_part_promotion_suppliers",
+    "q72_dormant_rich_customers",
+    "q81_sql_variables",
+    "q64_customer_distribution",
+    "u01_grouped_pandas_agg",
+    "q77_market_share",
+    "p15_row_change_feed",
+    "t14_tfidf_keywords",
+    "q68_late_shipment_priority",
+    "q73_parts_supplier_counts",
+    "q25_pivot_unpivot",
+    "u09_arrow_udtf",
+    "q27_correlated_subquery",
+    "q41_set_ops_all",
+    "q74_top_supplier_revenue",
+    "q76_volume_shipping",
+    "m02_frame_fingerprints",
+    "p08_xml_roundtrip",
+    "s15_binary_quantization",
+    "q05_left_join_multikey",
+    "q78_product_type_profit",
+    "d08_fuzzy_levenshtein",
+    "u11_arrow_grouped_map",
+    "s14_radius_search",
+    "t07_pii_scan_redact",
+    "m08_audio_vad",
+    "q71_important_part_values",
+    "d14_incremental_dedup",
+    "q62_large_volume_customers",
+    "q63_suppliers_kept_waiting",
+    "d13_perceptual_dhash",
+    "v12_stream_sliding_window",
+    "q79_min_cost_supplier",
+    "p09_plan_stream",
+    "p07_plan_quarantine",
+    "v09_stream_rocksdb_session",
+    "q65_bucketed_colocated_join",
+    "q67_variant_extract",
+    "v11_stream_upsert_sink",
+    "v10_stream_outer_join",
+    "s13_ivfadc",
+    "g03_bfs_levels",
+    "g02_triangle_count",
+    "g01_integer_pagerank",
+    "u10_python_stream_writer",
 )
 
 
