@@ -1052,11 +1052,14 @@ ORDER BY a.vec_id
     "priority rule, not sequential greedy: x is a duplicate iff SOME "
     "higher-priority y in its cluster is τ-close, which SQL states "
     "exactly (the oracle hash pins every per-vector decision).  Scale "
-    "shape: centroids broadcast, assignment is map-side argmax with "
-    "partial aggregation, and the quadratic pair scan is BOUNDED PER "
-    "CLUSTER (keyed shuffle on cell_id).  The centroid count SCALES "
-    "with the corpus — k = ⌊√n⌋, computed lazily in-engine on both "
-    "sides — so cell OCCUPANCY stays ~√n and both the assignment "
+    "shape: the ⌊√n⌋ centroids broadcast once per task, assignment is "
+    "one vectorized NumPy pass per vector batch (bit-identical to the "
+    "interpreted per-centroid fold it replaced — round 13), and the "
+    "quadratic pair scan is BOUNDED PER "
+    "CLUSTER (keyed shuffle on cell_id) with an Arrow-vectorized "
+    "per-pair cosine.  The centroid count SCALES "
+    "with the corpus — k = ⌊√n⌋ "
+    "— so cell OCCUPANCY stays ~√n and both the assignment "
     "(n·k) and the pair scan (n·occupancy) grow as n^1.5, never n²: "
     "the first cut of this entry pinned k=10 and the sf1 audit caught "
     "it at 16x (61 s) — fixed-cardinality blocking keys make pair "
@@ -1067,85 +1070,179 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d12_flags_for(e).orderBy("vec_id")
 
 
+def _d12_assigned_vec(corpus: DataFrame) -> DataFrame:
+    """SemDeDup coarse assignment — vectorized kernel, same bits.
+
+    Round 13 (guide §4.2, §1.2 fix the algorithm before the per-task
+    work): the retired chain crossJoined every vector with every
+    broadcast centroid and ran one INTERPRETED 64-element HOF fold per
+    (vector, centroid) row — n*k = n^1.5 CodegenFallback folds (sf10:
+    89M folds, 112-157 s isolated, the dominant d12/d16 stage).  The
+    assignment is a dense (n x dim) @ (k x dim) product, so it now runs
+    as ONE mapInPandas over the vectors with the centroids broadcast
+    once per task: per batch, NumPy accumulates products dimension by
+    dimension — the SAME left-to-right IEEE-double order the HOF fold
+    used, so every dot, norm and sim is bit-identical (pinned by
+    tests/test_d12_assign_vec.py against the retired chain) — and the
+    per-vector argmax replicates max_by(struct(sim, -cell_id)) exactly:
+    np.argmax returns the FIRST index attaining the max, centroids are
+    ordered by cell_id ascending, and Spark resolves equal sims to the
+    LOWEST cell_id (equal-key structs tie on -cell_id; NaN sims are
+    greatest-and-tied in both, picking the lowest NaN cell).  The
+    driver collects only the k = ⌊√n⌋ centroid rows — the SAME bytes
+    the retired F.broadcast(cents) shipped through the driver — and the
+    groupBy(vec_id) shuffle of n*k scored rows disappears outright
+    (guide §2.4: the aggregate existed only to undo the crossJoin).
+    Batches are chunked so the (rows x k) sim buffer stays ~32 MB at
+    any k."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    # ⌊√n⌋ via double sqrt — the exact arithmetic the oracle
+    # (floor(sqrt(COUNT(*)))) and the retired in-engine aggregate used
+    n = corpus.count()
+    k = max(D12_MIN_CELLS, int(math.floor(math.sqrt(float(n)))))
+    cent_rows = sorted(
+        corpus.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    out_schema = (
+        "vec_id bigint, embedding array<double>, nsq double, "
+        "cell_id bigint, cent_sim double"
+    )
+    if not cent_rows:
+        return spark.createDataFrame([], out_schema)
+    cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    cnsq = np.zeros(len(cmat), dtype=np.float64)
+    for j in range(cmat.shape[1]):
+        cnsq += cmat[:, j] * cmat[:, j]
+    bc = spark.sparkContext.broadcast((cent_ids, cmat, cnsq))
+
+    def assign(batches):
+        ids, cm, cn = bc.value
+        kk = len(ids)
+        chunk = max(1, (4 << 20) // kk)  # sim buffer ~32 MB of doubles
+        for pdf in batches:
+            emb = np.vstack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            vids = pdf["vec_id"].to_numpy()
+            for lo in range(0, len(emb), chunk):
+                ev = emb[lo : lo + chunk]
+                nsq = np.zeros(len(ev), dtype=np.float64)
+                acc = np.zeros((len(ev), kk), dtype=np.float64)
+                for j in range(ev.shape[1]):
+                    ej = ev[:, j]
+                    nsq += ej * ej
+                    acc += np.multiply.outer(ej, cm[:, j])
+                sims = acc / np.sqrt(np.multiply.outer(nsq, cn))
+                cell = np.argmax(sims, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": vids[lo : lo + chunk],
+                        "embedding": list(ev),
+                        "nsq": nsq,
+                        "cell_id": ids[cell],
+                        "cent_sim": sims[np.arange(len(ev)), cell],
+                    }
+                )
+
+    return corpus.select("vec_id", "embedding").mapInPandas(
+        assign, out_schema
+    )
+
+
+def _d12_dropped_grouped(assigned: DataFrame) -> DataFrame:
+    """d12's drop set as ONE grouped per-cell kernel — same decisions,
+    heavy bytes cross the Python boundary once per VECTOR, not per pair.
+
+    Round 13 (guide §8's transferable rule + §4.2): the retired shape
+    self-joined `assigned` on cell_id and filtered an Arrow-vectorized
+    cosine per candidate pair, so every embedding crossed the Arrow
+    boundary once per PAIR it appears in — occupancy~sqrt(n) times —
+    and the join materialized n*occupancy rows (sf10: 45M pair rows,
+    ~20 s after the fold was already vectorized).  The decision per x
+    is `exists y in cell: priority(y)>priority(x) and cos(x,y)>tau`,
+    which is a per-CELL computation: applyInPandas over the existing
+    cell_id partitioning (no new exchange) hands each cell's vectors to
+    NumPy once, builds the (chunked-rows x occupancy) sim matrix by the
+    same sequential per-dimension accumulation the fold family uses
+    (bit-identical dots/sims), and applies the exact comparison
+    semantics Spark did:
+
+    - ``sims > tau``: Spark treats NaN as greater than any double, so
+      the kernel ORs ``isnan(sims)`` (a NaN cosine needs a zero-norm
+      vector; none exist in any fixture, but the semantics are pinned
+      anyway);
+    - priority ``(cs_y > cs_x) | (cs_y == cs_x & id_y < id_x)``: NaN
+      cent_sims map to +inf first (cent_sim is a cosine in [-1, 1] or
+      NaN, so +inf is free to stand in for Spark's NaN-greatest-and-
+      self-equal ordering); y == x ties on both keys and never drops x.
+
+    Pinned bitwise against the retired join+filter shape by
+    tests/test_d12_assign_vec.py::test_d12_grouped_drop_matches_join.
+    A degenerate giant cell costs occupancy^2 flops either way; the
+    kernel chunks the x-rows so its sim buffer stays ~16 MB regardless
+    of cell size."""
+    import numpy as np
+    import pandas as pd
+
+    tau = D12_TAU
+
+    def drop_cell(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": np.empty(0, dtype=np.int64)})
+        emb = np.vstack(pdf["embedding"].to_numpy()).astype(
+            np.float64, copy=False
+        )
+        nsq = pdf["nsq"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        csk = pdf["cent_sim"].to_numpy()
+        csk = np.where(np.isnan(csk), np.inf, csk)
+        dropped = np.zeros(n, dtype=bool)
+        chunk = max(1, (2 << 20) // n)  # sim buffer ~16 MB of doubles
+        for lo in range(0, n, chunk):
+            xs = emb[lo : lo + chunk]
+            acc = np.zeros((len(xs), n), dtype=np.float64)
+            for j in range(emb.shape[1]):
+                acc += np.multiply.outer(xs[:, j], emb[:, j])
+            sims = acc / np.sqrt(
+                np.multiply.outer(nsq[lo : lo + chunk], nsq)
+            )
+            close = (sims > tau) | np.isnan(sims)
+            hp = (csk[None, :] > csk[lo : lo + chunk, None]) | (
+                (csk[None, :] == csk[lo : lo + chunk, None])
+                & (ids[None, :] < ids[lo : lo + chunk, None])
+            )
+            dropped[lo : lo + chunk] = np.any(close & hp, axis=1)
+        return pd.DataFrame({"vec_id": ids[dropped]})
+
+    return assigned.groupBy("cell_id").applyInPandas(
+        drop_cell, "vec_id bigint"
+    )
+
+
 def d12_flags_for(corpus: DataFrame) -> DataFrame:
     """d12's per-vector (vec_id, cell_id, is_dup) frame, pre-sort, over an
     arbitrary (vec_id, embedding) corpus — shared by the d12 entry (raw
     embeddings) and d16's recall audit (embeddings + planted twins)."""
-    from agentic_etl_poc_spark.functions.hashing import dot_fold
-
-    e = corpus.select(
-        "vec_id",
-        "embedding",
-        dot_fold(F.col("embedding"), F.col("embedding")).alias("nsq"),
-    )
-    # k = ⌊√n⌋ computed LAZILY in-engine (no driver count() action): the
-    # scalar aggregate broadcasts onto the centroid filter
-    kf = corpus.agg(
-        F.greatest(
-            F.lit(D12_MIN_CELLS).cast("bigint"),
-            F.floor(F.sqrt(F.count(F.lit(1)))).cast("bigint"),
-        ).alias("k")
-    )
-    cents = F.broadcast(
-        e.crossJoin(F.broadcast(kf))
-        .filter(F.col("vec_id") < F.col("k"))
-        .select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("embedding").alias("cvec"),
-            F.col("nsq").alias("cnsq"),
-        )
-    )
-    scored = e.crossJoin(cents).select(
-        "vec_id",
-        "embedding",
-        "nsq",
-        "cell_id",
-        (
-            dot_fold(F.col("embedding"), F.col("cvec"))
-            / F.sqrt(F.col("nsq") * F.col("cnsq"))
-        ).alias("sim"),
-    )
-    # argmax via max_by (map-side partials; see s03's rationale), tie on
-    # lower cell_id via the (sim, -cell_id) ordering struct.  The frame
-    # is consumed THREE times (both sides of the pair self-join + the
-    # final flag join); the explicit repartition on the join key gives
-    # all three consumers one identical exchange subtree so Catalyst's
-    # ReuseExchange computes the 64-dim assignment fold ONCE (without
-    # it: three full cross-join+fold recomputations — measured 4.6 s vs
-    # 2.6 s at sf0.1; the verify-skill gotcha about shared expensive
-    # frames, applied).
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("embedding", "nsq", "cell_id", "sim"),
-                F.struct(F.col("sim"), (-F.col("cell_id")).alias("neg_cell")),
-            ).alias("b")
-        )
-        .select(
-            "vec_id",
-            F.col("b.embedding").alias("embedding"),
-            F.col("b.nsq").alias("nsq"),
-            F.col("b.cell_id").alias("cell_id"),
-            F.col("b.sim").alias("cent_sim"),
-        )
-        .repartition("cell_id")
-    )
-    x = assigned.alias("x")
-    y = assigned.alias("y")
-    pair_cos = dot_fold(F.col("x.embedding"), F.col("y.embedding")) / F.sqrt(
-        F.col("x.nsq") * F.col("y.nsq")
-    )
-    higher_priority = (F.col("y.cent_sim") > F.col("x.cent_sim")) | (
-        (F.col("y.cent_sim") == F.col("x.cent_sim"))
-        & (F.col("y.vec_id") < F.col("x.vec_id"))
-    )
-    dropped = (
-        x.join(y, (F.col("x.cell_id") == F.col("y.cell_id")) & higher_priority)
-        .where(pair_cos > D12_TAU)
-        .select(F.col("x.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dup", F.lit(True))
+    # Vectorized assignment (see _d12_assigned_vec).  The frame is
+    # consumed twice (the grouped pair scan + the final flag join); the
+    # explicit repartition on the pair-scan key gives both consumers one
+    # identical exchange subtree so Catalyst's ReuseExchange computes
+    # the assignment ONCE (the verify-skill gotcha about shared
+    # expensive frames, applied), and applyInPandas's clustered-
+    # distribution requirement is satisfied by the same exchange.
+    assigned = _d12_assigned_vec(corpus).repartition("cell_id")
+    dropped = _d12_dropped_grouped(assigned).withColumn(
+        "is_dup", F.lit(True)
     )
     return assigned.join(dropped, "vec_id", "left").select(
         "vec_id",
@@ -1500,27 +1597,84 @@ def d15_flags_for(e: DataFrame) -> DataFrame:
     )
 
 
+def _dropped_exists_lower(xs: DataFrame, ys: DataFrame) -> DataFrame:
+    """DISTINCT ``xs.vec_id`` having SOME same-group ``ys`` row with a
+    lower vec_id and cosine > D15_TAU — the d10 first-wins drop rule as
+    ONE cogrouped per-key kernel (round 13, guide §8 + §4.2).
+
+    Both inputs carry (gk, vec_id, embedding, nsq).  The retired shape
+    was an equi-join on the group key + vectorized-fold filter: every
+    embedding crossed the Arrow boundary once per candidate PAIR
+    (d17's probe scan at sf10: (b+1)*n probes x capped occupancy ≈
+    155M pair rows, 65 s isolated).  Each vector now crosses ONCE per
+    group it appears in: cogroup ships each key's xs and ys batches to
+    NumPy, which builds the (chunked xs x ys) sim matrix by the same
+    sequential per-dimension accumulation the fold family uses
+    (bit-identical sims) and tests existence.  Spark comparison
+    semantics are preserved exactly: NaN cosines (zero-norm vectors —
+    none in any fixture) count as > tau because Spark orders NaN above
+    every double.  Pinned against the join+filter shape by
+    tests/test_d12_assign_vec.py::test_exists_lower_matches_join."""
+    import numpy as np
+    import pandas as pd
+
+    tau = D15_TAU
+    # both sides usually derive from the SAME assigned frame; re-alias
+    # every column so each side carries fresh attribute ids, or the
+    # cogroup trips Spark's ambiguous-self-join analyzer check
+    cols = ["gk", "vec_id", "embedding", "nsq"]
+    xs = xs.select(*[F.col(c).alias(c) for c in cols])
+    ys = ys.select(*[F.col(c).alias(c) for c in cols])
+
+    def scan(left, right):
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"vec_id": np.empty(0, dtype=np.int64)})
+        xe = np.vstack(left["embedding"].to_numpy()).astype(
+            np.float64, copy=False
+        )
+        ye = np.vstack(right["embedding"].to_numpy()).astype(
+            np.float64, copy=False
+        )
+        xn = left["nsq"].to_numpy()
+        yn = right["nsq"].to_numpy()
+        xid = left["vec_id"].to_numpy()
+        yid = right["vec_id"].to_numpy()
+        dropped = np.zeros(len(xe), dtype=bool)
+        chunk = max(1, (2 << 20) // len(ye))  # sim buffer ~16 MB
+        for lo in range(0, len(xe), chunk):
+            acc = np.zeros((len(xe[lo : lo + chunk]), len(ye)), dtype=np.float64)
+            for j in range(xe.shape[1]):
+                acc += np.multiply.outer(xe[lo : lo + chunk, j], ye[:, j])
+            sims = acc / np.sqrt(
+                np.multiply.outer(xn[lo : lo + chunk], yn)
+            )
+            close = (sims > tau) | np.isnan(sims)
+            lower = yid[None, :] < xid[lo : lo + chunk, None]
+            dropped[lo : lo + chunk] = np.any(close & lower, axis=1)
+        return pd.DataFrame({"vec_id": xid[dropped]})
+
+    return (
+        xs.groupBy("gk")
+        .cogroup(ys.groupBy("gk"))
+        .applyInPandas(scan, "vec_id bigint")
+        .distinct()
+    )
+
+
 def _d15_dropped(assigned: DataFrame, y: DataFrame) -> DataFrame:
     """d15's single-probe drop set (DISTINCT vec_id with a lower-id
     cosine>tau neighbor among the cell's capped sample) from prebuilt
     cell machinery — shared by d15_flags_for and d16 (which needs only
-    the drop set, not the per-vector flag join)."""
-    from agentic_etl_poc_spark.functions.hashing import dot_fold
-
-    x = assigned.alias("x")
-    pair_cos = dot_fold(F.col("x.embedding"), F.col("y.embedding")) / F.sqrt(
-        F.col("x.nsq") * F.col("y.nsq")
+    the drop set, not the per-vector flag join).  Round 13: one
+    cogrouped per-cell kernel (see _dropped_exists_lower) instead of
+    the pair join — both sides reuse assigned's cell_id exchange."""
+    xs = assigned.select(
+        F.col("cell_id").alias("gk"), "vec_id", "embedding", "nsq"
     )
-    return (
-        x.join(
-            y,
-            (F.col("x.cell_id") == F.col("y.cell_id"))
-            & (F.col("y.vec_id") < F.col("x.vec_id")),
-        )
-        .filter(pair_cos > D15_TAU)
-        .select(F.col("x.vec_id").alias("vec_id"))
-        .distinct()
+    ys = y.select(
+        F.col("cell_id").alias("gk"), "vec_id", "embedding", "nsq"
     )
+    return _dropped_exists_lower(xs, ys)
 
 
 def _d15_parts(e: DataFrame):
@@ -1904,15 +2058,10 @@ FROM flags
     "cell_id exchange.",
 )
 def d17_multiprobe_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from agentic_etl_poc_spark.functions.hashing import dot_fold
-
     raw, _corpus, offf, assigned, y, bf = _twin_parts(spark, sf_dir)
     probes = (
         assigned.crossJoin(F.broadcast(bf.select("b")))
         .select(
-            "vec_id",
-            "embedding",
-            "nsq",
             F.explode(
                 F.concat(
                     F.array(F.col("cell_id")),
@@ -1921,22 +2070,22 @@ def d17_multiprobe_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
                         "j -> cell_id ^ shiftleft(CAST(1 AS BIGINT), j))"
                     ),
                 )
-            ).alias("pc"),
+            ).alias("gk"),
+            "vec_id",
+            "embedding",
+            "nsq",
         )
-        .alias("x")
     )
-    pair_cos = dot_fold(F.col("x.embedding"), F.col("y.embedding")) / F.sqrt(
-        F.col("x.nsq") * F.col("y.nsq")
-    )
-    d17_dropped = (
-        probes.join(
-            y,
-            (F.col("x.pc") == F.col("y.cell_id"))
-            & (F.col("y.vec_id") < F.col("x.vec_id")),
-        )
-        .filter(pair_cos > D15_TAU)
-        .select(F.col("x.vec_id").alias("vec_id"))
-        .distinct()
+    # Round 13: the probe scan yields (b+1)*n probe rows x capped
+    # occupancy candidate pairs; the cogrouped kernel ships each probe
+    # row across the Python boundary once per PROBED CELL instead of
+    # once per pair (sf10 isolation: 64.9 s -> see OPTIMIZATION_r13.md;
+    # bit-identical — _dropped_exists_lower's contract).
+    d17_dropped = _dropped_exists_lower(
+        probes,
+        y.select(
+            F.col("cell_id").alias("gk"), "vec_id", "embedding", "nsq"
+        ),
     )
     # single-probe drop set from the SAME session-shared cell machinery
     # for the in-row recovery counters — no second assignment fold (the
