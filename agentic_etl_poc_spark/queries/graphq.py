@@ -16,6 +16,8 @@ analytics is engine-extension surface (SURVEY.md §2.3 "free in Spark").
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,6 +27,57 @@ from agentic_etl_poc_spark.queries.core import register
 PR_SCALE = 1_000_000  # initial integer rank per node
 PR_ITERS = 3
 PR_TOP = 20
+
+
+#: Session-scoped checkpointed edge frames, keyed (sf_dir,) — g01 and
+#: g03 walk the SAME customer<->supplier interaction graph, and the
+#: edge derivation (orders⋈lineitem + 58.7M-pair distinct at sf10) is
+#: ~90% of each entry's isolated sf10 wall (38 of 42 s measured).  One
+#: battery session derives it once; the memo holds the LogicalRDD-backed
+#: frame (localCheckpoint blocks die with the session — same lifetime
+#: discipline as queries/core.py::shared_frame, weak-keyed so a stopped
+#: session's entry dies with it).  This is the compute-once-fan-out
+#: shape the dedup family already uses (minhash stats, twin parts).
+_EDGES: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def shared_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interaction graph's edge list (src, dst) — BOTH directions of
+    the distinct customer<->supplier pairs, hash-partitioned on src and
+    localCheckpointed once per (session, sf_dir)."""
+    per = _EDGES.get(spark)
+    if per is None:
+        per = {}
+        _EDGES[spark] = per
+    e = per.get(sf_dir)
+    if e is None:
+        o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        pairs = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(
+                (F.col("o_custkey") * 2).alias("cnode"),
+                (F.col("l_suppkey") * 2 + 1).alias("snode"),
+            )
+            .distinct()
+        )
+        edges = pairs.select(
+            F.col("cnode").alias("src"), F.col("snode").alias("dst")
+        ).unionAll(
+            pairs.select(
+                F.col("snode").alias("src"), F.col("cnode").alias("dst")
+            )
+        )
+        # one explicit exchange on src: every consumer (degree agg, seed
+        # min, node distinct, three frontier/rank joins) is src-keyed,
+        # and LogicalRDD preserves the hash partitioning
+        e = edges.repartition("src").localCheckpoint(eager=True)
+        per[sf_dir] = e
+    return e
 
 
 def _duck_pr_iter(prev: str, out: str) -> str:
@@ -82,37 +135,40 @@ LIMIT {PR_TOP}
     "discipline).  Top-20 is TakeOrderedAndProject.",
 )
 def g01_integer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("cnode"),
-            (F.col("l_suppkey") * 2 + 1).alias("snode"),
-        )
-        .distinct()
+    # Round 13: the edge list comes from the session-shared checkpoint
+    # (see shared_edges — g03 walks the same graph; deriving it was ~90%
+    # of each entry's isolated sf10 wall).  The round-12 shape also
+    # materialized a SECOND edge-scale frame (ew = edges ⋈ deg, 3 int64
+    # columns, 117M rows at sf10); the degree now annotates the
+    # NODE-scale rank frame instead (rank div d is computed after the
+    # node-keyed join, same integer arithmetic), so the only edge-scale
+    # materialization left is the shared edge list itself and each round
+    # joins e against a node-scale (node, contrib-per-edge) frame
+    # (guide §2.3 — shuffle node-scale metadata, not edge payloads).
+    e = shared_edges(spark, sf_dir)
+    # degree agg rides e's src partitioning (no exchange); node-scale,
+    # checkpointed once so rounds scan a tiny LogicalRDD
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
     )
-    edges = pairs.select(
-        F.col("cnode").alias("src"), F.col("snode").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # edges annotated with the source's out-degree once; each round joins
-    # ranks back on src.  Round-12: materialize the annotated edge list
-    # ONCE (the d07/g03 checkpoint discipline) — left lazy, the unrolled
-    # 3-round plan re-derived the orders⋈lineitem+distinct+degree chain
-    # per consumer (76 Exchanges / 56 parquet scans in the static plan,
-    # zero static ReusedExchange); checkpointed, each round scans a
-    # LogicalRDD.  The frame is edge-count-scale (3 int64 columns).
-    ew = edges.join(deg, "src").localCheckpoint(eager=True)
-    ranks = ew.select(F.col("src").alias("node")).distinct().select(
-        "node", F.lit(PR_SCALE).cast("bigint").alias("rank")
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("rank")
     )
     for _ in range(PR_ITERS):
-        contrib = ew.join(ranks, ew["src"] == ranks["node"]).select(
-            "dst", F.expr("rank div d").alias("contrib")
-        )
+        # per-edge contribution = rank(u) div deg(u): computed on the
+        # NODE-scale frame, then attached to edges by one src-keyed join.
+        # The node frame is BROADCAST (g02's precedent for this graph's
+        # dim-scale frames): statically the planner saw an unknown-size
+        # aggregate and picked sort-merge, which re-SORTED the 117M-row
+        # checkpointed e every round — 3 avoidable edge-scale sorts.
+        rankdeg = ranks.join(
+            F.broadcast(deg), ranks["node"] == deg["src"]
+        ).select(ranks["node"], F.expr("rank div d").alias("contrib"))
+        contrib = e.join(
+            F.broadcast(rankdeg), e["src"] == rankdeg["node"]
+        ).select("dst", "contrib")
         sums = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
         ranks = sums.select(
             F.col("dst").alias("node"),
@@ -350,26 +406,10 @@ ORDER BY level
     "consumer (75 s vs 7 s at sf0.01, measured).",
 )
 def g03_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("cnode"),
-            (F.col("l_suppkey") * 2 + 1).alias("snode"),
-        )
-        .distinct()
-    )
-    e = (
-        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
-        )
-        # six consumers (three frontier joins + membership checks):
-        # pin ONE shared exchange (the g02 lesson — per-consumer column
-        # pruning otherwise re-derives the orders join per consumer)
-        .repartition("src")
-    )
+    # Round 13: the checkpointed edge list is session-shared with g01
+    # (see shared_edges); in a battery session only the first consumer
+    # pays the orders⋈lineitem + distinct derivation.
+    #
     # The d07 discipline for iterative frontier algorithms: each round's
     # frontier is consumed three times (next round's join, the seen
     # accumulator, the level output) and the accumulator k times more —
@@ -379,7 +419,9 @@ def g03_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each round once and resets its plan to a LogicalRDD scan; the
     # frames are frontier-sized (node ids only), so the checkpoint cost
     # is trivial next to the recompute it prevents (~7 s at sf0.01).
-    e = e.localCheckpoint(eager=True)
+    e = shared_edges(spark, sf_dir)
+    # node set rides e's src partitioning (distinct groups on the same
+    # key the checkpoint preserved — no exchange)
     nodes = e.select(F.col("src").alias("node")).distinct()
     # min over e.src == min over distinct nodes (every node appears as a
     # src — both edge directions are in e), so the seed job skips the
