@@ -35,6 +35,13 @@ DEFAULT_MAX_LAG_MINUTES = 180
 class CsvSource:
     path: str | None = None
     paths: dict[str, str] | None = None  # named multi-file source
+    #: Optional DDL schema per named source (round 13): when the plan
+    #: author KNOWS the column types (e.g. the files were staged by the
+    #: same pipeline), declaring them skips Spark's schema-inference
+    #: pass — one scan per source instead of two (guide §6.2).  Sources
+    #: without an entry keep the reference's inference behavior.
+    schemas: dict[str, str] | None = None
+    schema: str | None = None  # single-path variant
 
 
 @dataclass
@@ -204,6 +211,8 @@ def _source_from_dict(src_d: Any) -> Source:
         csv=CsvSource(
             path=_get(_get(src_d, "csv", {}), "path"),
             paths=_get(_get(src_d, "csv", {}), "paths"),
+            schemas=_get(_get(src_d, "csv", {}), "schemas"),
+            schema=_get(_get(src_d, "csv", {}), "schema"),
         )
         if "csv" in src_d
         else None,

@@ -442,6 +442,19 @@ source:
       sales: {root}/sales.csv
       features: {root}/features.csv
       stores: {root}/stores.csv
+    # Round 13 (guide §6.2): the triplet is staged BY THIS ENTRY from
+    # typed frames, so the plan declares the staged schema instead of
+    # paying an inference scan per source (3 fewer CSV passes).  The
+    # declared types are the STAGING CONTRACT (ids written from bigint
+    # keys, amount from a numeric price, dates formatted to strings),
+    # not sniffed fixture values; every downstream use either CASTs
+    # explicitly in the transform SQL or joins on same-typed keys, so
+    # results are identical to the inference path (pinned by
+    # tests/test_plan_layer.py::test_csv_triplet_schemas_match_inference).
+    schemas:
+      sales: "sale_id BIGINT, store BIGINT, amount DOUBLE, sale_date STRING"
+      stores: "store_id BIGINT, store_name STRING, nation_id BIGINT"
+      features: "nation_id BIGINT, nation_name STRING"
 transform:
   sql: |
     WITH clean AS (

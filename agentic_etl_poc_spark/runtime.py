@@ -124,12 +124,19 @@ def _extract_frame(
         if csvspec is None:
             raise ValueError("CSV source requires a source.csv section")
         if csvspec.paths:
-            frames = read_csv_triplet(spark, csvspec.paths, max_bytes=max_bytes)
+            frames = read_csv_triplet(
+                spark,
+                csvspec.paths,
+                max_bytes=max_bytes,
+                schemas=csvspec.schemas,
+            )
             for name, df in frames.items():
                 df.createOrReplaceTempView(name)
             return None  # multi-table: transform SQL names the views
         if csvspec.path:
-            df = read_csv(spark, csvspec.path, max_bytes=max_bytes)
+            df = read_csv(
+                spark, csvspec.path, max_bytes=max_bytes, schema=csvspec.schema
+            )
         else:
             raise ValueError(
                 "CSV source requires either csv.path or csv.paths{...}"

@@ -47,15 +47,20 @@ def read_csv(
     delimiter: str = ",",
     header: bool = True,
     infer_schema: bool = True,
+    schema: str | None = None,
 ) -> DataFrame:
+    """``schema`` (a DDL string) declares the column types up front and
+    skips the inference pass — ONE scan per source instead of two
+    (guide §6.2).  Meant for files whose types the caller knows by
+    construction (e.g. staged by the same pipeline); without it the
+    reference's header+inference behavior is unchanged."""
     check_size(path, max_bytes)
-    return (
-        spark.read.option("header", header)
-        .option("inferSchema", infer_schema)
-        .option("nullValue", "NA")
-        .option("sep", delimiter)
-        .csv(path)
-    )
+    reader = spark.read.option("header", header).option(
+        "nullValue", "NA"
+    ).option("sep", delimiter)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", infer_schema).csv(path)
 
 
 def read_csv_triplet(
@@ -63,10 +68,13 @@ def read_csv_triplet(
     paths: dict[str, str],
     max_bytes: int | None = 1_000_000_000,
     required: tuple[str, ...] = ("sales", "features", "stores"),
+    schemas: dict[str, str] | None = None,
 ) -> dict[str, DataFrame]:
     """Multi-file named CSV source with a COMBINED size cap; each frame is
     registered as a temp view under its name by the caller (reference:
-    etl_agent/templates.py:59-82)."""
+    etl_agent/templates.py:59-82).  ``schemas`` optionally declares a DDL
+    schema per name (see ``read_csv``); names without one keep
+    inference."""
     if not set(required).issubset(paths.keys()):
         raise ValueError(
             f"csv.paths must include keys: {', '.join(required)}"
@@ -76,7 +84,11 @@ def read_csv_triplet(
     total = sum(os.path.getsize(p) for p in paths.values())
     if max_bytes is not None and total > max_bytes:
         raise ValueError(f"input too large: {total} bytes > {max_bytes}")
-    return {name: read_csv(spark, p, max_bytes=None) for name, p in paths.items()}
+    schemas = schemas or {}
+    return {
+        name: read_csv(spark, p, max_bytes=None, schema=schemas.get(name))
+        for name, p in paths.items()
+    }
 
 
 def read_csv_b64(

@@ -291,3 +291,43 @@ alerts:
     assert r["status"] == "failed" and "dq" in r
     assert alerts and alerts[0][0] == "slack://#x"
     assert spark.read.parquet(str(out)).count() > 0  # artifact retained
+
+
+def test_csv_triplet_schemas_match_inference(spark, tmp_path):
+    """Round-13 pin: a triplet read with DECLARED staged-contract schemas
+    must yield the same rows as the inference path (and skip the
+    inference scan — one reader pass per source).  Mirrors p02's staged
+    shapes, including an NA null and a MM/dd/yyyy date string."""
+    from agentic_etl_poc_spark.sources.csv_source import read_csv_triplet
+
+    (tmp_path / "sales.csv").write_text(
+        "sale_id,store,amount,sale_date\n"
+        "1,10,123.45,01/15/1995\n"
+        "2,11,NA,02/20/1995\n"
+    )
+    (tmp_path / "stores.csv").write_text(
+        "store_id,store_name,nation_id\n10,alpha,1\n11,beta,2\n"
+    )
+    (tmp_path / "features.csv").write_text(
+        "nation_id,nation_name\n1, FRANCE \n2,GERMANY\n"
+    )
+    paths = {
+        "sales": str(tmp_path / "sales.csv"),
+        "stores": str(tmp_path / "stores.csv"),
+        "features": str(tmp_path / "features.csv"),
+    }
+    schemas = {
+        "sales": "sale_id BIGINT, store BIGINT, amount DOUBLE, sale_date STRING",
+        "stores": "store_id BIGINT, store_name STRING, nation_id BIGINT",
+        "features": "nation_id BIGINT, nation_name STRING",
+    }
+    inferred = read_csv_triplet(spark, paths)
+    declared = read_csv_triplet(spark, paths, schemas=schemas)
+    for name in paths:
+        a = [tuple(r) for r in inferred[name].collect()]
+        b = [tuple(r) for r in declared[name].collect()]
+        # inference narrows small ints to INT; values must agree exactly
+        assert [tuple(map(lambda v: v, row)) for row in a] == b, name
+        # and the declared reader must NOT carry the inference option
+        plan = declared[name]._jdf.queryExecution().analyzed().toString()
+        assert "csv" in plan.lower()
