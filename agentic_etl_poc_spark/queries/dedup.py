@@ -478,35 +478,90 @@ def _build_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cand.join(w1, "id1").join(w2, "id2").select(
         "id1", "id2", n_match.alias("n_match")
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    t1 = toks.alias("t1")
-    t2 = toks.alias("t2")
-    inter = (
-        cand.join(t1, F.col("id1") == F.col("t1.doc_id"))
-        .join(
-            t2,
-            (F.col("id2") == F.col("t2.doc_id"))
-            & (F.col("t1.gram") == F.col("t2.gram")),
-        )
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # Round 13 (guide §8 + §2.3): the exact-overlap join used to explode
+    # every candidate pair into one row per gram of doc1 (sf10: 8.97M
+    # pairs x ~55 grams = 495M (id1, id2, gram-string) rows through the
+    # (id2, gram)-keyed exchange — 147 of d04's 234 s isolated).  The
+    # intersection now moves per-PAIR arrays instead of per-gram rows:
+    #
+    # - grams get dense per-run integer ids from a DISTINCT-gram
+    #   dictionary (monotonically_increasing_id — ANY injective map
+    #   preserves gram equality exactly, so every `shared` count is
+    #   unchanged by construction; no hashing, no collision risk);
+    # - each doc's gid ARRAY is built once (doc-count-scale frame, the
+    #   shuffle key is the doc id);
+    # - each candidate pair ships exactly two ~55-int arrays across the
+    #   Arrow boundary once, and a batched NumPy kernel counts
+    #   |g1 ∩ g2| per pair (set semantics: toks is distinct per doc, so
+    #   intersect1d(assume_unique) counts exactly the equal-gram pairs
+    #   the retired join counted).
+    #
+    # sizes ride the same arrays (size(gids) == the retired per-doc
+    # count).  Pinned against the retired join by
+    # tests/test_d04_inter_arrays.py; the whole d04/d07/d09/d10/d11
+    # family stays oracle-gated.
+    gdict = toks.select("gram").distinct().withColumn(
+        "gid", F.monotonically_increasing_id()
     )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
-    shared = F.coalesce(F.col("shared"), F.lit(0)).cast("bigint")
-    return (
-        est.join(inter, ["id1", "id2"], "left")
-        .join(s1, F.col("id1") == F.col("s1.doc_id"))
-        .join(s2, F.col("id2") == F.col("s2.doc_id"))
-        .select(
-            "id1",
-            "id2",
-            "n_match",
-            shared.alias("shared"),
-            (F.col("s1.sz") + F.col("s2.sz") - shared)
-            .cast("bigint")
-            .alias("union_sz"),
+    # monotonically_increasing_id is attempt-nondeterministic, so the
+    # gid-carrying frame is materialized ONCE (doc-count-scale, ~55
+    # ints/doc): both pair-side consumers scan the same blocks and see
+    # one consistent injective gram->gid assignment — a lazy dictionary
+    # re-derived under a task retry could map equal grams to different
+    # ids across the two branches.
+    docarr = (
+        toks.join(gdict, "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_list("gid").alias("gids"))
+        .localCheckpoint(eager=True)
+    )
+    a1 = docarr.select(
+        F.col("doc_id").alias("id1"),
+        F.col("gids").alias("g1"),
+        F.size("gids").cast("bigint").alias("sz1"),
+    )
+    a2 = docarr.select(
+        F.col("doc_id").alias("id2"),
+        F.col("gids").alias("g2"),
+        F.size("gids").cast("bigint").alias("sz2"),
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    def shared_counts(batches):
+        for pdf in batches:
+            g1s = pdf["g1"].to_numpy()
+            g2s = pdf["g2"].to_numpy()
+            shared = np.fromiter(
+                (
+                    np.intersect1d(g1s[i], g2s[i], assume_unique=True).size
+                    for i in range(len(pdf))
+                ),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            yield pd.DataFrame(
+                {
+                    "id1": pdf["id1"].to_numpy(),
+                    "id2": pdf["id2"].to_numpy(),
+                    "shared": shared,
+                    "union_sz": pdf["sz1"].to_numpy()
+                    + pdf["sz2"].to_numpy()
+                    - shared,
+                }
+            )
+
+    overlap = (
+        cand.join(a1, "id1")
+        .join(a2, "id2")
+        .mapInPandas(
+            shared_counts,
+            "id1 bigint, id2 bigint, shared bigint, union_sz bigint",
         )
+    )
+    return est.join(overlap, ["id1", "id2"]).select(
+        "id1", "id2", "n_match", "shared", "union_sz"
     )
 
 
@@ -1755,33 +1810,71 @@ def _d15_projs(e: DataFrame, bf: DataFrame) -> DataFrame:
 
 def _d15_assign(e: DataFrame, bf: DataFrame) -> DataFrame:
     """Sign-cell assignment: (vec_id, cell_id, embedding, nsq),
-    repartitioned on the pair-scan key (cell_id)."""
-    from agentic_etl_poc_spark.functions.hashing import dot_fold
+    repartitioned on the pair-scan key (cell_id).
 
-    projs = _d15_projs(e, bf)
-    bit_term = F.when(
-        dot_fold(F.col("embedding"), F.col("wvec")) > 0,
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
-    ).otherwise(F.lit(0).cast("bigint"))
-    # nsq piggybacks on the assignment agg so the pair scan's cosine is
-    # dot/sqrt(nsq_x*nsq_y) — no norm recomputation per candidate pair
-    assigned = (
-        e.crossJoin(F.broadcast(projs))
-        .groupBy("vec_id")
-        .agg(
-            F.sum(bit_term).alias("cell_id"),
-            F.first("embedding").alias("embedding"),
-        )
-        .withColumn(
-            "nsq", dot_fold(F.col("embedding"), F.col("embedding"))
-        )
-        # one explicit exchange on the pair-scan key, reused by the rank
-        # window, both join sides, and the final flag join (d12's
-        # ReuseExchange lesson — without it each consumer refolds the
-        # 64-dim assignment)
+    Round 13 (the d12 assignment's pattern, guide §4.2): the retired
+    chain crossJoined every vector with the b broadcast hyperplanes and
+    ran one interpreted 64-dim HOF fold per (vector, projection) row,
+    then re-aggregated by vec_id (sf10 twin corpus: 9.2 s isolated).
+    The b projection vectors are tiny (b grows as log n), so they are
+    collected once and broadcast into ONE mapInPandas pass that
+    accumulates each dot dimension-by-dimension in NumPy — the same
+    sequential IEEE order, bit-identical dots and norms — and composes
+    cell_id = Σ 1<<j over positive dots.  Spark's `dot > 0` treats a
+    NaN dot as true (NaN-greatest ordering); the kernel ORs isnan to
+    match (a NaN dot needs a NaN embedding component; none exist in any
+    fixture).  Pinned against the retired chain by
+    tests/test_d12_assign_vec.py::test_d15_assign_vec_matches_retired."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    proj_rows = sorted(
+        _d15_projs(e, bf).collect(), key=lambda r: r.j
+    )
+    out_schema = (
+        "vec_id bigint, cell_id bigint, embedding array<double>, nsq double"
+    )
+    if not proj_rows:
+        return spark.createDataFrame([], out_schema).repartition("cell_id")
+    wmat = np.array([r.wvec for r in proj_rows], dtype=np.float64)
+    shifts = np.array(
+        [np.int64(1) << np.int64(r.j) for r in proj_rows], dtype=np.int64
+    )
+    bc = spark.sparkContext.broadcast((wmat, shifts))
+
+    def assign(batches):
+        wm, sh = bc.value
+        for pdf in batches:
+            emb = np.vstack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            nsq = np.zeros(len(emb), dtype=np.float64)
+            dots = np.zeros((len(emb), len(sh)), dtype=np.float64)
+            for j in range(emb.shape[1]):
+                ej = emb[:, j]
+                nsq += ej * ej
+                dots += np.multiply.outer(ej, wm[:, j])
+            bits = (dots > 0) | np.isnan(dots)  # Spark NaN-greatest
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell_id": (bits * sh[None, :]).sum(
+                        axis=1, dtype=np.int64
+                    ),
+                    "embedding": list(emb),
+                    "nsq": nsq,
+                }
+            )
+
+    # one explicit exchange on the pair-scan key, reused by the rank
+    # window, both pair-scan consumers, and the final flag join (d12's
+    # ReuseExchange lesson)
+    return (
+        e.select("vec_id", "embedding")
+        .mapInPandas(assign, out_schema)
         .repartition("cell_id")
     )
-    return assigned
 
 
 def _d15_sample(assigned: DataFrame) -> DataFrame:

@@ -232,6 +232,52 @@ def test_exists_lower_matches_join(spark, sf_smoke):
     assert got17 == want17
 
 
+def test_d15_assign_vec_matches_retired(spark, sf_smoke):
+    """d15's vectorized sign-cell assignment must reproduce the retired
+    crossJoin + HOF-fold chain exactly: same cell_id and bit-identical
+    nsq for every vector, on float32 raw embeddings AND the double twin
+    corpus."""
+    from agentic_etl_poc_spark.queries.dedup import (
+        _d15_assign,
+        _d15_bounds,
+        _d15_projs,
+    )
+
+    def retired(e, bf):
+        projs = _d15_projs(e, bf)
+        bit_term = F.when(
+            dot_fold(F.col("embedding"), F.col("wvec")) > 0,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        return (
+            e.crossJoin(F.broadcast(projs))
+            .groupBy("vec_id")
+            .agg(
+                F.sum(bit_term).alias("cell_id"),
+                F.first("embedding").alias("embedding"),
+            )
+            .withColumn(
+                "nsq", dot_fold(F.col("embedding"), F.col("embedding"))
+            )
+        )
+
+    raw = table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    twin, _ = _twin_corpus(raw)
+    for corpus in (raw, twin):
+        bf = _d15_bounds(corpus)
+        want = {
+            r.vec_id: (r.cell_id, _bits(r.nsq))
+            for r in retired(corpus, bf).collect()
+        }
+        got = {
+            r.vec_id: (r.cell_id, _bits(r.nsq))
+            for r in _d15_assign(corpus, bf)
+            .select("vec_id", "cell_id", "nsq")
+            .collect()
+        }
+        assert want and got == want
+
+
 def test_d12_assign_vec_embedding_passthrough(spark, sf_smoke):
     """The assigned frame feeds the pair scan — its embedding column
     must round-trip exactly (as doubles)."""
